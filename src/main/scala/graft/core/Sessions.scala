@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the configuration this engine is designed around.
+  *
+  * Scale posture: these settings are the local[N] analogue of the cluster
+  * profile — AQE on (runtime coalescing + skew-join splitting), broadcast
+  * threshold left at default (dims in this engine are KB–MB), shuffle
+  * partition count sized to the active parallelism instead of the 200
+  * default (at 100 TB this is instead set ~2–3× total executor cores, and
+  * AQE coalesces down per-stage).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Reference parity: pandas coerces bad casts to NaN and divides by
+      // zero to inf/NaN instead of raising (SURVEY §7.4) — ANSI off gives
+      // null-on-error cast/arith, matching `errors="coerce"` semantics.
+      .config("spark.sql.ansi.enabled", "false")
+      // The driver testdata's events.parquet stores TIMESTAMP(NANOS),
+      // which Spark cannot read natively; read as long and convert
+      // (Tables.eventsTs normalizes to TimestampType at µs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

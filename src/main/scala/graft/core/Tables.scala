@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated TPC-H-ish testdata
+  * (`/root/testdata/sf*`, see TESTDATA.md). One parquet file per table.
+  *
+  * All schemas are fixed by the parquet footers; we never infer. Reads are
+  * plain `spark.read.parquet` so Catalyst keeps full pushdown/pruning
+  * freedom — at 100 TB these become partitioned scans and every downstream
+  * filter/projection in this library is written to reach the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** `events` with `ts` normalized to TimestampType (µs).
+    *
+    * The testdata stores TIMESTAMP(NANOS), which Spark reads only as a
+    * nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * [[Sessions]] / Verify / Bench). Values are ms-grain so the ns→µs
+    * integer division is lossless.
+    */
+  def eventsTs(s: SparkSession, d: String): DataFrame = {
+    val raw = events(s, d)
+    raw.schema("ts").dataType match {
+      // `div`, not `/`: ns epochs (~1.7e18) overflow double precision.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,562 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** SURVEY.md §2 relational operator inventory, one oracle-checked query per
+  * operator family, expressed over the driver testdata (TESTDATA.md).
+  *
+  * Conventions (driver compare = sort columns by name, hash values):
+  *  - every query ends in a full deterministic `orderBy` and its oracle in
+  *    the matching `ORDER BY`, so row order matches even if the driver
+  *    hashes in order;
+  *  - computed floats are rounded with the engine-stable
+  *    `floor(x·10ⁿ+½)/10ⁿ` idiom at (or finer than) the value grid —
+  *    see [[graft.functions.MoneyFunctions]];
+  *  - dates are emitted as strings and timestamps as `unix_micros` longs
+  *    to dodge dtype normalization differences between engines.
+  */
+object RelationalQueries {
+  type QFn = (SparkSession, String) => DataFrame
+  final case class Q(name: String, fn: QFn, oracle: Option[String])
+
+  private def T(name: String)(implicit s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // ── §2.1 scans / sources ────────────────────────────────────────────
+    Q("s1_csv_scan_schema",
+      (s, dir) => {
+        // CSV source with explicit schema (never inferSchema) — SURVEY S1:
+        // parquet→CSV→schema'd read-back must be lossless for flat types.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        Tables.region(s, dir).write.mode("overwrite")
+          .option("header", "true").csv(tmp)
+        val schema = StructType(Seq(
+          StructField("r_regionkey", IntegerType, nullable = false),
+          StructField("r_name", StringType, nullable = false)))
+        s.read.option("header", "true").schema(schema).csv(tmp)
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY 1")),
+
+    Q("s2_parquet_scan",
+      (s, dir) => Tables.nation(s, dir).orderBy("n_nationkey"),
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
+
+    // ── §2.2 projections / filters ──────────────────────────────────────
+    Q("p1_project_prune",
+      (s, dir) => Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_mktsegment FROM customer ORDER BY 1")),
+
+    Q("p2_rename",
+      (s, dir) => Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("supp_id"), col("s_name").as("supp_name"))
+        .orderBy("supp_id"),
+      Some("SELECT s_suppkey AS supp_id, s_name AS supp_name FROM supplier ORDER BY 1")),
+
+    Q("p4_month_window_filter",
+      (s, dir) => {
+        // half-open [month, month+1) window — reference pipeline.py:23–27
+        val start = to_timestamp(lit("1995-03-01"))
+        val end   = to_timestamp(add_months(to_date(lit("1995-03-01")), 1))
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= start && col("o_orderdate") < end)
+          .select(col("o_orderkey"), col("o_orderdate").cast("string").as("order_date"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS order_date
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+             |  AND o_orderdate < TIMESTAMP '1995-04-01'
+             |ORDER BY 1""".stripMargin)),
+
+    Q("p5_eq_filter",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === lit("P"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P' ORDER BY 1")),
+
+    Q("p6_derived_month_eq",
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .filter(col("month") === "1997-06")
+        .select("o_orderkey", "month").orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month
+             |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1997-06'
+             |ORDER BY 1""".stripMargin)),
+
+    Q("p7_isin_domain",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+             |WHERE l_returnflag IN ('A','R') ORDER BY 1, 2""".stripMargin)),
+
+    Q("p8_negated_membership",
+      (s, dir) => Tables.part(s, dir)
+        .filter(!col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .select("p_partkey", "p_brand").orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_brand FROM part
+             |WHERE p_brand NOT IN ('Brand#11','Brand#22','Brand#33') ORDER BY 1""".stripMargin)),
+
+    Q("p9_ci_string_filter",
+      (s, dir) => Tables.part(s, dir)
+        .filter(lower(col("p_type")) === "promo")
+        .select("p_partkey", "p_type").orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_type FROM part WHERE lower(p_type) = 'promo' ORDER BY 1")),
+
+    Q("p10_null_filter",
+      (s, dir) => Tables.customer(s, dir)
+        .filter(col("c_acctbal").isNotNull && col("c_acctbal") < 0)
+        .select("c_custkey", "c_acctbal").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_acctbal IS NOT NULL AND c_acctbal < 0 ORDER BY 1""".stripMargin)),
+
+    // ── §2.3 joins ──────────────────────────────────────────────────────
+    Q("j1_rate_lookup_join",
+      (s, dir) => {
+        // FX-lookup shape (reference transform.py:19–46): left join a small
+        // rate dim, coalesce missing rate to 1.0, derive base amount.
+        val rates = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") > 5000)
+          .select(col("s_suppkey"), roundAt(col("s_acctbal") / 10000d, 4).as("rate"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(rates), col("l_suppkey") === col("s_suppkey"), "left")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            money(col("l_extendedprice") * coalesce(col("rate"), lit(1.0))).as("amount_base"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${moneySql("l_extendedprice * coalesce(r.rate, 1.0)")} AS amount_base
+              |FROM lineitem l LEFT JOIN (
+              |  SELECT s_suppkey, ${roundAtSql("s_acctbal / 10000", 4)} AS rate
+              |  FROM supplier WHERE s_acctbal > 5000) r
+              |ON l.l_suppkey = r.s_suppkey
+              |ORDER BY 1, 2""".stripMargin)),
+
+    Q("j2_dim_enrich_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j4_backbone_fill_zero",
+      (s, dir) => {
+        // left join a static backbone to sparse counts, fill 0 — the DQ
+        // summary join shape (reference quality.py:230–239).
+        val counts = Tables.nation(s, dir)
+          .filter(col("n_nationkey") < 10)
+          .groupBy("n_regionkey").agg(count(lit(1)).as("cnt"))
+        Tables.region(s, dir)
+          .join(counts, col("r_regionkey") === col("n_regionkey"), "left")
+          .select(col("r_regionkey"), col("r_name"),
+            coalesce(col("cnt"), lit(0L)).as("nations"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, coalesce(c.cnt, 0) AS nations
+             |FROM region LEFT JOIN (
+             |  SELECT n_regionkey, count(*) AS cnt FROM nation
+             |  WHERE n_nationkey < 10 GROUP BY 1) c
+             |ON r_regionkey = c.n_regionkey
+             |ORDER BY 1""".stripMargin)),
+
+    Q("j5_surrogate_key_join",
+      (s, dir) => {
+        // surrogate-key dim build + broadcast re-join (reference
+        // export_powerbi_star_schema.py:218–236): dense keys via
+        // row_number over the sorted dim, never monotonically_increasing_id.
+        val brands = Tables.part(s, dir).select("p_brand").distinct()
+          .withColumn("brand_key", row_number().over(Window.orderBy("p_brand")))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(brands), Seq("p_brand"))
+          .groupBy("brand_key", "p_brand")
+          .agg(money(sum("l_extendedprice")).as("revenue"))
+          .orderBy("brand_key")
+      },
+      Some(s"""WITH brands AS (
+              |  SELECT p_brand, ROW_NUMBER() OVER (ORDER BY p_brand) AS brand_key
+              |  FROM (SELECT DISTINCT p_brand FROM part))
+              |SELECT b.brand_key, p.p_brand,
+              |  ${moneySql("sum(l.l_extendedprice)")} AS revenue
+              |FROM lineitem l
+              |JOIN part p ON l.l_partkey = p.p_partkey
+              |JOIN brands b ON p.p_brand = b.p_brand
+              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    Q("j6_anti_join_ri",
+      (s, dir) => {
+        // referential-integrity anti join (reference pipeline.py:30–47):
+        // rows whose key is NOT in the dim.
+        val dim = Tables.part(s, dir).filter(col("p_size") <= 10).select("p_partkey")
+        Tables.lineitem(s, dir)
+          .join(broadcast(dim), col("l_partkey") === col("p_partkey"), "left_anti")
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_violations"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_violations FROM lineitem
+             |WHERE NOT EXISTS (SELECT 1 FROM part
+             |  WHERE p_partkey = l_partkey AND p_size <= 10)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── §2.4 aggregations ───────────────────────────────────────────────
+    Q("a1_grouped_sum_pricing",
+      (s, dir) => {
+        // flagship wide aggregate (TPC-H Q1 shape; reference A1).
+        // avg emitted as stable-rounded sum ÷ exact count so both engines
+        // perform identical IEEE ops.
+        val l = Tables.lineitem(s, dir)
+        l.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            roundAt(sum("l_extendedprice"), 2).as("sum_base_price"),
+            roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+            roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+            (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+            (roundAt(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  sum(l_quantity) AS sum_qty,
+              |  ${roundAtSql("sum(l_extendedprice)", 2)} AS sum_base_price,
+              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS sum_disc_price,
+              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))", 6)} AS sum_charge,
+              |  sum(l_quantity) / count(*) AS avg_qty,
+              |  ${roundAtSql("sum(l_extendedprice)", 2)} / count(*) AS avg_price,
+              |  count(*) AS count_order
+              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("a2_pivot_wide",
+      (s, dir) => {
+        // long→wide pivot with pinned values + fill(0) (reference
+        // transform.py:118–124; pinning avoids the distinct-values job).
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(roundAt(sum("o_totalprice"), 2))
+          .na.fill(0.0)
+          .select(col("o_orderpriority"), col("F").as("status_f"),
+            col("O").as("status_o"), col("P").as("status_p"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+              |  coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)}, 0) AS status_f,
+              |  coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)}, 0) AS status_o,
+              |  coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)}, 0) AS status_p
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a4_kpi_derive",
+      (s, dir) => {
+        // derived KPI columns over the pivot (reference transform.py:126–127)
+        val wide = Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(roundAt(sum("o_totalprice"), 2))
+          .na.fill(0.0)
+        wide.select(col("o_orderpriority"),
+            money(col("F") + col("O")).as("closed_open_total"),
+            money(col("F") + col("O") + col("P")).as("grand_total"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH wide AS (
+              |  SELECT o_orderpriority,
+              |    coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)}, 0) AS f,
+              |    coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)}, 0) AS o,
+              |    coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)}, 0) AS p
+              |  FROM orders GROUP BY 1)
+              |SELECT o_orderpriority, ${moneySql("f + o")} AS closed_open_total,
+              |  ${moneySql("f + o + p")} AS grand_total
+              |FROM wide ORDER BY 1""".stripMargin)),
+
+    Q("a7_dup_key_check",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, count(*) AS n FROM lineitem
+             |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin)),
+
+    Q("a8_global_scalar_check",
+      (s, dir) => Tables.customer(s, dir)
+        .agg(max(abs(col("c_acctbal"))).as("max_abs_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          count(lit(1)).as("n")),
+      Some("""SELECT max(abs(c_acctbal)) AS max_abs_bal, min(c_acctbal) AS min_bal,
+             |count(*) AS n FROM customer""".stripMargin)),
+
+    Q("a9_first_per_group",
+      (s, dir) => Tables.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(min("c_name").as("first_name"), count(lit(1)).as("n"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, min(c_name) AS first_name, count(*) AS n
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a10_min_per_group",
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .groupBy("month")
+        .agg(min(date_format(col("o_orderdate"), "yyyyMMdd").cast("int")).as("month_start_date_key"))
+        .orderBy("month"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |  min(CAST(strftime(o_orderdate, '%Y%m%d') AS INT)) AS month_start_date_key
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a11_distinct",
+      (s, dir) => Tables.customer(s, dir)
+        .select("c_mktsegment").distinct().orderBy("c_mktsegment"),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1")),
+
+    Q("a12_dedup_by_key",
+      (s, dir) => Tables.part(s, dir)
+        .groupBy("p_brand").agg(min("p_partkey").as("exemplar_partkey"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, min(p_partkey) AS exemplar_partkey
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a13_existence_check",
+      (s, dir) => Tables.lineitem(s, dir)
+        .agg((count(when(col("l_discount") > 0.09, 1)) > 0).as("has_violations")),
+      Some("SELECT count(CASE WHEN l_discount > 0.09 THEN 1 END) > 0 AS has_violations FROM lineitem")),
+
+    Q("a14_max_month",
+      (s, dir) => Tables.orders(s, dir)
+        .agg(max(date_format(col("o_orderdate"), "yyyy-MM")).as("latest_month")),
+      Some("SELECT max(strftime(o_orderdate, '%Y-%m')) AS latest_month FROM orders")),
+
+    // ── §2.5 windows (W1 + analytics extensions) ────────────────────────
+    Q("w1_surrogate_row_number",
+      (s, dir) => Tables.region(s, dir)
+        .select(row_number().over(Window.orderBy("r_name")).as("region_key"), col("r_name"))
+        .orderBy("region_key"),
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY r_name) AS region_key, r_name
+             |FROM region ORDER BY 1""".stripMargin)),
+
+    Q("w2_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY 1""".stripMargin)),
+
+    Q("w3_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            roundAt(sum("o_totalprice").over(w), 2).as("running_total"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey,
+              |  ${roundAtSql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_total
+              |FROM orders ORDER BY 1""".stripMargin)),
+
+    Q("w4_topn_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer) t
+             |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
+
+    // ── §2.6 sorts / top-k ──────────────────────────────────────────────
+    Q("o1_multicol_sort",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag").desc, col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_returnflag DESC, l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("o2_topk_by_aggregate",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(roundAt(sum("o_totalprice"), 2).as("total_spend"))
+        .orderBy(col("total_spend").desc, col("o_custkey"))
+        .limit(8),
+      Some(s"""SELECT o_custkey, ${roundAtSql("sum(o_totalprice)", 2)} AS total_spend
+              |FROM orders GROUP BY 1
+              |ORDER BY 2 DESC, 1 LIMIT 8""".stripMargin)),
+
+    // ── §2.7 set ops ────────────────────────────────────────────────────
+    Q("u1_union_conformed",
+      (s, dir) => {
+        // conform heterogeneous sources to a common shape then union-all
+        // (reference transform.py:57–88); the negation mirrors expenses
+        // stored negative (transform.py:66).
+        val a = Tables.orders(s, dir).select(
+          concat_ws("|", lit("ord"), col("o_orderkey")).as("doc_id"),
+          lit("orders").as("source"),
+          col("o_totalprice").as("amount"))
+        val b = Tables.lineitem(s, dir).select(
+          concat_ws("|", lit("li"), col("l_orderkey"), col("l_linenumber")).as("doc_id"),
+          lit("lineitem").as("source"),
+          negate(col("l_extendedprice")).as("amount"))
+        a.unionByName(b).orderBy("doc_id", "source")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT concat_ws('|', 'ord', o_orderkey) AS doc_id, 'orders' AS source,
+             |    o_totalprice AS amount FROM orders
+             |  UNION ALL
+             |  SELECT concat_ws('|', 'li', l_orderkey, l_linenumber), 'lineitem',
+             |    -l_extendedprice FROM lineitem) t
+             |ORDER BY doc_id, source""".stripMargin)),
+
+    Q("u2_union_missing_cols",
+      (s, dir) => {
+        val a = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        val b = Tables.supplier(s, dir).select(col("s_suppkey").as("id"),
+          col("s_name").as("name"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("id", "name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+             |  UNION ALL
+             |  SELECT s_suppkey, s_name, NULL FROM supplier) t
+             |ORDER BY id, name""".stripMargin)),
+
+    // ── §2.8 scalar functions ───────────────────────────────────────────
+    Q("f1_concat_ids",
+      (s, dir) => Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          concat_ws("|", col("n_name"), col("n_nationkey")).as("txn_id"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, concat_ws('|', n_name, n_nationkey) AS txn_id
+             |FROM nation ORDER BY 1""".stripMargin)),
+
+    Q("f3_value_map",
+      (s, dir) => {
+        // value-map with unmatched→null (reference transform.py:80–82)
+        Tables.events(s, dir)
+          .withColumn("account_code",
+            when(col("event_type") === "purchase", "40000001")
+              .when(col("event_type") === "view", "70000001")
+              .when(col("event_type") === "click", "70000002")
+              .when(col("event_type") === "signup", "70000003"))
+          .groupBy("account_code").agg(count(lit(1)).as("n"))
+          .orderBy(col("account_code").asc_nulls_first)
+      },
+      Some("""SELECT CASE event_type WHEN 'purchase' THEN '40000001'
+             |  WHEN 'view' THEN '70000001' WHEN 'click' THEN '70000002'
+             |  WHEN 'signup' THEN '70000003' END AS account_code, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
+    Q("f5_mult_round",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          roundAt(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("amount"),
+          roundAt(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              |  ${roundAtSql("l_extendedprice * (1.0 - l_discount)", 4)} AS amount,
+              |  ${roundAtSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS charge
+              |FROM lineitem ORDER BY 1, 2""".stripMargin)),
+
+    Q("f6_cast_coerce",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          expr("try_cast(get_json_object(props, '$.k') AS double)").as("k_num"),
+          expr("try_cast(event_type AS double)").as("bad_cast"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+             |  TRY_CAST(event_type AS DOUBLE) AS bad_cast
+             |FROM events ORDER BY 1""".stripMargin)),
+
+    Q("f7_f12_date_kit",
+      (s, dir) => {
+        // the star-schema dim_date derivation kit (reference
+        // export_powerbi_star_schema.py:126–156 + pipeline.py:23–27)
+        val d = to_date(col("o_orderdate"))
+        Tables.orders(s, dir).select(d.as("d")).distinct()
+          .select(
+            col("d").cast("string").as("date_str"),
+            year(col("d")).cast("int").as("year"),
+            quarter(col("d")).cast("int").as("quarter"),
+            month(col("d")).cast("int").as("month_num"),
+            weekofyear(col("d")).cast("int").as("iso_week"),
+            dayofmonth(col("d")).cast("int").as("day"),
+            date_format(col("d"), "yyyyMMdd").cast("int").as("date_key"),
+            date_format(col("d"), "yyyyMM").cast("int").as("month_key"),
+            date_format(col("d"), "MMM").as("month_name"),
+            trunc(col("d"), "MM").cast("string").as("month_start"),
+            add_months(trunc(col("d"), "MM"), 1).cast("string").as("next_month_start"),
+            last_day(col("d")).cast("string").as("month_end"))
+          .orderBy("date_str")
+      },
+      Some("""SELECT CAST(d AS VARCHAR) AS date_str,
+             |  CAST(year(d) AS INT) AS year, CAST(quarter(d) AS INT) AS quarter,
+             |  CAST(month(d) AS INT) AS month_num, CAST(weekofyear(d) AS INT) AS iso_week,
+             |  CAST(day(d) AS INT) AS day,
+             |  CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+             |  CAST(strftime(d, '%Y%m') AS INT) AS month_key,
+             |  strftime(d, '%b') AS month_name,
+             |  CAST(date_trunc('month', d) AS VARCHAR) AS month_start,
+             |  CAST(CAST(date_trunc('month', d) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month_start,
+             |  CAST(last_day(d) AS VARCHAR) AS month_end
+             |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders) t
+             |ORDER BY 1""".stripMargin)),
+
+    Q("f13_f14_abs_coalesce",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          abs(col("c_acctbal")).as("bal_abs"),
+          coalesce(when(col("c_acctbal") >= 0, col("c_acctbal")), lit(0.0)).as("bal_nonneg"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, abs(c_acctbal) AS bal_abs,
+             |  coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0) AS bal_nonneg
+             |FROM customer ORDER BY 1""".stripMargin)),
+
+    Q("f15_contains_dispatch",
+      (s, dir) => Tables.part(s, dir)
+        .withColumn("tier",
+          when(col("p_type").contains("ECONOMY"), "cheap")
+            .when(col("p_type").contains("STANDARD"), "mid")
+            .otherwise("other"))
+        .groupBy("tier").agg(count(lit(1)).as("n"))
+        .orderBy("tier"),
+      Some("""SELECT CASE WHEN p_type LIKE '%ECONOMY%' THEN 'cheap'
+             |  WHEN p_type LIKE '%STANDARD%' THEN 'mid' ELSE 'other' END AS tier,
+             |  count(*) AS n
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}
