@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the training-data-pipeline surface (builder prompt; SURVEY §7.3).
+  *
+  * Every variant is expressed twice: Spark DataFrame code and a DuckDB
+  * oracle, built only from engine-portable primitives:
+  *
+  *  - hashes are md5 hex STRINGS (lexicographic min of equal-length hex =
+  *    numeric min of the 128-bit value, so MinHash needs no int parsing);
+  *  - hex digit → int via `instr('0123456789abcdef', c) - 1` (Spark) /
+  *    `strpos(...) - 1` (DuckDB);
+  *  - float folds are sequential left-to-right double adds with init 0
+  *    (Spark `aggregate`, DuckDB `list_reduce` — DuckDB seeds with the
+  *    first element, identical to 0+x₁), then [[roundAt]] for the output.
+  *
+  * Scale posture (100 TB): exact dedup is a single hash-shuffle on the
+  * digest; MinHash-LSH shuffles (band_id, band_key) — candidate volume is
+  * controlled by band count, not O(n²); the exact-verify stage only sees
+  * LSH survivors. The pairwise variants (x4, x5) are deliberately blocked
+  * (lang / label) — the O(n²) inside a block is the *baseline* the LSH
+  * paths exist to replace.
+  */
+object DedupQueries {
+  import RelationalQueries.{Q, QFn}
+
+  /** distinct word-bigram shingle set of `text` (column `sh`). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("w", split(col("text"), " "))
+      .withColumn("sh", array_distinct(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")))
+
+  private val shinglesSql =
+    """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  private def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b))"
+
+  val all: Seq[Q] = Seq(
+
+    Q("x1_dedup_exact",
+      (s, dir) => {
+        // exact dedup: hash-groupBy on the content digest; at scale this is
+        // one shuffle on a 128-bit key with map-side partial aggregation.
+        Tables.documents(s, dir)
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id")
+      },
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    Q("x2_dedup_minhash_lsh",
+      (s, dir) => {
+        // MinHash(H=16) + LSH banding (B=8 bands × R=2 rows; s-curve
+        // threshold (1/8)^(1/2) ≈ 0.35) over word-bigram shingles, then
+        // exact-Jaccard verification at 0.5. Candidate generation is a
+        // self-equi-join on (band_id, band_key) — the only O(n²) work left
+        // is within hash buckets.
+        val docs = withShingles(Tables.documents(s, dir)).select("doc_id", "sh")
+        val sig = docs.select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, 7), b -> md5(concat(
+              |  array_min(transform(sh, t -> md5(concat(cast(b*2   as string), ':', t)))),
+              |  array_min(transform(sh, t -> md5(concat(cast(b*2+1 as string), ':', t)))))))"""
+              .stripMargin)))
+          .toDF("doc_id", "band_id", "band_key")
+        val cand = sig.as("a").join(sig.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+          .withColumn("jaccard", roundAt(jaccard(col("sha"), col("shb")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH d AS ($shinglesSql),
+              |sig AS (
+              |  SELECT doc_id, b AS band_id, md5(
+              |    list_min(list_transform(sh, t -> md5(CAST(b*2   AS VARCHAR) || ':' || t))) ||
+              |    list_min(list_transform(sh, t -> md5(CAST(b*2+1 AS VARCHAR) || ':' || t)))) AS band_key
+              |  FROM d, unnest([0,1,2,3,4,5,6,7]) t(b)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sig a JOIN sig b
+              |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT doc_a, doc_b,
+              |    ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS jaccard
+              |  FROM cand JOIN d x ON cand.doc_a = x.doc_id JOIN d y ON cand.doc_b = y.doc_id)
+              |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("x3_dedup_simhash",
+      (s, dir) => {
+        // 16-bit SimHash over the distinct-word set: per bit j, sum ±1
+        // weighted votes from each word's md5 bits, sign → bit. Hamming-0
+        // groups share a simhash; keep_id = group representative. All
+        // aggregation is map-side-combinable (sum over (doc, j)).
+        val words = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+          .withColumn("h4", expr("substring(md5(w), 1, 4)"))
+        val votes = words.select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, 15), j ->
+            |  CASE WHEN (shiftright(instr('0123456789abcdef', substring(h4, (j div 4) + 1, 1)) - 1,
+            |                        3 - (j % 4)) & 1) = 1 THEN 1 ELSE -1 END)""".stripMargin)))
+          .toDF("doc_id", "j", "c")
+        votes.groupBy("doc_id", "j").agg(sum("c").as("sj"))
+          .withColumn("bit", when(col("sj") >= 0, 1L).otherwise(0L))
+          .groupBy("doc_id")
+          .agg(sum(expr("shiftleft(bit, 15 - j)")).as("simhash16"))
+          .withColumn("keep_id", min("doc_id").over(Window.partitionBy("simhash16")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT DISTINCT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+             |v AS (
+             |  SELECT doc_id, j,
+             |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), (j // 4) + 1, 1)) - 1)
+             |               >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS sj
+             |  FROM w, unnest(range(0, 16)) t(j) GROUP BY 1, 2),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(SUM((CASE WHEN sj >= 0 THEN 1 ELSE 0 END) << (15 - j)) AS BIGINT) AS simhash16
+             |  FROM v GROUP BY 1)
+             |SELECT doc_id, simhash16, min(doc_id) OVER (PARTITION BY simhash16) AS keep_id
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    Q("x4_dedup_ngram_jaccard",
+      (s, dir) => {
+        // exact pairwise n-gram Jaccard, blocked by lang — the O(n²/blocks)
+        // ground-truth baseline that x2's LSH approximates.
+        val docs = withShingles(Tables.documents(s, dir)).select("doc_id", "lang", "sh")
+        docs.as("a").join(docs.as("b"),
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+          .withColumn("jaccard", roundAt(jaccard(col("a.sh"), col("b.sh")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.lang").as("lang"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+              |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+              |SELECT doc_a, doc_b, lang, jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+              |    ${roundAtSql(jaccardSql("a.sh", "b.sh"), 6)} AS jaccard
+              |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+              |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("x5_dedup_cosine",
+      (s, dir) => {
+        // embedding near-dup: exact cosine over label-blocked pairs. Norms
+        // are precomputed per row (one pass) so the join side only does the
+        // dot product. Sequential double folds keep both engines
+        // bit-identical before the final rounding.
+        val e = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+          .withColumn("norm", sqrt(expr(
+            "aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")))
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+          .withColumn("cosine", roundAt(col("dot") / (col("a.norm") * col("b.norm")), 6))
+          .filter(col("cosine") >= 0.3)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.label").as("label"), col("cosine"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |n AS (
+              |  SELECT vec_id, label, v,
+              |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (x, y) -> x + y)) AS norm
+              |  FROM e)
+              |SELECT vec_a, vec_b, label, cosine FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+              |    ${roundAtSql(
+                     "list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y)" +
+                     " / (a.norm * b.norm)", 6)} AS cosine
+              |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Batch analytics over the `events` stream table: time-windowed
+  * aggregation, sessionization, JSON prop extraction, and the multimodal
+  * binary-column plumbing. These are the batch twins of
+  * [[graft.streaming.StreamingOps]] — same window semantics, verifiable
+  * against the DuckDB oracle (streaming itself is covered by ScalaTest).
+  *
+  * Scale: windowed aggs shuffle once on (window, key); sessionization
+  * shuffles once on user_id and then runs narrow window functions inside
+  * each partition — the canonical 100 TB sessionize plan.
+  */
+object EventQueries {
+  import RelationalQueries.{Q, QFn}
+
+  val all: Seq[Q] = Seq(
+
+    Q("e1_tumbling_window",
+      (s, dir) => Tables.eventsTs(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), roundAt(sum("value"), 6).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some(s"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+              |  count(*) AS n, ${roundAtSql("sum(value)", 6)} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("e2_sessionize",
+      (s, dir) => {
+        // gap-based sessionization (30-min inactivity): mark session
+        // starts with lag, integrate to session ids, aggregate twice.
+        val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val sessions = Tables.eventsTs(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag("ts_us", 1).over(byUser) > 30L * 60 * 1000000, 1)
+              .otherwise(0))
+          .withColumn("sess_id", sum("new_sess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"), (max("ts_us") - min("ts_us")).as("dur_us"))
+        sessions.groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n_events").as("n_events"),
+            max("n_events").as("max_session_events"),
+            max("dur_us").as("max_session_dur_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |m AS (
+             |  SELECT user_id, ts_us,
+             |    CASE WHEN ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |sess AS (
+             |  SELECT user_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id,
+             |    ts_us
+             |  FROM m),
+             |agg AS (
+             |  SELECT user_id, sess_id, count(*) AS n_events,
+             |    max(ts_us) - min(ts_us) AS dur_us
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(sum(n_events) AS BIGINT) AS n_events,
+             |  max(n_events) AS max_session_events,
+             |  max(dur_us) AS max_session_dur_us
+             |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("e3_json_props",
+      (s, dir) => Tables.eventsTs(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+          sum("k").as("sum_k"), count(when(col("k").isNull, 1)).as("null_k"))
+        .orderBy("event_type"),
+      Some("""WITH e AS (
+             |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events)
+             |SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  count(CASE WHEN k IS NULL THEN 1 END) AS null_k
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("m1_binary_plumbing",
+      (s, dir) => {
+        // multimodal plumbing shape: opaque binary payload + typed
+        // metadata; digest + size are the engine-side ops (decode is a
+        // library concern — see graft.multimodal).
+        Tables.documents(s, dir)
+          .withColumn("payload", col("text").cast("binary"))
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            sha2(col("payload"), 256).as("sha256"),
+            substring(base64(col("payload")), 1, 16).as("b64_prefix"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+             |  sha256(text) AS sha256,
+             |  substr(to_base64(CAST(text AS BLOB)), 1, 16) AS b64_prefix
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim) — the similarity-search extension surface.
+  *
+  * Two paths, per the builder prompt:
+  *  - x6: brute-force cosine top-k — the exact baseline. At scale this is
+  *    a broadcast of the (small) query set against a full scan of the
+  *    corpus: no shuffle of the big side, one narrow pass + per-query
+  *    top-k (window over query partitions).
+  *  - x7: random-hyperplane LSH bucketing — the scale path. Each vector
+  *    hashes to a bucket from the sign pattern of 4 pseudo-random
+  *    hyperplanes (md5-derived ±1 components, deterministic in both
+  *    engines); candidates are co-bucketed vectors only, so the join is
+  *    an equi-join on bucket id that a 1000-executor cluster shuffles by
+  *    bucket instead of materializing O(n·q) pairs.
+  *
+  * Cosine is computed as a sequential double fold (see [[DedupQueries]])
+  * and rounded at 6 dp *before* ranking so tie order is cross-engine
+  * stable.
+  */
+object SimilarityQueries {
+  import RelationalQueries.{Q, QFn}
+
+  /** embeddings as double vectors with precomputed L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")))
+
+  private val vecsSql =
+    """SELECT vec_id, label, v,
+      |  sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (x, y) -> x + y)) AS norm
+      |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings)""".stripMargin
+
+  private val dotExpr =
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  private val dotSql =
+    "list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (x, y) -> x + y)"
+
+  /** LSH signature: sign bits of 4 md5-derived hyperplanes → bucket 0..15.
+    * Plane p's d-th component is +1 if the first hex digit of
+    * md5('p_d') is odd else -1 — deterministic, engine-portable, and
+    * (like a seeded RNG) uniform enough for bucketing.
+    */
+  private val bucketExpr =
+    """aggregate(sequence(0, 3), 0, (acc, p) -> acc * 2 + IF(
+      |  aggregate(sequence(0, 63), cast(0 as double), (a, d) -> a + IF(
+      |    (instr('0123456789abcdef', substring(md5(concat(cast(p as string), '_', cast(d as string))), 1, 1)) - 1) % 2 = 1,
+      |    v[d], -v[d])) >= 0, 1, 0))""".stripMargin
+
+  private val bucketSql =
+    """list_reduce([CASE WHEN
+      |  list_reduce([CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+      |                    THEN v[d] ELSE -v[d] END for d in range(1, len(v) + 1)],
+      |              (x, y) -> x + y) >= 0
+      |  THEN power(2, 3 - p) ELSE 0 END for p in range(0, 4)], (x, y) -> x + y)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("x6_ann_bruteforce_topk",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v"), col("norm"))
+        val corpus = e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
+        val scored = corpus.as("c")
+          .join(broadcast(queries.as("q")), col("q.query_id") =!= col("c.cand_id"))
+          .withColumn("cosine",
+            roundAt(expr(dotExpr) / (col("q.norm") * col("c.norm")), 6))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        scored
+          .select(col("q.query_id").as("query_id"), col("c.cand_id").as("cand_id"), col("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH n AS ($vecsSql),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    ${roundAtSql(dotSql + " / (q.norm * c.norm)", 6)} AS cosine
+              |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+              |SELECT query_id, cand_id, cosine, rank FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("x7_ann_lsh_bucketed",
+      (s, dir) => {
+        // bucket the corpus once, join queries to their own bucket only,
+        // exact-rerank inside the bucket. Recall < 1 by design — the
+        // oracle checks the *algorithm*, brute-force x6 is the quality bar.
+        val e = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v"), col("norm"), col("bucket"))
+        val corpus = e.select(col("vec_id").as("cand_id"), col("v"), col("norm"), col("bucket"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        corpus.as("c")
+          .join(broadcast(queries.as("q")),
+            col("q.bucket") === col("c.bucket") && col("q.query_id") =!= col("c.cand_id"))
+          .withColumn("cosine",
+            roundAt(expr(dotExpr) / (col("q.norm") * col("c.norm")), 6))
+          .select(col("q.query_id").as("query_id"), col("q.bucket").as("bucket"),
+            col("c.cand_id").as("cand_id"), col("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH n AS ($vecsSql),
+              |b AS (SELECT *, CAST($bucketSql AS INT) AS bucket FROM n),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS cand_id,
+              |    ${roundAtSql(dotSql + " / (q.norm * c.norm)", 6)} AS cosine
+              |  FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+              |SELECT query_id, bucket, cand_id, cosine, rank FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Text-analysis operators over the `documents` table — language ID,
+  * quality scoring, token counting, fingerprinting (builder prompt's
+  * training-data surface).
+  *
+  * Everything is a narrow per-row map followed by (optionally) one
+  * aggregation — exactly the shape that scales linearly to 100 TB: no
+  * shuffles except the final small groupBy, all expressible in
+  * whole-stage-codegen built-ins (no UDFs).
+  */
+object TextQueries {
+  import RelationalQueries.{Q, QFn}
+
+  /** per-language marker word lists for the n-gram/stopword language-ID
+    * heuristic. Fixed vocabulary, deterministic — the *mechanism* (score
+    * texts against per-language profiles, argmax with stable tiebreak) is
+    * what matters; swap lists for real marker sets in production.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "key", "join", "batch"),
+    "en" -> Seq("the", "a", "row", "fast"),
+    "es" -> Seq("data", "table", "query", "small"),
+    "fr" -> Seq("stream", "filter", "sort", "line"),
+    "zh" -> Seq("window", "merge", "spark", "big"))
+
+  private def markerPred(ws: Seq[String]): String =
+    ws.map(w => s"x = '$w'").mkString(" OR ")
+
+  val all: Seq[Q] = Seq(
+
+    Q("t1_langid_markers",
+      (s, dir) => {
+        // score = marker-hit ratio per language; pred = argmax with an
+        // ascending-lang tiebreak expressed as a CASE cascade (identical
+        // text in both engines); output = confusion matrix vs the labeled
+        // lang column.
+        val langs = markers.map(_._1)
+        val scoreExprs = markers.map { case (lang, ws) =>
+          lang -> s"(cast(size(filter(w, x -> ${markerPred(ws)})) as double) / size(w))"
+        }.toMap
+        val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1).map(r => s"${scoreExprs(l)} >= ${scoreExprs(r)}")
+          s"WHEN ${rest.mkString(" AND ")} THEN '$l'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+        Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("pred", expr(caseSql))
+          .groupBy(col("lang").as("actual"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "pred")
+      },
+      Some {
+        val langs = markers.map(_._1)
+        val scoreSql = markers.map { case (lang, ws) =>
+          val pred = ws.map(w => s"x = '$w'").mkString(" OR ")
+          lang -> s"(CAST(len(list_filter(w, x -> $pred)) AS DOUBLE) / len(w))"
+        }.toMap
+        val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
+          val rest = langs.drop(i + 1).map(r => s"${scoreSql(l)} >= ${scoreSql(r)}")
+          s"WHEN ${rest.mkString(" AND ")} THEN '$l'"
+        }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+        s"""WITH scored AS (
+           |  SELECT lang, $caseSql AS pred
+           |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+           |SELECT lang AS actual, pred, count(*) AS n FROM scored
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    Q("t2_quality_score",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          roundAt(length(regexp_replace(col("text"), " ", "")).cast("double") / size(col("w")), 6)
+            .as("avg_token_len"),
+          roundAt(size(expr("filter(w, x -> x = 'the' OR x = 'a')")).cast("double") / size(col("w")), 6)
+            .as("stopword_ratio"))
+        .withColumn("quality",
+          roundAt(lit(2.0) * least(col("n_tokens") / 100.0, lit(1.0))
+            + (lit(1.0) - col("stopword_ratio")), 6))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+              |  ${roundAtSql("2.0 * least(n_tokens / 100.0, 1.0) + (1.0 - stopword_ratio)", 6)} AS quality
+              |FROM (
+              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+              |    ${roundAtSql("CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)", 6)} AS avg_token_len,
+              |    ${roundAtSql("CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(w)", 6)} AS stopword_ratio
+              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("t3_token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|\\\\S', 0)")).cast("long").as("re_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("sum_ws_tokens"),
+          sum("re_tokens").as("sum_re_tokens"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+             |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S', 0))) AS BIGINT) AS sum_re_tokens
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t4_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("canon_fp",
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+        .withColumn("roll_hash", expr(
+          """aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+            |          cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+        .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("canon_fp")))
+        .select("doc_id", "canon_fp", "roll_hash", "n_same_fp")
+        .orderBy("doc_id"),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS canon_fp,
+             |    list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in range(1, length(text) + 1)],
+             |                (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
+             |  FROM documents)
+             |SELECT doc_id, canon_fp, roll_hash, count(*) OVER (PARTITION BY canon_fp) AS n_same_fp
+             |FROM f ORDER BY doc_id""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}
