@@ -1,0 +1,73 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** IO layer ≙ reference io_utils.py + the single-file CSV output contract
+  * (SURVEY §2.1 S1–S4, §7.4.6).
+  *
+  * CSV reads are schema'd, never inferred. [[readCsvRaw]] reads every
+  * column as string so the DQ engine can report pandera-style
+  * dtype-coercion failures; [[Validator.coerce]] applies the typed cast
+  * afterward. Missing files raise (reference io_utils.py:9–10).
+  */
+object EtlIO {
+
+  def requireExists(path: String): Unit =
+    require(Files.exists(Paths.get(path)), s"Missing file: $path")
+
+  /** all-strings CSV read preserving the target schema's column order. */
+  def readCsvRaw(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    requireExists(path)
+    val asStrings = StructType(schema.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    spark.read
+      .option("header", "true")
+      .schema(asStrings)
+      .csv(path)
+  }
+
+  /** schema'd CSV read (for already-trusted inputs like the COA). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    requireExists(path)
+    spark.read.option("header", "true").schema(schema).csv(path)
+  }
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** single-file CSV sink: the reference writes one `name.csv` per table
+    * (io_utils.py:19–21); Spark writes a directory of parts, so we
+    * coalesce(1) (output is already small/aggregated by contract) and
+    * rename the part file. Caller guarantees deterministic row order.
+    */
+  def writeSingleCsv(df: DataFrame, path: String): Unit = {
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = Files.createTempDirectory(
+      Option(target.getParent).getOrElse(Paths.get(".")), ".csv_stage").toString
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    Files.deleteIfExists(target)
+    Files.move(part, target)
+    deleteRecursively(Paths.get(tmp))
+  }
+
+  def writeText(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, content)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

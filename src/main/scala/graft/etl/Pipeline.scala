@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end monthly close ≙ reference pipeline.run_month
+  * (pipeline.py:50–191): scan → validate (lazy-collect) → gate → month
+  * filter → FX → fact → KPI → sinks.
+  *
+  * Plan shape (SURVEY §3.1): stages form one logical plan forest; the DQ
+  * gate is the single mid-pipeline action (a count over the unioned
+  * exception plans) before the three writes. Raw frames are cached
+  * across the gate + fact build to avoid re-scanning (SURVEY §7.4.9).
+  */
+object Pipeline {
+
+  final case class DqGateFailedException(exceptionsPath: String, summaryPath: String)
+    extends RuntimeException(
+      s"Data quality checks failed. See $exceptionsPath and $summaryPath")
+
+  final case class Outputs(
+      dqExceptions: String,
+      dqSummary: String,
+      fact: String,
+      dimAccounts: String,
+      kpi: String)
+
+  private def header(spark: SparkSession, path: String): Seq[String] = {
+    val first = spark.read.text(path).limit(1).collect()
+    first.headOption.map(_.getString(0).split(",", -1).toSeq.map(_.trim)).getOrElse(Nil)
+  }
+
+  def runMonth(
+      spark: SparkSession,
+      settings: Settings,
+      month: String,
+      rawDir: String,
+      curatedDir: String,
+      referenceDir: String,
+      failOn: String = FailOn.Error): Outputs = {
+
+    val mode = FailOn.normalize(failOn)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(curatedDir))
+
+    // reference COA → dim_accounts (pipeline.py:69–75)
+    val coa = EtlIO.readCsv(spark, s"$referenceDir/chart_of_accounts.csv", Schemas.chartOfAccounts)
+    val dimAccounts = Transform.dimAccounts(coa)
+
+    // raw scans, all-strings for pandera-style coercion checks
+    val tables = Seq(
+      Dq.salesSchema(settings) -> s"$rawDir/sales.csv",
+      Dq.expensesSchema(settings) -> s"$rawDir/expenses.csv",
+      Dq.payrollSchema(settings) -> s"$rawDir/payroll.csv",
+      Dq.inventorySchema(settings) -> s"$rawDir/inventory_movements.csv",
+      Dq.fxSchema(settings) -> s"$rawDir/fx_rates.csv")
+
+    val validated = tables.map { case (ts, path) =>
+      val raw = EtlIO.readCsvRaw(spark, path, ts.schema)
+      val typed = Validator.coerce(raw, ts)
+        .select(ts.schema.fieldNames.map(col).toSeq: _*)
+        .cache()
+      val ex = Validator.exceptions(spark, raw, ts, Some(header(spark, path)))
+      (ts.name, typed, ex)
+    }
+    val typedByName = validated.map(v => v._1 -> v._2).toMap
+
+    // RI checks on sales/expenses (pipeline.py:126–127)
+    val riChecks = Seq(
+      Validator.accountInCoa(typedByName("sales"), "sales", dimAccounts, Seq("entity", "invoice_id")),
+      Validator.accountInCoa(typedByName("expenses"), "expenses", dimAccounts, Seq("entity", "bill_id")))
+
+    val allExceptions = (validated.map(_._3) ++ riChecks).reduce(_.unionByName(_))
+    val withSeverity = Dq.addSeverity(allExceptions)
+      .orderBy("dataset", "check", "index")
+      .cache()
+
+    // gate: write audit trail, then fail if needed (pipeline.py:129–162)
+    val exPath = s"$curatedDir/dq_exceptions.csv"
+    val sumPath = s"$curatedDir/dq_summary.csv"
+    val summary = Dq.summaryTable(spark, withSeverity, mode)
+    EtlIO.writeSingleCsv(withSeverity, exPath)
+    EtlIO.writeSingleCsv(summary, sumPath)
+    if (Dq.overallStatus(withSeverity, mode) == "FAIL" && mode != FailOn.Never)
+      throw DqGateFailedException(exPath, sumPath)
+
+    // month window filter (pipeline.py:164–170)
+    val start = to_date(lit(s"$month-01"))
+    val end = add_months(start, 1)
+    def inWindow(df: DataFrame) =
+      df.filter(col("date") >= start && col("date") < end)
+
+    val sales = inWindow(typedByName("sales"))
+    val expenses = inWindow(typedByName("expenses"))
+    val inventory = inWindow(typedByName("inventory_movements"))
+    val payroll = typedByName("payroll").filter(col("month") === month)
+    val fx = Transform.fxToBase(typedByName("fx_rates"), settings.baseCurrency)
+
+    val fact = Transform.toFactTransactions(
+      sales, expenses, payroll, inventory, fx, settings.baseCurrency)
+    val kpi = Transform.kpiMonthly(fact, dimAccounts)
+
+    val outFact = s"$curatedDir/fact_transactions.parquet"
+    val outDim = s"$curatedDir/dim_accounts.parquet"
+    val outKpi = s"$curatedDir/kpi_monthly.parquet"
+    EtlIO.writeParquet(fact, outFact)
+    EtlIO.writeParquet(dimAccounts, outDim)
+    EtlIO.writeParquet(kpi, outKpi)
+
+    validated.foreach(_._2.unpersist())
+    withSeverity.unpersist()
+    Outputs(exPath, sumPath, outFact, outDim, outKpi)
+  }
+}

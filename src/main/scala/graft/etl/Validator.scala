@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Dq._
+
+/** Lazy-collect validation ≙ reference quality.validate_or_collect
+  * (quality.py:98–115): run ALL checks, emit a normalized exceptions
+  * frame, never filter data rows (the pipeline proceeds on the raw frame
+  * and the gate decides).
+  *
+  * Contract notes (SURVEY §7.4):
+  *  - `index` is the row's rank (0-based) in the table's natural-key
+  *    order, not a pandas file index — deterministic under any
+  *    partitioning;
+  *  - dtype checks mirror pandera coerce=True by validating the raw
+  *    string against the target type (the all-strings read happens in
+  *    [[EtlIO.readCsvRaw]]);
+  *  - strict=True column-set enforcement compares the actual CSV header
+  *    (driver-side) against the contract.
+  */
+object Validator {
+
+  import Dq.rawCol
+
+  /** typed view of an all-strings frame + per-column raw copies + the
+    * deterministic row index.
+    */
+  def coerce(raw: DataFrame, table: TableSchema): DataFrame = {
+    val withRaw = table.schema.fields.foldLeft(raw) { (df, f) =>
+      df.withColumn(rawCol(f.name), col(f.name))
+        .withColumn(f.name, col(f.name).cast(f.dataType))
+    }
+    withRaw.withColumn("__idx",
+      row_number().over(Window.orderBy(table.orderKeys.map(col): _*)).cast("long") - 1)
+  }
+
+  /** all exception rows for one table (dataset, index, column, check,
+    * failure_case, schema_context, check_number).
+    */
+  def exceptions(
+      spark: SparkSession,
+      raw: DataFrame,
+      table: TableSchema,
+      actualColumns: Option[Seq[String]] = None): DataFrame = {
+
+    val typed = coerce(raw, table)
+
+    val colExceptions = table.columnChecks.map { ck =>
+      val failureCase = ck.name match {
+        case n if n.startsWith("dtype") => col(rawCol(ck.column))
+        case _ => coalesce(col(ck.column).cast("string"), col(rawCol(ck.column)))
+      }
+      typed.filter(ck.violation)
+        .select(
+          col("__idx").as("index"),
+          lit(ck.column).as("column"),
+          lit(ck.name).as("check"),
+          failureCase.as("failure_case"),
+          lit("Column").as("schema_context"),
+          lit(ck.checkNo.map(Integer.valueOf).orNull).cast("int").as("check_number"))
+    }
+
+    val frameExceptions = table.frameChecks.map(_.exceptions(typed))
+
+    // strict=True header enforcement (driver-side, quality.py:29 etc.)
+    val headerExceptions = actualColumns.toSeq.flatMap { actual =>
+      val expected = table.schema.fieldNames.toSeq
+      val extra = actual.filterNot(expected.contains)
+        .map(c => (c, "column_in_schema", s"unexpected column '$c'"))
+      val missing = expected.filterNot(actual.contains)
+        .map(c => (c, "column_required", s"missing column '$c'"))
+      (extra ++ missing).map { case (c, check, msg) =>
+        import spark.implicits._
+        Seq((c, check, msg)).toDF("column", "check", "failure_case")
+          .select(
+            lit(null).cast("long").as("index"),
+            col("column"), col("check"), col("failure_case"),
+            lit("DataFrameSchema").as("schema_context"),
+            lit(null).cast("int").as("check_number"))
+      }
+    }
+
+    val all = colExceptions ++ frameExceptions ++ headerExceptions
+    val unioned = all.reduceOption(_.unionByName(_))
+      .getOrElse(Dq.emptyExceptions(spark).drop("severity", "dataset"))
+    unioned.select(lit(table.name).as("dataset"),
+      col("index"), col("column"), col("check"), col("failure_case"),
+      col("schema_context"), col("check_number"))
+  }
+
+  /** referential-integrity exception generator ≙ pipeline._dq_account_in_coa
+    * (pipeline.py:30–47): rows whose account_code is not in the COA, via
+    * broadcast left-anti join (SURVEY J6).
+    */
+  def accountInCoa(df: DataFrame, dataset: String, coaCodes: DataFrame, orderKeys: Seq[String]): DataFrame = {
+    val indexed = df.withColumn("__idx",
+      row_number().over(Window.orderBy(orderKeys.map(col): _*)).cast("long") - 1)
+    indexed
+      .join(broadcast(coaCodes.select(col("account_code").cast("string").as("account_code"))),
+        Seq("account_code"), "left_anti")
+      .select(
+        lit(dataset).as("dataset"),
+        col("__idx").as("index"),
+        lit("account_code").as("column"),
+        lit("account_in_coa").as("check"),
+        col("account_code").cast("string").as("failure_case"),
+        lit("Column").as("schema_context"),
+        lit(null).cast("int").as("check_number"))
+  }
+}

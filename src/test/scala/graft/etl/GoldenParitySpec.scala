@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Value-level parity against the reference's committed 2025-12 outputs
+  * (/root/reference/data/bi/2025-12 + /root/reference/data/bi_star/2025-12):
+  * feed the committed curated fact + COA through OUR KPI builder and star
+  * exporter and compare every cell. This proves semantic parity without
+  * needing RNG parity with the reference's data generator.
+  */
+class GoldenParitySpec extends SparkSpec {
+  private val goldenBi = "/root/reference/data/bi/2025-12"
+  private val goldenStar = "/root/reference/data/bi_star/2025-12"
+
+  private lazy val factSchema = StructType(Schemas.factTransactions.fields :+
+    StructField("month", StringType, nullable = true))
+
+  private lazy val fact = spark.read.option("header", "true")
+    .schema(factSchema).csv(s"$goldenBi/fact_transactions.csv").drop("month").cache()
+
+  private lazy val dimAccounts = spark.read.option("header", "true")
+    .schema(Schemas.chartOfAccounts).csv(s"$goldenBi/dim_accounts.csv").cache()
+
+  private lazy val kpi = Transform.kpiMonthly(fact, dimAccounts).cache()
+
+  private def readGoldenHeader(path: String): Seq[String] =
+    scala.io.Source.fromFile(path).getLines().next().split(",", -1).toSeq
+
+  private def readGolden(path: String): Array[Map[String, String]] = {
+    val lines = scala.io.Source.fromFile(path).getLines().toArray
+    val header = lines.head.split(",", -1)
+    lines.tail.map(l => header.zip(l.split(",", -1)).toMap)
+  }
+
+  private def assertMatches(
+      got: DataFrame,
+      goldenPath: String,
+      keys: Seq[String],
+      tol: Double = 1e-6): Unit = {
+    val golden = readGolden(goldenPath)
+    val gotRows = got.collect().map(r =>
+      got.columns.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.get(i)).map(_.toString).getOrElse("")
+      }.toMap)
+    assert(got.columns.toSeq == readGoldenHeader(goldenPath),
+      s"column mismatch for $goldenPath: got ${got.columns.mkString(",")}")
+    assert(gotRows.length == golden.length,
+      s"row count mismatch for $goldenPath: got ${gotRows.length}, want ${golden.length}")
+    def keyOf(m: Map[String, String]) = keys.map(m).mkString("|")
+    val goldenByKey = golden.map(m => keyOf(m) -> m).toMap
+    gotRows.foreach { row =>
+      val g = goldenByKey.getOrElse(keyOf(row),
+        fail(s"row ${keyOf(row)} not in golden $goldenPath"))
+      row.foreach { case (c, v) =>
+        val expect = g(c)
+        val numeric = scala.util.Try(expect.toDouble).toOption
+          .flatMap(e => scala.util.Try(v.toDouble).toOption.map((e, _)))
+        numeric match {
+          case Some((e, a)) => assert(math.abs(e - a) <= tol * math.max(1.0, math.abs(e)),
+            s"$goldenPath ${keyOf(row)} col $c: got $v want $expect")
+          case None => assert(v == expect,
+            s"$goldenPath ${keyOf(row)} col $c: got '$v' want '$expect'")
+        }
+      }
+    }
+  }
+
+  test("kpi_monthly matches the committed reference output, margins included") {
+    val kpiM = BiExport.kpiForMonth(kpi, "2025-12")
+    assertMatches(kpiM, s"$goldenBi/kpi_monthly.csv", Seq("entity", "month"))
+  }
+
+  test("star dim_entity matches") {
+    val factM = fact.filter(date_format(col("date"), "yyyy-MM") === "2025-12")
+    assertMatches(StarSchema.dimEntity(factM, kpi), s"$goldenStar/dim_entity.csv", Seq("entity_key"))
+  }
+
+  test("star dim_account matches") {
+    assertMatches(StarSchema.dimAccount(dimAccounts), s"$goldenStar/dim_account.csv", Seq("account_key"))
+  }
+
+  test("star dim_date and dim_month match") {
+    val factM = fact.filter(date_format(col("date"), "yyyy-MM") === "2025-12")
+    val dd = StarSchema.dimDate(factM)
+    assertMatches(dd.withColumn("date", col("date").cast("string")),
+      s"$goldenStar/dim_date.csv", Seq("date_key"))
+    assertMatches(StarSchema.dimMonth(dd), s"$goldenStar/dim_month.csv", Seq("month_key"))
+  }
+
+  test("star fact_gl matches as a multiset") {
+    val factM = fact.filter(date_format(col("date"), "yyyy-MM") === "2025-12")
+    val dEntity = StarSchema.dimEntity(factM, kpi)
+    val dAccount = StarSchema.dimAccount(dimAccounts)
+    val got = StarSchema.factGl(factM, dEntity, dAccount)
+      .collect().map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("")))
+      .sortBy(_.mkString("|"))
+    val golden = readGolden(s"$goldenStar/fact_gl.csv")
+    val header = Seq("date_key", "month_key", "entity_key", "account_key", "amount", "description")
+    val want = golden.map(m => header.map(m)).sortBy(_.mkString("|"))
+    assert(got.length == want.length, s"fact_gl rows: got ${got.length} want ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      header.indices.foreach { i =>
+        val eq = scala.util.Try((g(i).toDouble, w(i).toDouble)).toOption match {
+          case Some((a, b)) => math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+          case None => g(i) == w(i)
+        }
+        assert(eq, s"fact_gl col ${header(i)}: got ${g(i)} want ${w(i)} (row $g vs $w)")
+      }
+    }
+  }
+
+  test("star fact_kpi_monthly matches") {
+    val factM = fact.filter(date_format(col("date"), "yyyy-MM") === "2025-12")
+    val dEntity = StarSchema.dimEntity(factM, kpi)
+    assertMatches(StarSchema.factKpiMonthly(kpi, dEntity, "2025-12"),
+      s"$goldenStar/fact_kpi_monthly.csv", Seq("entity_key"))
+  }
+}
