@@ -36,14 +36,18 @@ object Tables {
     * [[Sessions]] / Verify / Bench). Values are ms-grain so the ns→µs
     * integer division is lossless.
     */
-  def eventsTs(s: SparkSession, d: String): DataFrame = {
-    val raw = events(s, d)
+  def eventsTs(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(events(s, d))
+
+  /** same ts normalization for any events-shaped frame (works on
+    * streaming DataFrames too).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       // `div`, not `/`: ns epochs (~1.7e18) overflow double precision.
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

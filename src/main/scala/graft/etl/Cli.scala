@@ -8,7 +8,10 @@ import graft.core.Sessions
   * Usage:
   *   run --month 2025-12 --raw-dir D --curated-dir D --reference-dir D
   *       [--fail-on ERROR|WARN|NEVER] [--star-dir D] [--bi-dir D]
+  *       [--dashboard F.html]
   *   generate --raw-dir D --reference-dir D --month 2025-12 [--seed N]
+  *   stream-demo --events-dir D   # file-source structured stream, prints
+  *                                # hourly windows as they complete
   *   version
   */
 object Cli {
@@ -48,6 +51,30 @@ object Cli {
             opts("month"), dir)
           println(s"bi=$dir")
         }
+        opts.get("dashboard").foreach { path =>
+          val html = Dashboard.buildHtml(spark,
+            spark.read.parquet(out.fact), spark.read.parquet(out.dimAccounts),
+            spark.read.parquet(out.kpi),
+            spark.read.option("header", "true").csv(out.dqExceptions),
+            spark.read.option("header", "true").csv(out.dqSummary),
+            opts("month"))
+          Dashboard.write(path, html)
+          println(s"dashboard=$path")
+        }
+      } finally spark.stop()
+    case Some("stream-demo") =>
+      val opts = parse(args.tail)
+      val spark = Sessions.local(name)
+      try {
+        val schema = spark.read.parquet(opts("events-dir")).schema
+        val stream = spark.readStream.schema(schema).parquet(opts("events-dir"))
+        val events = graft.core.Tables.normalizeEventTs(stream)
+        val q = graft.streaming.StreamingOps.tumblingByType(events)
+          .writeStream.format("console").outputMode("complete")
+          .option("numRows", 10).option("truncate", "false").start()
+        q.processAllAvailable()
+        q.stop()
+        println("stream-demo=done")
       } finally spark.stop()
     case _ =>
       System.err.println("usage: run|generate|version (see Scaladoc)")

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder-prompt extension surface): treat
+  * image/audio/video as opaque `binary` payloads with typed metadata, and
+  * run decode / feature-extraction / resize / frame-sampling as
+  * partition-wise batch transforms.
+  *
+  * The *decode step is a stub by design* — the container ships no
+  * image/audio codecs — implemented as a deterministic fake
+  * ([[FakeCodec]]) behind the same partition-batched call shape a real
+  * JNI/FFI codec would use, so the Spark-side plumbing (schema, encoder
+  * round-trip, mapPartitions batching, partition sizing) is real and
+  * tested.
+  *
+  * Scale: payloads never route through the driver; each executor decodes
+  * its partition in one codec session (mapPartitions, not per-row UDF).
+  * Partition sizing for 100 TB of media = spark.sql.files.maxPartitionBytes
+  * tuned so a partition of payloads fits executor memory during decode.
+  */
+object Multimodal {
+
+  final case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
+  final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      media_id: Long, n_bytes: Long, mean_byte: Double, byte_entropy: Double,
+      width: Int, height: Int, n_frames_sampled: Int)
+
+  /** Deterministic fake codec standing in for the native decoder.
+    * A real implementation replaces these bodies with codec calls; the
+    * signatures (bytes in, frames/pixels out, batch-friendly) are the
+    * contract the pipeline is built against.
+    */
+  object FakeCodec {
+    /** "decode" = interpret bytes as grayscale pixels row-major. */
+    def decode(payload: Array[Byte], meta: MediaMeta): Array[Array[Byte]] = {
+      val w = math.max(meta.width, 1)
+      payload.grouped(w).toArray
+    }
+
+    /** "resize" = nearest-neighbor subsample of decoded rows. */
+    def resize(frame: Array[Array[Byte]], w: Int, h: Int): Array[Array[Byte]] = {
+      val rows = frame.length.max(1)
+      (0 until h).toArray.map { y =>
+        val row = frame(math.min(y * rows / h, rows - 1))
+        val cols = row.length.max(1)
+        (0 until w).toArray.map(x => row(math.min(x * cols / w, cols - 1)))
+      }
+    }
+
+    /** "frame sample" = every nth decoded row block as a frame. */
+    def sampleFrames(payload: Array[Byte], meta: MediaMeta, everyN: Int): Seq[Array[Byte]] = {
+      val frameSize = math.max(meta.width * meta.height, 1)
+      payload.grouped(frameSize).zipWithIndex
+        .collect { case (f, i) if i % everyN == 0 => f }.toSeq
+    }
+  }
+
+  /** documents→media adapter for testing the plumbing on shipped data:
+    * text bytes as payload, synthetic meta.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("application/x-fake").as("mime"),
+        lit(32).as("width"),
+        lit(8).as("height"),
+        (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** partition-wise decode + featurize: one codec pass per partition, no
+    * per-row lambda dispatch, nothing collected to the driver.
+    */
+  def extractFeatures(media: Dataset[MediaRow], frameEveryN: Int = 4): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec session would be opened here
+      rows.map { r =>
+        val bytes = r.payload
+        val n = bytes.length.toLong
+        val counts = new Array[Long](256)
+        var sum = 0L
+        bytes.foreach { b => val u = b & 0xff; counts(u) += 1; sum += u }
+        val mean = if (n == 0) 0.0 else sum.toDouble / n
+        val entropy = if (n == 0) 0.0 else {
+          counts.filter(_ > 0).map { c =>
+            val p = c.toDouble / n
+            -p * math.log(p) / math.log(2)
+          }.sum
+        }
+        val frames = FakeCodec.sampleFrames(bytes, r.meta, frameEveryN)
+        val decoded = FakeCodec.decode(bytes, r.meta)
+        val resized = FakeCodec.resize(decoded, 8, 8)
+        MediaFeatures(r.media_id, n, mean, entropy,
+          resized.headOption.map(_.length).getOrElse(0), resized.length, frames.size)
+      }
+    }
+  }
+
+  /** column-level digest/size checks (the oracle-checked slice — see
+    * m1_binary_plumbing in [[graft.queries.EventQueries]]).
+    */
+  def payloadStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"),
+      col("meta.mime").as("mime"))
+}

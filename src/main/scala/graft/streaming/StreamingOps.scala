@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` shape (event_id, ts,
+  * user_id, event_type, value, props) — the reference is batch-only, so
+  * this is the §7 extension surface: tumbling/sliding windows with
+  * watermarked late-data handling, and stateful gap sessionization via
+  * flatMapGroupsWithState.
+  *
+  * All transforms take/return DataFrames so they run identically on a
+  * `readStream` source (file/kafka at scale, MemoryStream in tests) and
+  * on batch frames — the batch twins in [[graft.queries.EventQueries]]
+  * are oracle-checked, and [[graft.streaming]] tests assert
+  * stream-equals-batch.
+  *
+  * Scale: windowed aggs shuffle once on (window, key) with partial
+  * aggregation and watermark-bounded state; sessionization keeps one
+  * small state object per user, timing out on event-time watermark.
+  */
+object StreamingOps {
+
+  /** 1-hour tumbling counts/sums per event_type; 10-min watermark bounds
+    * state and admits bounded lateness.
+    */
+  def tumblingByType(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes, global event counts. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** built-in session windows: 30-minute gap per user. */
+  def sessionWindows(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ---------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  val gapMs: Long = 30L * 60 * 1000
+
+  /** custom stateful sessionizer: emits a session when the 30-min gap
+    * elapses (event-time timeout). Demonstrates the
+    * KeyValueGroupedDataset.flatMapGroupsWithState path for semantics the
+    * built-in session_window can't express (e.g., per-session custom
+    * accumulators).
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new java.sql.Timestamp(s.start), s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.nEvents, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** parse the `props` JSON column on the wire (streaming-safe from_json). */
+  def withParsedProps(events: DataFrame): DataFrame =
+    events.withColumn("k",
+      get_json_object(col("props"), "$.k").cast("long"))
+}

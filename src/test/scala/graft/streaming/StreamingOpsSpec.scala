@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Streaming semantics: each windowed transform run as a real stream
+  * (MemoryStream → complete/append sink) must equal its batch execution
+  * over the same data — the batch side is oracle-checked in
+  * [[graft.queries.EventQueries]], so equality transfers correctness to
+  * the streams.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def eventsBatch = Tables.eventsTs(spark, sfDir)
+    .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    .as[StreamingOps.Event]
+
+  private def runStream[T](name: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Event]
+    val query = build(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val batches = eventsBatch.collect().grouped(2000).toSeq
+    batches.foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    query.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("∅")).mkString("|"))
+      .sorted.toSeq
+  }
+
+  test("tumbling window stream equals batch") {
+    val streamed = runStream("tumble")(StreamingOps.tumblingByType(_), "complete")
+    val batch = StreamingOps.tumblingByType(eventsBatch.toDF())
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
+  test("sliding window stream equals batch") {
+    val streamed = runStream("slide")(StreamingOps.slidingCounts(_), "complete")
+    val batch = StreamingOps.slidingCounts(eventsBatch.toDF())
+    assert(canon(streamed) == canon(batch))
+    // 1h window every 15min → each event lands in 4 windows
+    val total = streamed.agg(sum("n")).head().getLong(0)
+    assert(total == eventsBatch.count() * 4)
+  }
+
+  test("session windows stream equals batch") {
+    val streamed = runStream("sess")(StreamingOps.sessionWindows(_), "complete")
+    val batch = StreamingOps.sessionWindows(eventsBatch.toDF())
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("stateful sessionizer matches the batch gap-sessionization counts") {
+    // batch truth: lag/cumsum sessionization (oracle-checked e2_sessionize)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val batchSessions = eventsBatch.toDF()
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+      .withColumn("new_sess",
+        when($"ts_us" - lag("ts_us", 1).over(w) > StreamingOps.gapMs * 1000, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Event]
+    val query = StreamingOps.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("statesess").outputMode("append").start()
+    // feed in event-time order so watermark advances and closes sessions;
+    // a final far-future event flushes every open session via timeout
+    val ordered = eventsBatch.collect().sortBy(_.ts.getTime)
+    ordered.grouped(2000).foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    input.addData(StreamingOps.Event(Long.MaxValue, new Timestamp(ordered.last.ts.getTime + 86400000L), -1L, "flush", 0.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("statesess").filter($"user_id" =!= -1L)
+    val got = streamed.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = batchSessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("json props parse on the streaming path") {
+    val streamed = runStream("props")(
+      df => StreamingOps.withParsedProps(
+        df.withColumn("props", concat(lit("{\"k\": "), $"event_id" % 100, lit("}")))
+      ).withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 day").as("w"))
+        .agg(sum("k").as("sum_k")).select($"w.start".as("d"), $"sum_k"),
+      "complete")
+    assert(streamed.agg(sum("sum_k")).head().getLong(0) > 0)
+  }
+}
