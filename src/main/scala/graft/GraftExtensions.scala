@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.CosineSimilarity
+
+/** Session extension point: registers this library's native Catalyst
+  * functions so they're available as SQL (`cosine_similarity(a, b)`) and
+  * through `expr(...)` in every session configured with
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      CosineSimilarity.info,
+      children => CosineSimilarity(children.head, children(1))))
+  }
+}

@@ -31,6 +31,7 @@ object Sessions {
       // which Spark cannot read natively; read as long and convert
       // (Tables.eventsTs normalizes to TimestampType at µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()

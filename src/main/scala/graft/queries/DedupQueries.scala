@@ -205,9 +205,9 @@ object DedupQueries {
             "aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")))
         e.as("a").join(broadcast(e.as("b")),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
-          .withColumn("cosine", roundAt(col("dot") / (col("a.norm") * col("b.norm")), 6))
+          // native codegen expression (graft.functions.CosineSimilarity);
+          // bit-identical to the HOF fold + norm division
+          .withColumn("cosine", roundAt(expr("cosine_similarity(a.v, b.v)"), 6))
           .filter(col("cosine") >= 0.3)
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             col("a.label").as("label"), col("cosine"))

@@ -43,8 +43,6 @@ object SimilarityQueries {
       |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |      FROM embeddings)""".stripMargin
 
-  private val dotExpr =
-    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
   private val dotSql =
     "list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (x, y) -> x + y)"
 
@@ -77,7 +75,7 @@ object SimilarityQueries {
         val scored = corpus.as("c")
           .join(broadcast(queries.as("q")), col("q.query_id") =!= col("c.cand_id"))
           .withColumn("cosine",
-            roundAt(expr(dotExpr) / (col("q.norm") * col("c.norm")), 6))
+            roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("cand_id"))
         scored
@@ -111,7 +109,7 @@ object SimilarityQueries {
           .join(broadcast(queries.as("q")),
             col("q.bucket") === col("c.bucket") && col("q.query_id") =!= col("c.cand_id"))
           .withColumn("cosine",
-            roundAt(expr(dotExpr) / (col("q.norm") * col("c.norm")), 6))
+            roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
           .select(col("q.query_id").as("query_id"), col("q.bucket").as("bucket"),
             col("c.cand_id").as("cand_id"), col("cosine"))
           .withColumn("rank", row_number().over(w))
