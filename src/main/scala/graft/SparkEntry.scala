@@ -19,6 +19,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
+      (ScaleQueries.queries, ScaleQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Scale-pattern operators: techniques a 100 TB deployment leans on,
+  * expressed so their *results* stay oracle-checkable (the technique
+  * changes the plan, not the answer).
+  */
+object ScaleQueries {
+  import RelationalQueries.{Q, QFn}
+
+  val all: Seq[Q] = Seq(
+
+    Q("z1_salted_skew_agg",
+      (s, dir) => {
+        // two-phase salted aggregation for skewed keys: phase 1 aggregates
+        // on (key, salt) spreading a hot key over 16 reducers, phase 2
+        // merges partials per key. Result ≡ direct groupBy (sums of longs
+        // are order-insensitive) — which is exactly what the oracle runs.
+        val salted = Tables.lineitem(s, dir)
+          .withColumn("salt", pmod(col("l_partkey") + col("l_orderkey"), lit(16)))
+        val phase1 = salted
+          .groupBy("l_returnflag", "salt")
+          .agg(sum("l_quantity").as("partial_qty"), count(lit(1)).as("partial_n"))
+        phase1
+          .groupBy("l_returnflag")
+          .agg(roundAt(sum("partial_qty"), 2).as("sum_qty"), sum("partial_n").as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, ${roundAtSql("sum(l_quantity)", 2)} AS sum_qty,
+              |  count(*) AS n
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("z2_repartitioned_colocated_agg",
+      (s, dir) => {
+        // explicit pre-partitioning on the join/agg key — the bucketing
+        // stand-in: repartition(col) then aggregate reuses the exchange,
+        // the pattern that lets repeated aggregations over the same key
+        // share one shuffle at scale.
+        Tables.orders(s, dir)
+          .repartition(col("o_custkey"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), roundAt(sum("o_totalprice"), 2).as("total"))
+          .filter(col("n_orders") >= 10)
+          .orderBy("o_custkey")
+      },
+      Some(s"""SELECT o_custkey, count(*) AS n_orders,
+              |  ${roundAtSql("sum(o_totalprice)", 2)} AS total
+              |FROM orders GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""".stripMargin)),
+
+    // approximate distinct (HLL): rows-only check — approximation is
+    // engine-specific so no value oracle; the exact twin a11 covers the
+    // semantics, this covers the scale path (constant memory per group).
+    Q("z3_approx_count_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}

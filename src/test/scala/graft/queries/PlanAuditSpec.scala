@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan-shape regression tests: the scale properties claimed in SURVEY
+  * (§4, §8) must be visible in the physical plans — filters pushed to the
+  * scan, projections pruned, dim joins broadcast, aggregates partial+final.
+  * Guards against silently losing pushdown/broadcast when queries are
+  * refactored.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("projection pruning reaches the parquet scan") {
+    val p = plan("p1_project_prune")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"), p)
+  }
+
+  test("month-window predicate is pushed to the scan") {
+    val p = plan("p4_month_window_filter")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
+  test("dim joins are broadcast hash joins, not shuffles") {
+    Seq("j1_rate_lookup_join", "j2_dim_enrich_agg", "j6_anti_join_ri").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q unexpectedly sort-merge joins:\n$p")
+    }
+  }
+
+  test("flagship aggregate is partial+final hash aggregation") {
+    val p = plan("a1_grouped_sum_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // map-side combine visible as partial_* aggregate functions
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("filter pushdown reaches the scan through the dedup pipeline") {
+    val p = plan("x1_dedup_exact")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("ann queries broadcast the query side") {
+    Seq("x6_ann_bruteforce_topk", "x7_ann_lsh_bucketed").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("native cosine_similarity appears in the ann plan (no HOF lambdas)") {
+    val p = plan("x6_ann_bruteforce_topk")
+    assert(p.contains("cosine_similarity"), p)
+    assert(!p.contains("zip_with"), p)
+  }
+
+  test("salted aggregation keeps two aggregation phases") {
+    val p = plan("z1_salted_skew_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p) // partial+final ×2 phases (AQE may fuse one)
+  }
+}
