@@ -25,6 +25,18 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
+    } :+ {
+      // end-to-end monthly close (scan→validate→gate→fact→kpi→sinks) at
+      // 100× the reference generator's volume — the pipeline-throughput
+      // headline (the reference's own close is single-threaded pandas)
+      val base = java.nio.file.Files.createTempDirectory("bench_etl").toString
+      graft.etl.SampleData.write(s"$base/raw", "2025-12", scale = 100)
+      graft.etl.SampleData.writeChartOfAccounts(s"$base/ref")
+      val t0 = System.nanoTime()
+      try graft.etl.Pipeline.runMonth(spark, graft.etl.Settings(), "2025-12",
+        s"$base/raw", s"$base/curated", s"$base/ref")
+      catch { case _: Throwable => () }
+      "etl_close_scale100" -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,7 +21,10 @@ object SampleData {
     java.time.YearMonth.of(y, m).lengthOfMonth()
   }
 
-  def write(rawDir: String, month: String, seed: Long = 42L): Unit = {
+  /** `scale` multiplies per-entity row counts (scale=1 ≙ the reference's
+    * generator volume; bench uses larger scales for throughput runs).
+    */
+  def write(rawDir: String, month: String, seed: Long = 42L, scale: Int = 1): Unit = {
     val rnd = new Random(seed)
     Files.createDirectories(Paths.get(rawDir))
     val nDays = daysInMonth(month)
@@ -29,7 +32,7 @@ object SampleData {
 
     val sales = Seq("date,entity,invoice_id,account_code,currency,amount,description") ++
       entities.flatMap { e =>
-        (0 until 40).map { i =>
+        (0 until 40 * scale).map { i =>
           val amt = 50 + rnd.nextDouble() * 4950
           s"${day()},$e,INV-$e-${f"$i%04d"},${revenueAccounts(rnd.nextInt(revenueAccounts.size))}," +
             s"${currencies(rnd.nextInt(currencies.size))},$amt,Synthetic sale"
@@ -37,7 +40,7 @@ object SampleData {
       }
     val expenses = Seq("date,entity,bill_id,account_code,currency,amount,description") ++
       entities.flatMap { e =>
-        (0 until 40).map { i =>
+        (0 until 40 * scale).map { i =>
           val amt = 20 + rnd.nextDouble() * 2980
           s"${day()},$e,BILL-$e-${f"$i%04d"},${expenseAccounts(rnd.nextInt(expenseAccounts.size))}," +
             s"${currencies(rnd.nextInt(currencies.size))},$amt,Synthetic expense"
@@ -45,7 +48,7 @@ object SampleData {
       }
     val payroll = Seq("month,entity,employee_id,currency,gross,deductions,net") ++
       entities.flatMap { e =>
-        (0 until 15).map { i =>
+        (0 until 15 * scale).map { i =>
           val gross = 800 + rnd.nextDouble() * 4200
           val ded = gross * (0.1 + rnd.nextDouble() * 0.2)
           s"$month,$e,EMP-$e-${f"$i%03d"},TZS,$gross,$ded,${gross - ded}"
@@ -53,11 +56,11 @@ object SampleData {
       }
     val inventory = Seq("date,entity,sku,movement_type,qty,unit_cost,currency") ++
       entities.flatMap { e =>
-        (0 until 30).map { _ =>
+        (0 until 30 * scale).map { _ =>
           val mt = Seq("receipt", "issue", "adjustment")(rnd.nextInt(3))
           val qty = 1 + rnd.nextInt(100)
           val cost = 1 + rnd.nextDouble() * 99
-          s"${day()},$e,SKU-${f"${rnd.nextInt(20)}%03d"},$mt,$qty,$cost,TZS"
+          s"${day()},$e,SKU-${f"${rnd.nextInt(20 * scale)}%03d"},$mt,$qty,$cost,TZS"
         }
       }
     val fx = Seq("date,from_currency,to_currency,rate") ++

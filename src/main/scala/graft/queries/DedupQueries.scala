@@ -170,13 +170,20 @@ object DedupQueries {
         // only shuffle is the pair-count aggregation (which partial-aggs
         // map-side). At a scale where postings outgrow broadcast, drop
         // the hint and this becomes a sort-merge join on the shingle key.
+        // aggregate on the slim (doc_a, doc_b) key only — lang and set
+        // sizes rejoin from the tiny per-doc dim afterward, keeping the
+        // big shuffle rows at two longs + a count
         val common = postings.as("a").join(broadcast(postings.as("b")),
             col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle") &&
               col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.lang").as("lang"), col("a.n").as("na"), col("b.n").as("nb"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("common"))
+        val sizes = docs.select(col("doc_id"), col("lang"), col("n"))
         common
+          .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+            col("lang"), col("n").as("na"))), Seq("doc_a"))
+          .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+            col("n").as("nb"))), Seq("doc_b"))
           .withColumn("jaccard", roundAt(
             col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
           .filter(col("jaccard") >= 0.5)
