@@ -20,6 +20,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
       (ScaleQueries.queries, ScaleQueries.oracles),
+      (AnalyticalQueries.queries, AnalyticalQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Multi-join analytical headliners (TPC-H Q3/Q5 shapes) — the "would
+  * this plan survive 100×" exercise: selective filters pushed below the
+  * joins, dim sides broadcast, fact⨝fact on shuffled keys with AQE free
+  * to re-plan, aggregation after the join tree.
+  */
+object AnalyticalQueries {
+  import RelationalQueries.{Q, QFn}
+
+  val all: Seq[Q] = Seq(
+
+    Q("h1_shipping_priority",
+      (s, dir) => {
+        // TPC-H Q3 shape: one dim filter broadcast, orders⨝lineitem
+        // shuffled on the join key, revenue top-10.
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val orders = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("order_date"),
+            col("o_orderpriority"))
+          .agg(roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+              |  o_orderpriority,
+              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1995-03-15'
+              |  AND l_shipdate > TIMESTAMP '1995-03-15'
+              |GROUP BY 1, 2, 3
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    Q("h2_local_supplier_volume",
+      (s, dir) => {
+        // TPC-H Q5 shape: a 6-way join — 4 broadcast dims + the
+        // orders⨝lineitem shuffle — grouped by nation.
+        val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, dir)
+          .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val orders = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1994-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1995-01-01")))
+          .select("o_orderkey", "o_custkey")
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+              |  AND o_orderdate < TIMESTAMP '1995-01-01'
+              |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    Q("e4_sliding_window_batch",
+      (s, dir) => {
+        // batch twin of StreamingOps.slidingCounts: every event belongs to
+        // the 4 hourly windows sliding by 15 min that cover its timestamp
+        Tables.eventsTs(s, dir)
+          .select(explode(expr(
+            """transform(sequence(0, 3), k ->
+              |  timestamp_micros((unix_micros(ts) div 900000000 - k) * 900000000))"""
+              .stripMargin)).as("window_start"))
+          .filter(col("window_start") >= to_timestamp(lit("2024-01-01")))
+          .groupBy(col("window_start").cast("string").as("window_start"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("window_start")
+      },
+      Some("""WITH w AS (
+             |  SELECT CAST(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - k) * 900) AS TIMESTAMP) AS window_start
+             |  FROM events, unnest(range(0, 4)) t(k))
+             |SELECT CAST(window_start AS VARCHAR) AS window_start, count(*) AS n
+             |FROM w WHERE window_start >= TIMESTAMP '2024-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}
