@@ -108,4 +108,14 @@ object StreamingOps {
   def withParsedProps(events: DataFrame): DataFrame =
     events.withColumn("k",
       get_json_object(col("props"), "$.k").cast("long"))
+
+  /** streaming exact dedup on event_id with watermark-bounded state — the
+    * ingest-time twin of the batch x1 content dedup: duplicates arriving
+    * within the watermark horizon are dropped, state for expired windows
+    * is reclaimed (at 100 TB/day this bound is what keeps dedup state
+    * finite).
+    */
+  def dedupByEventId(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

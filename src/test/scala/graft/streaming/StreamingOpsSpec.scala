@@ -100,6 +100,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Event]
+    val query = StreamingOps.dedupByEventId(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    val sample = eventsBatch.orderBy("ts").limit(1000).collect().toSeq
+    input.addData(sample ++ sample.take(500)) // 500 in-batch duplicates
+    query.processAllAvailable()
+    input.addData(sample.take(100))           // late re-sends of seen ids
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("dedup")
+    assert(got.count() == 1000)
+    assert(got.groupBy("event_id").count().filter($"count" > 1).isEmpty)
+  }
+
   test("json props parse on the streaming path") {
     val streamed = runStream("props")(
       df => StreamingOps.withParsedProps(
