@@ -68,7 +68,9 @@ object DedupQueries {
         // exact-Jaccard verification at 0.5. Candidate generation is a
         // self-equi-join on (band_id, band_key) — the only O(n²) work left
         // is within hash buckets.
-        val docs = withShingles(Tables.documents(s, dir)).select("doc_id", "sh")
+        // cached: the shingle subtree feeds the signature build AND both
+        // verify joins — one computation instead of three (MB-scale)
+        val docs = withShingles(Tables.documents(s, dir)).select("doc_id", "sh").cache()
         // one explode + 16 codegen'd md5 columns + a hash-aggregate min
         // beats per-row HOF lambdas (array_min∘transform) ~4× — identical
         // values: min over the distinct shingle set of md5("<i>:<shingle>")
@@ -161,6 +163,14 @@ object DedupQueries {
         // is one hash-shuffle on the shingle key — pairs with no common
         // shingle (jaccard 0) never materialize. This is the shape that
         // survives a 100× scale-up; the all-pairs variant does not.
+        //
+        // Note on prefix filtering (AllPairs/PPJoin, Bayardo WWW'07):
+        // pruning the index to each doc's floor((1-t)|s|)+1 rarest
+        // shingles is the standard further step for realistic Zipfian
+        // vocabularies; measured here it LOSES (~20s vs ~15s at sf0.1)
+        // because the synthetic 31-word corpus makes every shingle hot
+        // and the per-candidate array verify outweighs the pruning —
+        // revisit if the corpus vocabulary grows.
         val docs = withShingles(Tables.documents(s, dir))
           .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
         val postings = docs.select(col("doc_id"), col("lang"), col("n"),
