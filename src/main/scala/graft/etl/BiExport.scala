@@ -53,11 +53,18 @@ object BiExport {
       java.nio.file.Paths.get(dqExceptionsCsv),
       java.nio.file.Paths.get(s"$outDir/dq_exceptions.csv"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // pandas-list rendering for byte parity with the reference's
+    // data_dictionary.txt (data/bi/2025-12/data_dictionary.txt)
+    def pyList(cols: Seq[String]): String = cols.map(c => s"'$c'").mkString("[", ", ", "]")
+    val dqSumCols = spark.read.option("header", "true").csv(dqSummaryCsv).columns.toSeq
+    val dqExCols = spark.read.option("header", "true").csv(dqExceptionsCsv).columns.toSeq
     val dd = Seq(
       s"month=$month",
-      s"fact_transactions.csv columns=${factM.columns.mkString("[", ", ", "]")}",
-      s"dim_accounts.csv columns=${dimAccounts.columns.mkString("[", ", ", "]")}",
-      s"kpi_monthly.csv columns=${kpiM.columns.mkString("[", ", ", "]")}").mkString("\n")
+      s"fact_transactions.csv columns=${pyList(factM.columns.toSeq)}",
+      s"dim_accounts.csv columns=${pyList(dimAccounts.columns.toSeq)}",
+      s"kpi_monthly.csv columns=${pyList(kpiM.columns.toSeq)}",
+      s"dq_summary.csv columns=${pyList(dqSumCols)}",
+      s"dq_exceptions.csv columns=${pyList(dqExCols)}").mkString("\n")
     EtlIO.writeText(s"$outDir/data_dictionary.txt", dd)
   }
 }

@@ -23,7 +23,8 @@ object Cli {
     case Some("generate") =>
       val opts = parse(args.tail)
       SampleData.write(opts("raw-dir"), opts("month"),
-        opts.getOrElse("seed", "42").toLong)
+        opts.getOrElse("seed", "42").toLong,
+        opts.getOrElse("scale", "1").toInt)
       SampleData.writeChartOfAccounts(opts("reference-dir"))
       println(s"generated raw month ${opts("month")} under ${opts("raw-dir")}")
     case Some("run") =>

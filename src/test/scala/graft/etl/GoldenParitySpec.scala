@@ -113,6 +113,17 @@ class GoldenParitySpec extends SparkSpec {
     }
   }
 
+  test("bi export data dictionary is byte-identical to the reference's") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bi_golden").toString
+    BiExport.export(spark, fact, dimAccounts, kpi,
+      s"$goldenBi/dq_exceptions.csv", s"$goldenBi/dq_summary.csv", "2025-12", outDir)
+    val got = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/data_dictionary.txt"))
+    val want = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$goldenBi/data_dictionary.txt"))
+    assert(got == want)
+  }
+
   test("star fact_kpi_monthly matches") {
     val factM = fact.filter(date_format(col("date"), "yyyy-MM") === "2025-12")
     val dEntity = StarSchema.dimEntity(factM, kpi)
