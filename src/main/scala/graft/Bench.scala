@@ -24,6 +24,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // queries may cache intermediate frames; drop them so later
+      // queries aren't measured under accumulated memory pressure
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     } :+ {
       // end-to-end monthly close (scan→validate→gate→fact→kpi→sinks) at

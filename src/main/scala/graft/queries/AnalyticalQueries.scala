@@ -87,6 +87,27 @@ object AnalyticalQueries {
               |  AND o_orderdate < TIMESTAMP '1995-01-01'
               |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    Q("h3_sql_entrypoint",
+      (s, dir) => {
+        // the spark.sql(...) surface: same engine, SQL text in — register
+        // the tables as temp views and run ANSI SQL directly. Shows a
+        // reference user can keep writing SQL against this library.
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        s.sql(s"""
+          |SELECT p_type, count(*) AS n,
+          |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5) / 10000 AS revenue
+          |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+          |WHERE p_size <= 15
+          |GROUP BY p_type
+          |ORDER BY p_type""".stripMargin)
+      },
+      Some(s"""SELECT p_type, count(*) AS n,
+              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE p_size <= 15
+              |GROUP BY p_type ORDER BY p_type""".stripMargin)),
+
     Q("e4_sliding_window_batch",
       (s, dir) => {
         // batch twin of StreamingOps.slidingCounts: every event belongs to

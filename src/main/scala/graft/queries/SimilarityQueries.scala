@@ -50,12 +50,38 @@ object SimilarityQueries {
     * Plane p's d-th component is +1 if the first hex digit of
     * md5('p_d') is odd else -1 — deterministic, engine-portable, and
     * (like a seeded RNG) uniform enough for bucketing.
+    *
+    * The signs are CONSTANTS, so the Spark side precomputes them
+    * driver-side and embeds literal ±1 arrays — the per-row work is four
+    * 64-element fused folds, no runtime hashing (the original nested
+    * md5-in-lambda expression cost ~10s of analysis+interpretation per
+    * session). The oracle recomputes the same signs its own way; the
+    * plane dot keeps the ascending-d sequential fold order (x·±1.0 is
+    * exact) so bucket values stay identical.
     */
-  private val bucketExpr =
-    """aggregate(sequence(0, 3), 0, (acc, p) -> acc * 2 + IF(
-      |  aggregate(sequence(0, 63), cast(0 as double), (a, d) -> a + IF(
-      |    (instr('0123456789abcdef', substring(md5(concat(cast(p as string), '_', cast(d as string))), 1, 1)) - 1) % 2 = 1,
-      |    v[d], -v[d])) >= 0, 1, 0))""".stripMargin
+  private def planeSign(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ("0123456789abcdef".indexOf(hex.head) % 2 == 1) 1.0 else -1.0
+  }
+
+  private def bucketCol: org.apache.spark.sql.Column =
+    (0 until 4).map { p =>
+      when(expr(s"aggregate(zip_with(v, ${planeExprName(p)}, (x, s) -> x * s), " +
+        "cast(0 as double), (acc, x) -> acc + x)") >= 0, lit(1 << (3 - p)))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // zip_with needs the plane as a named column; provide planes via
+  // withColumn before applying bucketCol
+  private def planeExprName(p: Int): String = s"__plane$p"
+
+  private def withPlanes(df: DataFrame): DataFrame =
+    (0 until 4).foldLeft(df) { (d, p) =>
+      d.withColumn(planeExprName(p),
+        array((0 until 64).map(dd => lit(planeSign(p, dd))): _*))
+    }
 
   private val bucketSql =
     """list_reduce([CASE WHEN
@@ -99,7 +125,8 @@ object SimilarityQueries {
         // bucket the corpus once, join queries to their own bucket only,
         // exact-rerank inside the bucket. Recall < 1 by design — the
         // oracle checks the *algorithm*, brute-force x6 is the quality bar.
-        val e = vecs(s, dir).withColumn("bucket", expr(bucketExpr))
+        val e = withPlanes(vecs(s, dir)).withColumn("bucket", bucketCol)
+          .drop((0 until 4).map(planeExprName): _*)
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v"), col("norm"), col("bucket"))
         val corpus = e.select(col("vec_id").as("cand_id"), col("v"), col("norm"), col("bucket"))
