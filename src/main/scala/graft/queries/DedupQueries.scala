@@ -47,6 +47,18 @@ object DedupQueries {
   private def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b))"
 
+  /** universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over
+    * the md5-derived 48-bit base, P = 1e9+7 (products stay < 2^63).
+    * Constants are arbitrary fixed odd values shared with the oracle.
+    */
+  private val P = 1000000007L
+  private def minhashA(i: Int): Long = 2654435761L % P * (2 * i + 1) % P
+  private def minhashB(i: Int): Long = (40503L * (i + 7) * (i + 7) + 17) % P
+  private val minhashASql: String =
+    (0 until 16).map(minhashA).mkString("[", ", ", "]")
+  private val minhashBSql: String =
+    (0 until 16).map(minhashB).mkString("[", ", ", "]")
+
   val all: Seq[Q] = Seq(
 
     Q("x1_dedup_exact",
@@ -71,17 +83,23 @@ object DedupQueries {
         // cached: the shingle subtree feeds the signature build AND both
         // verify joins — one computation instead of three (MB-scale)
         val docs = withShingles(Tables.documents(s, dir)).select("doc_id", "sh").cache()
-        // one explode + 16 codegen'd md5 columns + a hash-aggregate min
-        // beats per-row HOF lambdas (array_min∘transform) ~4× — identical
-        // values: min over the distinct shingle set of md5("<i>:<shingle>")
+        // ONE md5 per shingle: base = 48-bit int folded from the first
+        // 12 hex digits; the H=16 family is universal hashing
+        // h_i = (a_i·base + b_i) mod p over that base (standard MinHash
+        // practice) — pure codegen arithmetic instead of 16 md5 calls,
+        // reproduced digit-for-digit by the oracle.
         val hashed = docs.select(
           col("doc_id") +: explode(col("sh")).as("t") +: Nil: _*)
+          .withColumn("base", expr(
+            """aggregate(transform(sequence(1, 12),
+              |  i -> instr('0123456789abcdef', substring(md5(t), i, 1)) - 1),
+              |  cast(0 as bigint), (b, c) -> b * 16 + c) % 1000000007""".stripMargin))
         val hashCols = (0 until 16).map(i =>
-          min(md5(concat(lit(s"$i:"), col("t")))).as(s"mh$i"))
+          min((lit(minhashA(i)) * col("base") + lit(minhashB(i))) % lit(P)).as(s"mh$i"))
         val minhash = hashed.groupBy("doc_id")
           .agg(hashCols.head, hashCols.tail: _*)
         val bandCols = (0 until 8).map(b =>
-          md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))))
+          md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
         val sig = minhash.select(col("doc_id"),
           posexplode(array(bandCols: _*)))
           .toDF("doc_id", "band_id", "band_key")
@@ -103,11 +121,20 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH d AS ($shinglesSql),
+              |base AS (
+              |  SELECT doc_id, list_transform(sh, t ->
+              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+              |                 for i in range(1, 13)], (b, c) -> b * 16 + c) % 1000000007) AS bases
+              |  FROM d),
+              |mh AS (
+              |  SELECT doc_id, h AS seed,
+              |    list_min(list_transform(bases, x -> ($minhashASql[h + 1] * x + $minhashBSql[h + 1]) % $P)) AS mhv
+              |  FROM base, unnest(range(0, 16)) t(h)),
               |sig AS (
-              |  SELECT doc_id, b AS band_id, md5(
-              |    list_min(list_transform(sh, t -> md5(CAST(b*2   AS VARCHAR) || ':' || t))) ||
-              |    list_min(list_transform(sh, t -> md5(CAST(b*2+1 AS VARCHAR) || ':' || t)))) AS band_key
-              |  FROM d, unnest([0,1,2,3,4,5,6,7]) t(b)),
+              |  SELECT a.doc_id, a.seed // 2 AS band_id,
+              |    md5(CAST(a.mhv AS VARCHAR) || ':' || CAST(bb.mhv AS VARCHAR)) AS band_key
+              |  FROM mh a JOIN mh bb ON a.doc_id = bb.doc_id
+              |    AND a.seed % 2 = 0 AND bb.seed = a.seed + 1),
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |  FROM sig a JOIN sig b
