@@ -21,6 +21,7 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracles),
       (ScaleQueries.queries, ScaleQueries.oracles),
       (AnalyticalQueries.queries, AnalyticalQueries.oracles),
+      (WindowGroupingQueries.queries, WindowGroupingQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Window-function family and multi-level grouping — engine-completeness
+  * surface beyond the reference (which has only W1): rank variants,
+  * frame-bounded aggregates, rollup/cube. All single-shuffle plans:
+  * windows partition by their key, rollup/cube expand grouping sets in
+  * one aggregation.
+  */
+object WindowGroupingQueries {
+  import RelationalQueries.{Q, QFn}
+
+  val all: Seq[Q] = Seq(
+
+    Q("w5_rank_family",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, dir)
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_nationkey"), col("c_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            roundAt(percent_rank().over(w), 6).as("pct_rank"),
+            roundAt(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_nationkey", "rnk", "c_custkey")
+      },
+      Some(s"""SELECT c_nationkey, c_custkey,
+              |  rank() OVER w AS rnk,
+              |  dense_rank() OVER w AS drnk,
+              |  ntile(4) OVER w AS quartile,
+              |  ${roundAtSql("percent_rank() OVER w", 6)} AS pct_rank,
+              |  ${roundAtSql("cume_dist() OVER w", 6)} AS cume
+              |FROM customer WHERE c_custkey <= 200
+              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+              |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin)),
+
+    Q("w6_frame_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_orderkey"), col("o_custkey"),
+            first("o_totalprice").over(w).as("first_price"),
+            last("o_totalprice").over(w).as("last_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  first_value(o_totalprice) OVER w AS first_price,
+             |  last_value(o_totalprice) OVER w AS last_price
+             |FROM orders WHERE o_custkey <= 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("a15_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
+
+    Q("a16_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(roundAt(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              |  ${roundAtSql("sum(o_totalprice)", 2)} AS total, count(*) AS n
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}
