@@ -90,7 +90,86 @@ object SimilarityQueries {
       |              (x, y) -> x + y) >= 0
       |  THEN power(2, 3 - p) ELSE 0 END for p in range(0, 4)], (x, y) -> x + y)""".stripMargin
 
+  private val cosSql =
+    "list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (x, y) -> x + y)" +
+      " / (q.norm * c.norm)"
+
   val all: Seq[Q] = Seq(
+
+    Q("x8_ann_ivf",
+      (s, dir) => {
+        // IVF (inverted-file) ANN: a coarse quantizer of K=8 centroids
+        // (deterministically the first 8 vectors — a real deployment
+        // k-means-trains these; the *index structure* is what's under
+        // test) partitions the corpus into posting lists; a query probes
+        // its nprobe=2 nearest lists and exact-reranks only those.
+        // At scale the corpus is shuffled once by centroid id and each
+        // query touches nprobe/K of the data.
+        val e = vecs(s, dir)
+        val centroids = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("v"), col("norm"))
+        // corpus → nearest centroid (rank 1 by cosine desc, id asc)
+        val assignW = Window.partitionBy("cand_id")
+          .orderBy(col("ccos").desc, col("centroid_id"))
+        val assigned = e.select(col("vec_id").as("cand_id"),
+            col("v"), col("norm"))
+          .as("c").join(broadcast(centroids.as("q")))
+          .withColumn("ccos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+          .select(col("c.cand_id").as("cand_id"), col("c.v").as("v"),
+            col("c.norm").as("norm"), col("q.centroid_id").as("centroid_id"), col("ccos"))
+          .withColumn("arnk", row_number().over(assignW))
+          .filter(col("arnk") === 1)
+          .select("cand_id", "v", "norm", "centroid_id")
+        // queries → their nprobe=2 nearest centroids
+        val probeW = Window.partitionBy("query_id")
+          .orderBy(col("qcos").desc, col("centroid_id"))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v"), col("norm"))
+          .as("c").join(broadcast(centroids.as("q")))
+          .withColumn("qcos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+          .select(col("c.query_id").as("query_id"), col("c.v").as("v"),
+            col("c.norm").as("norm"), col("q.centroid_id").as("centroid_id"), col("qcos"))
+          .withColumn("prnk", row_number().over(probeW))
+          .filter(col("prnk") <= 2)
+          .drop("qcos", "prnk")
+        // rerank within the probed lists
+        val rankW = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        assigned.as("c").join(broadcast(probes.as("q")),
+            col("q.centroid_id") === col("c.centroid_id") &&
+              col("q.query_id") =!= col("c.cand_id"))
+          .withColumn("cosine", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+          .select(col("q.query_id").as("query_id"), col("c.cand_id").as("cand_id"), col("cosine"))
+          .dropDuplicates("query_id", "cand_id")
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH n AS ($vecsSql),
+              |cent AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
+              |assigned AS (
+              |  SELECT cand_id, v, norm, centroid_id FROM (
+              |    SELECT c.vec_id AS cand_id, c.v AS v, c.norm AS norm, q.centroid_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS arnk
+              |    FROM n c CROSS JOIN cent q)
+              |  WHERE arnk = 1),
+              |probes AS (
+              |  SELECT query_id, v, norm, centroid_id FROM (
+              |    SELECT c.vec_id AS query_id, c.v AS v, c.norm AS norm, q.centroid_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS prnk
+              |    FROM n c CROSS JOIN cent q WHERE c.vec_id < 10)
+              |  WHERE prnk <= 2),
+              |scored AS (
+              |  SELECT DISTINCT q.query_id, c.cand_id,
+              |    ${roundAtSql(cosSql, 6)} AS cosine
+              |  FROM assigned c JOIN probes q ON q.centroid_id = c.centroid_id
+              |    AND q.query_id <> c.cand_id)
+              |SELECT query_id, cand_id, cosine, rank FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM scored)
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
     Q("x6_ann_bruteforce_topk",
       (s, dir) => {

@@ -109,6 +109,28 @@ object StreamingOps {
     events.withColumn("k",
       get_json_object(col("props"), "$.k").cast("long"))
 
+  /** stream-stream interval self-join: each purchase joined to the same
+    * user's clicks in the 30 minutes leading up to it. Watermarks on both
+    * sides + the time-bound condition let the engine age out join state —
+    * the pattern that keeps a 100 TB/day clickstream join's state finite.
+    * Works identically on batch frames (the spec asserts equality).
+    */
+  def purchaseClickJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value")
+  }
+
   /** streaming exact dedup on event_id with watermark-bounded state — the
     * ingest-time twin of the batch x1 content dedup: duplicates arriving
     * within the watermark horizon are dropped, state for expired windows

@@ -100,6 +100,13 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join equals batch") {
+    val streamed = runStream("ssjoin")(StreamingOps.purchaseClickJoin(_), "append")
+    val batch = StreamingOps.purchaseClickJoin(eventsBatch.toDF())
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
