@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       CosineSimilarity.info,
-      children => CosineSimilarity(children.head, children(1))))
+      children => {
+        require(children.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
   }
 }

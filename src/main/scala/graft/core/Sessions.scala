@@ -14,11 +14,14 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def local(appName: String = "graft"): SparkSession = {
+  /** the one session profile — Verify/Bench/CLI/tests all build here so
+    * config can't drift between surfaces.
+    */
+  def local(appName: String = "graft", parallelism: String = cpus): SparkSession = {
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(s"local[$parallelism]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parallelism)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

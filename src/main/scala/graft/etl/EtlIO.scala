@@ -20,15 +20,35 @@ object EtlIO {
   def requireExists(path: String): Unit =
     require(Files.exists(Paths.get(path)), s"Missing file: $path")
 
-  /** all-strings CSV read preserving the target schema's column order. */
-  def readCsvRaw(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  /** actual header of a CSV file (driver-side, first line). */
+  def csvHeader(path: String): Seq[String] = {
     requireExists(path)
-    val asStrings = StructType(schema.fields.map(f =>
-      StructField(f.name, StringType, nullable = true)))
-    spark.read
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().nextOption()
+      .map(_.split(",", -1).toSeq.map(_.trim)).getOrElse(Nil)
+    finally src.close()
+  }
+
+  /** all-strings CSV read bound BY HEADER NAME (a supplied schema binds
+    * positionally and ignores the header — a reordered file would be
+    * silently misread; pandas binds by name, so must we). Columns are
+    * returned in the target schema's order; contract columns missing
+    * from the file come back as nulls (the strict header check reports
+    * them), extra file columns are dropped.
+    */
+  def readCsvRaw(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val actual = csvHeader(path)
+    val asStrings = StructType(actual.map(name =>
+      StructField(name, StringType, nullable = true)))
+    val raw = spark.read
       .option("header", "true")
       .schema(asStrings)
       .csv(path)
+    val cols = schema.fieldNames.toSeq.map { name =>
+      if (actual.contains(name)) org.apache.spark.sql.functions.col(name)
+      else org.apache.spark.sql.functions.lit(null).cast(StringType).as(name)
+    }
+    raw.select(cols: _*)
   }
 
   /** schema'd CSV read (for already-trusted inputs like the COA). */

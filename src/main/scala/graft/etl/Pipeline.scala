@@ -25,11 +25,6 @@ object Pipeline {
       dimAccounts: String,
       kpi: String)
 
-  private def header(spark: SparkSession, path: String): Seq[String] = {
-    val first = spark.read.text(path).limit(1).collect()
-    first.headOption.map(_.getString(0).split(",", -1).toSeq.map(_.trim)).getOrElse(Nil)
-  }
-
   def runMonth(
       spark: SparkSession,
       settings: Settings,
@@ -54,13 +49,15 @@ object Pipeline {
       Dq.inventorySchema(settings) -> s"$rawDir/inventory_movements.csv",
       Dq.fxSchema(settings) -> s"$rawDir/fx_rates.csv")
 
+    // one scan per table: the cached coerced frame feeds both the
+    // exception plans and the downstream fact build
     val validated = tables.map { case (ts, path) =>
       val raw = EtlIO.readCsvRaw(spark, path, ts.schema)
-      val typed = Validator.coerce(raw, ts)
-        .select(ts.schema.fieldNames.map(col).toSeq: _*)
-        .cache()
-      val ex = Validator.exceptions(spark, raw, ts, Some(header(spark, path)))
-      (ts.name, typed, ex)
+      val coerced = Validator.coerce(raw, ts).cache()
+      val typed = coerced.select(ts.schema.fieldNames.map(col).toSeq: _*)
+      val ex = Validator.exceptionsFromCoerced(spark, coerced, ts,
+        Some(EtlIO.csvHeader(path)))
+      (ts.name, typed, ex, coerced)
     }
     val typedByName = validated.map(v => v._1 -> v._2).toMap
 
@@ -106,7 +103,7 @@ object Pipeline {
     EtlIO.writeParquet(dimAccounts, outDim)
     EtlIO.writeParquet(kpi, outKpi)
 
-    validated.foreach(_._2.unpersist())
+    validated.foreach(_._4.unpersist())
     withSeverity.unpersist()
     Outputs(exPath, sumPath, outFact, outDim, outKpi)
   }

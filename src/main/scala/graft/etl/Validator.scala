@@ -25,6 +25,14 @@ object Validator {
 
   import Dq.rawCol
 
+  /** full deterministic ordering: natural keys first, then every other
+    * contract column as tiebreak — duplicate-natural-key rows (the very
+    * case dupKeys reports) still index stably.
+    */
+  private def indexOrder(table: TableSchema): Seq[org.apache.spark.sql.Column] =
+    (table.orderKeys ++
+      table.schema.fieldNames.filterNot(table.orderKeys.contains)).map(col)
+
   /** typed view of an all-strings frame + per-column raw copies + the
     * deterministic row index.
     */
@@ -34,7 +42,7 @@ object Validator {
         .withColumn(f.name, col(f.name).cast(f.dataType))
     }
     withRaw.withColumn("__idx",
-      row_number().over(Window.orderBy(table.orderKeys.map(col): _*)).cast("long") - 1)
+      row_number().over(Window.orderBy(indexOrder(table): _*)).cast("long") - 1)
   }
 
   /** all exception rows for one table (dataset, index, column, check,
@@ -44,9 +52,17 @@ object Validator {
       spark: SparkSession,
       raw: DataFrame,
       table: TableSchema,
-      actualColumns: Option[Seq[String]] = None): DataFrame = {
+      actualColumns: Option[Seq[String]] = None): DataFrame =
+    exceptionsFromCoerced(spark, coerce(raw, table), table, actualColumns)
 
-    val typed = coerce(raw, table)
+  /** same, over an already-[[coerce]]d (and possibly cached) frame — the
+    * pipeline uses this so validation and the fact build share one scan.
+    */
+  def exceptionsFromCoerced(
+      spark: SparkSession,
+      typed: DataFrame,
+      table: TableSchema,
+      actualColumns: Option[Seq[String]] = None): DataFrame = {
 
     // ALL column checks evaluate in ONE pass (SURVEY §2.9 V1): a per-row
     // array of fired-check structs, exploded and null-filtered. One scan

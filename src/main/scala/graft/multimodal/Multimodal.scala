@@ -40,13 +40,18 @@ object Multimodal {
       payload.grouped(w).toArray
     }
 
-    /** "resize" = nearest-neighbor subsample of decoded rows. */
+    /** "resize" = nearest-neighbor subsample of decoded rows; empty
+      * frames/rows resize to zero-filled output (no OOB on empty
+      * payloads).
+      */
     def resize(frame: Array[Array[Byte]], w: Int, h: Int): Array[Array[Byte]] = {
-      val rows = frame.length.max(1)
+      val rows = frame.length
       (0 until h).toArray.map { y =>
-        val row = frame(math.min(y * rows / h, rows - 1))
-        val cols = row.length.max(1)
-        (0 until w).toArray.map(x => row(math.min(x * cols / w, cols - 1)))
+        val row = if (rows == 0) Array.empty[Byte]
+          else frame(math.min(y * rows / h, rows - 1))
+        val cols = row.length
+        (0 until w).toArray.map(x =>
+          if (cols == 0) 0.toByte else row(math.min(x * cols / w, cols - 1)))
       }
     }
 

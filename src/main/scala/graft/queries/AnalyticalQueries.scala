@@ -112,21 +112,23 @@ object AnalyticalQueries {
       (s, dir) => {
         // batch twin of StreamingOps.slidingCounts: every event belongs to
         // the 4 hourly windows sliding by 15 min that cover its timestamp
+        // window starts emitted as epoch SECONDS so the compare is
+        // immune to either engine's session-timezone rendering
         Tables.eventsTs(s, dir)
           .select(explode(expr(
             """transform(sequence(0, 3), k ->
-              |  timestamp_micros((unix_micros(ts) div 900000000 - k) * 900000000))"""
-              .stripMargin)).as("window_start"))
-          .filter(col("window_start") >= to_timestamp(lit("2024-01-01")))
-          .groupBy(col("window_start").cast("string").as("window_start"))
+              |  (unix_micros(ts) div 900000000 - k) * 900)"""
+              .stripMargin)).as("window_start_epoch"))
+          .filter(col("window_start_epoch") >= 1704067200L) // 2024-01-01 UTC
+          .groupBy("window_start_epoch")
           .agg(count(lit(1)).as("n"))
-          .orderBy("window_start")
+          .orderBy("window_start_epoch")
       },
       Some("""WITH w AS (
-             |  SELECT CAST(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - k) * 900) AS TIMESTAMP) AS window_start
+             |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - k) * 900 AS window_start_epoch
              |  FROM events, unnest(range(0, 4)) t(k))
-             |SELECT CAST(window_start AS VARCHAR) AS window_start, count(*) AS n
-             |FROM w WHERE window_start >= TIMESTAMP '2024-01-01'
+             |SELECT window_start_epoch, count(*) AS n
+             |FROM w WHERE window_start_epoch >= 1704067200
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 

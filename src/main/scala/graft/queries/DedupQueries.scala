@@ -31,11 +31,15 @@ import graft.functions.MoneyFunctions._
 object DedupQueries {
   import RelationalQueries.{Q, QFn}
 
-  /** distinct word-bigram shingle set of `text` (column `sh`). */
+  /** distinct word-bigram shingle set of `text` (column `sh`).
+    * Guarded for <2-word texts: Spark's sequence(0, -1) yields [0, -1]
+    * (a phantom shingle) where DuckDB's range is empty.
+    */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("w", split(col("text"), " "))
-      .withColumn("sh", array_distinct(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")))
+      .withColumn("sh", when(size(col("w")) < 2, array().cast("array<string>"))
+        .otherwise(array_distinct(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))))
 
   private val shinglesSql =
     """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
