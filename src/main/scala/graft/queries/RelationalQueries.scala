@@ -542,6 +542,45 @@ object RelationalQueries {
              |  coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0) AS bal_nonneg
              |FROM customer ORDER BY 1""".stripMargin)),
 
+    Q("f16_string_kit",
+      (s, dir) => Tables.part(s, dir)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_type")).as("lo"),
+          trim(col("p_name")).as("trimmed"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("p_brand"), "[^0-9]", "").as("digits"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          reverse(col("p_brand")).as("rev"),
+          length(col("p_name")).cast("long").as("len"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS up, lower(p_type) AS lo,
+             |  trim(p_name) AS trimmed,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+             |  regexp_replace(p_brand, '[^0-9]', '', 'g') AS digits,
+             |  substr(p_type, 1, 5) AS type5,
+             |  reverse(p_brand) AS rev,
+             |  CAST(length(p_name) AS BIGINT) AS len
+             |FROM part ORDER BY 1""".stripMargin)),
+
+    Q("f17_null_semantics",
+      (s, dir) => {
+        // null-handling kit: coalesce, nullif, null-safe equality (<=>).
+        val c = Tables.customer(s, dir)
+        c.select(col("c_custkey"),
+            coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("seg_or_other"),
+            (col("c_acctbal") <=> lit(0.0)).as("bal_is_zero"),
+            when(col("c_acctbal") < 0, col("c_acctbal")).as("neg_only"),
+            isnull(when(col("c_acctbal") < 0, col("c_acctbal"))).as("is_nonneg"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+             |  c_acctbal IS NOT DISTINCT FROM 0.0 AS bal_is_zero,
+             |  CASE WHEN c_acctbal < 0 THEN c_acctbal END AS neg_only,
+             |  CASE WHEN c_acctbal < 0 THEN c_acctbal END IS NULL AS is_nonneg
+             |FROM customer ORDER BY 1""".stripMargin)),
+
     Q("f15_contains_dispatch",
       (s, dir) => Tables.part(s, dir)
         .withColumn("tier",
