@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object StarSchema {
 
+  /** fuzzy column resolution ≙ reference `_pick_col`
+    * (export_powerbi_star_schema.py:18–23): first candidate present in
+    * the frame. Driver-side over df.columns (SURVEY P3).
+    */
+  def pickCol(df: DataFrame, candidates: Seq[String]): Option[String] =
+    candidates.find(df.columns.contains)
+
+  /** the reference's fact date-column candidates (:348). */
+  val dateColCandidates: Seq[String] =
+    Seq("tx_date", "date", "transaction_date", "posting_date", "invoice_date")
+
+  /** amount resolution ≙ build_fact_gl (:197–206): first of the amount
+    * candidates, else debit − credit (null-coerced casts, fillna 0),
+    * else null.
+    */
+  def amountCol(df: DataFrame): org.apache.spark.sql.Column = {
+    pickCol(df, Seq("amount_base", "amount", "amount_tzs", "amount_usd")) match {
+      case Some(c) => col(c).cast("double")
+      case None if df.columns.contains("debit") && df.columns.contains("credit") =>
+        coalesce(col("debit").cast("double"), lit(0.0)) -
+          coalesce(col("credit").cast("double"), lit(0.0))
+      case None => lit(null).cast("double")
+    }
+  }
+
   /** sorted distinct entities from fact ∪ kpi, entity_key = 1..n, plus
     * first-per-entity currency in the fact's deterministic sort order
     * (export_powerbi_star_schema.py:76–93; pandas groupby().first() on the
@@ -27,11 +52,17 @@ object StarSchema {
       .distinct()
     val keyed = entities.withColumn("entity_key",
       row_number().over(Window.orderBy("entity")))
+    if (!factM.columns.contains("currency"))
+      return keyed.select("entity_key", "entity").orderBy("entity_key")
+    // "first per entity" in the fact's deterministic sort order (pandas
+    // groupby().first() over the date/source/document-sorted fact); fall
+    // back to whichever order keys the fact actually has
+    val orderKeys = Seq("date", "source", "document_id").filter(factM.columns.contains)
     val firstCurrency = factM
       .filter(col("entity").isNotNull && col("currency").isNotNull)
       .groupBy("entity")
       .agg(min_by(col("currency"),
-        struct(col("date"), col("source"), col("document_id"))).as("currency"))
+        struct((orderKeys :+ "currency").map(col): _*)).as("currency"))
     keyed.join(broadcast(firstCurrency), Seq("entity"), "left")
       .select("entity_key", "entity", "currency")
       .orderBy("entity_key")
@@ -82,13 +113,20 @@ object StarSchema {
     */
   def factGl(factM: DataFrame, dimEntity: DataFrame, dimAccount: DataFrame): DataFrame =
     factM
-      .withColumn("amount", col("amount_base").cast("double"))
+      .withColumn("amount", amountCol(factM))
       .withColumn("date_key", date_format(col("date"), "yyyyMMdd").cast("int"))
       .withColumn("month_key", date_format(col("date"), "yyyyMM").cast("int"))
       .join(broadcast(dimEntity.select("entity", "entity_key")), Seq("entity"), "left")
       .join(broadcast(dimAccount.select("account_code", "account_key")), Seq("account_code"), "left")
-      .select("date_key", "month_key", "entity_key", "account_key", "amount", "description")
-      .orderBy("date_key", "entity_key", "account_key", "amount", "description")
+      .select(("date_key" +: "month_key" +: "entity_key" +: "account_key" +: "amount" +:
+        passthroughCols.filter(factM.columns.contains)).map(col): _*)
+      .orderBy(("date_key" +: "entity_key" +: "account_key" +: "amount" +:
+        passthroughCols.filter(factM.columns.contains)).map(col): _*)
+
+  /** passthrough candidates ≙ build_fact_gl (:239–255), kept if present. */
+  private val passthroughCols = Seq(
+    "transaction_id", "move_id", "journal_id", "journal_name", "reference",
+    "description", "partner", "vendor", "customer", "source_system")
 
   /** monthly KPI fact keyed by (month_key, entity_key) with margin %
     * (export_powerbi_star_schema.py:259–319).
@@ -116,7 +154,12 @@ object StarSchema {
       kpi: DataFrame,
       month: String,
       outDir: String): Unit = {
-    val factM = fact.filter(date_format(col("date"), "yyyy-MM") === month)
+    // resolve the fact's date column fuzzily (P3) and normalize to "date"
+    val factM = pickCol(fact, dateColCandidates) match {
+      case Some(dc) => fact.filter(date_format(col(dc), "yyyy-MM") === month)
+        .withColumn("date", col(dc))
+      case None => fact
+    }
     val dEntity = dimEntity(factM, kpi)
     val dAccount = dimAccount(dimAccounts)
     val dDate = dimDate(factM)
