@@ -581,6 +581,25 @@ object RelationalQueries {
              |  CASE WHEN c_acctbal < 0 THEN c_acctbal END IS NULL AS is_nonneg
              |FROM customer ORDER BY 1""".stripMargin)),
 
+    Q("f18_date_arithmetic",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+        o.select(col("o_orderkey"),
+            datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).cast("long").as("days_to_eoy"),
+            date_add(to_date(col("o_orderdate")), 90).cast("string").as("due_date"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("month_index"),
+            dayofweek(to_date(col("o_orderdate"))).cast("long").as("dow_1sun"))
+          .orderBy("o_orderkey")
+      },
+      // DuckDB: DATE + INTERVAL yields TIMESTAMP (cast back); dayofweek
+      // is 0=Sunday (Spark: 1=Sunday)
+      Some("""SELECT o_orderkey,
+             |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+             |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS VARCHAR) AS due_date,
+             |  year(o_orderdate) * 12 + month(o_orderdate) AS month_index,
+             |  dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow_1sun
+             |FROM orders WHERE o_orderkey < 1000 ORDER BY 1""".stripMargin)),
+
     Q("f15_contains_dispatch",
       (s, dir) => Tables.part(s, dir)
         .withColumn("tier",
