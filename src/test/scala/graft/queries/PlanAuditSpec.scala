@@ -62,6 +62,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("zip_with"), p)
   }
 
+  test("six-way analytical join broadcasts every dim side") {
+    val p = plan("h2_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // the one fact-fact join (orders x lineitem) may be broadcast at this
+    // tiny SF or shuffled at scale — either is fine; what must NOT happen
+    // is a dim side degrading to sort-merge
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("salted aggregation keeps two aggregation phases") {
     val p = plan("z1_salted_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 3, p) // partial+final ×2 phases (AQE may fuse one)

@@ -123,6 +123,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
 
+  test("file-source stream restarts from its checkpoint without duplicating output") {
+    val base = tmpDir("graft_ckpt")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val all = eventsBatch.orderBy("event_id").limit(3000).cache()
+    val schema = all.schema
+    // glob: the file source lists files per matched directory
+    def startQuery() = spark.readStream.schema(schema).parquet(s"$inDir/*")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    all.filter($"event_id" < 1500).write.mode("overwrite").parquet(s"$inDir/batch1")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint with more data present
+    all.filter($"event_id" >= 1500).write.mode("overwrite").parquet(s"$inDir/batch2")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == all.count())
+    assert(out.groupBy("event_id").count().filter($"count" > 1).isEmpty)
+  }
+
   test("json props parse on the streaming path") {
     val streamed = runStream("props")(
       df => StreamingOps.withParsedProps(
