@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -107,6 +108,78 @@ object AnalyticalQueries {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |WHERE p_size <= 15
               |GROUP BY p_type ORDER BY p_type""".stripMargin)),
+
+    Q("j7_asof_join",
+      (s, dir) => {
+        // AS-OF JOIN — an operator Spark lacks natively (SURVEY §7.3
+        // preference (a): compose existing ops). For each purchase, the
+        // most recent click by the same user at-or-before the purchase.
+        // Implementation is the scalable union-sort-window pattern: tag
+        // both sides, one shuffle on user_id, running last(click_ts)
+        // within the (ts, side)-sorted partition — no range-join pair
+        // explosion, state O(1) per row. Output carries only the matched
+        // timestamp so exact-tie ties are value-identical across engines.
+        // DuckDB verifies with its native ASOF LEFT JOIN.
+        val ev = Tables.eventsTs(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            lit(1).as("is_purchase"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            lit(0).as("is_purchase"))
+        // clicks sort before purchases at equal ts so "at-or-before"
+        // includes same-instant clicks, matching ASOF's <= bound
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("is_purchase"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("last_click_ts_us",
+            last(when(col("is_purchase") === 0, col("ts_us")), ignoreNulls = true).over(w))
+          .filter(col("is_purchase") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("last_click_ts_us"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+             |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS last_click_ts_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY 1""".stripMargin)),
+
+    Q("g1_array_kit",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_contains(col("w"), "spark").as("has_spark"),
+          slice(col("w"), 1, 3).as("first3"),
+          array_sort(array_distinct(slice(col("w"), 1, 10))).as("sorted10"),
+          size(array_remove(col("w"), "the")).cast("long").as("n_no_the"),
+          element_at(col("w"), -1).as("last_word"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_contains(w, 'spark') AS has_spark,
+             |  w[1:3] AS first3,
+             |  list_sort(list_distinct(w[1:10])) AS sorted10,
+             |  CAST(len(list_filter(w, x -> x <> 'the')) AS BIGINT) AS n_no_the,
+             |  w[-1] AS last_word
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |ORDER BY 1""".stripMargin)),
+
+    Q("a17_conditional_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          roundAt(sum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(0.0)), 2)
+            .as("bulk_revenue"),
+          roundAt(sum(when(col("l_tax") === 0.0, col("l_extendedprice"))), 2)
+            .as("taxfree_revenue"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+              |  ${roundAtSql("sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END)", 2)} AS bulk_revenue,
+              |  ${roundAtSql("sum(l_extendedprice) FILTER (WHERE l_tax = 0.0)", 2)} AS taxfree_revenue
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("e4_sliding_window_batch",
       (s, dir) => {
