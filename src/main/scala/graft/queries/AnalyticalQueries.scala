@@ -146,6 +146,38 @@ object AnalyticalQueries {
              |  ON p.user_id = c.user_id AND c.ts <= p.ts
              |ORDER BY 1""".stripMargin)),
 
+    Q("j8_range_join_bucketed",
+      (s, dir) => {
+        // RANGE JOIN via bucketing — the scalable composition for the
+        // other operator Spark lacks natively: expand each band into the
+        // fixed-width buckets it overlaps, equi-join events on their
+        // bucket, then refine with the exact range predicate. One
+        // codegen'd hash join instead of the O(|events|·|bands|)
+        // nested-loop a naive theta join degrades to; bands overlap on
+        // purpose (a true many-to-many range join).
+        import s.implicits._
+        val bands = Seq(
+          ("b0_low", 0.0, 25.0), ("b1_mid", 20.0, 50.0), ("b2_high", 50.0, 75.0),
+          ("b3_wide", 40.0, 100.0), ("b4_tail", 90.0, 200.0))
+          .toDF("band_id", "low", "high")
+        val width = 10.0
+        val bandBuckets = bands.withColumn("bucket", explode(expr(
+          s"sequence(cast(floor(low / $width) as long), cast(floor((high - 0.000001) / $width) as long))")))
+        Tables.eventsTs(s, dir)
+          .withColumn("bucket", floor(col("value") / width).cast("long"))
+          .join(broadcast(bandBuckets), Seq("bucket"))
+          .filter(col("value") >= col("low") && col("value") < col("high"))
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"), roundAt(sum("value"), 4).as("sum_value"))
+          .orderBy("band_id")
+      },
+      Some(s"""WITH bands(band_id, low, high) AS (VALUES
+              |  ('b0_low', 0.0, 25.0), ('b1_mid', 20.0, 50.0), ('b2_high', 50.0, 75.0),
+              |  ('b3_wide', 40.0, 100.0), ('b4_tail', 90.0, 200.0))
+              |SELECT band_id, count(*) AS n, ${roundAtSql("sum(value)", 4)} AS sum_value
+              |FROM events e JOIN bands b ON e.value >= b.low AND e.value < b.high
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("g1_array_kit",
       (s, dir) => Tables.documents(s, dir)
         .withColumn("w", split(col("text"), " "))
