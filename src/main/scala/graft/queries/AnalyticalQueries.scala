@@ -183,15 +183,17 @@ object AnalyticalQueries {
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"),
           array_contains(col("w"), "spark").as("has_spark"),
-          slice(col("w"), 1, 3).as("first3"),
-          array_sort(array_distinct(slice(col("w"), 1, 10))).as("sorted10"),
+          // arrays emitted as joined strings: the driver's value hash
+          // may render engine-native array types differently
+          concat_ws("|", slice(col("w"), 1, 3)).as("first3"),
+          concat_ws("|", array_sort(array_distinct(slice(col("w"), 1, 10)))).as("sorted10"),
           size(array_remove(col("w"), "the")).cast("long").as("n_no_the"),
           element_at(col("w"), -1).as("last_word"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  list_contains(w, 'spark') AS has_spark,
-             |  w[1:3] AS first3,
-             |  list_sort(list_distinct(w[1:10])) AS sorted10,
+             |  array_to_string(w[1:3], '|') AS first3,
+             |  array_to_string(list_sort(list_distinct(w[1:10])), '|') AS sorted10,
              |  CAST(len(list_filter(w, x -> x <> 'the')) AS BIGINT) AS n_no_the,
              |  w[-1] AS last_word
              |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
