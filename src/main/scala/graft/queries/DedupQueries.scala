@@ -51,17 +51,13 @@ object DedupQueries {
   private def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b))"
 
-  /** universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over
-    * the md5-derived 48-bit base, P = 1e9+7 (products stay < 2^63).
-    * Constants are arbitrary fixed odd values shared with the oracle.
-    */
-  private val P = 1000000007L
-  private def minhashA(i: Int): Long = 2654435761L % P * (2 * i + 1) % P
-  private def minhashB(i: Int): Long = (40503L * (i + 7) * (i + 7) + 17) % P
-  private val minhashASql: String =
-    (0 until 16).map(minhashA).mkString("[", ", ", "]")
-  private val minhashBSql: String =
-    (0 until 16).map(minhashB).mkString("[", ", ", "]")
+  // universal-hash MinHash family, shared with the typed sketch
+  // aggregator and reproduced in the oracles — see MinHashFamily.
+  import graft.functions.MinHashFamily.{P, hash => mhHash}
+  private def minhashA(i: Int): Long = graft.functions.MinHashFamily.a(i)
+  private def minhashB(i: Int): Long = graft.functions.MinHashFamily.b(i)
+  private val minhashASql: String = graft.functions.MinHashFamily.aSql
+  private val minhashBSql: String = graft.functions.MinHashFamily.bSql
 
   val all: Seq[Q] = Seq(
 
@@ -148,6 +144,34 @@ object DedupQueries {
               |    ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS jaccard
               |  FROM cand JOIN d x ON cand.doc_a = x.doc_id JOIN d y ON cand.doc_b = y.doc_id)
               |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("x9_minhash_sketch_agg",
+      (s, dir) => {
+        // the typed MinHashSketchAgg Aggregator (custom sketch-merge
+        // UDAF): one H=16 signature per source over all its docs'
+        // shingles. Partial sketches merge map-side — the associative
+        // property the oracle verifies by computing identical mins.
+        val sketch = udaf(new graft.functions.MinHashSketchAgg())
+        withShingles(Tables.documents(s, dir))
+          .select(col("source"), explode(col("sh")).as("t"))
+          .withColumn("base", expr(graft.functions.MinHashFamily.baseExprSql("t")))
+          .groupBy("source")
+          .agg(sketch(col("base")).as("signature"))
+          .orderBy("source")
+      },
+      Some {
+        val mins = (0 until 16).map(i =>
+          s"CAST(min(($minhashASql[${i + 1}] * base + $minhashBSql[${i + 1}]) % $P) AS VARCHAR)")
+        s"""WITH b AS (
+           |  SELECT source,
+           |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+           |                 for i in range(1, 13)], (x, y) -> x * 16 + y) % $P AS base
+           |  FROM (
+           |    SELECT source, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS t
+           |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)))
+           |SELECT source, ${mins.mkString(" || '|' || ")} AS signature
+           |FROM b GROUP BY source ORDER BY source""".stripMargin
+      }),
 
     Q("x3_dedup_simhash",
       (s, dir) => {
