@@ -133,9 +133,14 @@ object Transform {
     * account types observed in the data, sorted — pandas pivot_table
     * parity), default Revenue/COGS/Expense to 0, derive profits.
     *
-    * The pivot values are collected from the joined fact (one tiny
-    * distinct on the dim-sized type domain) so the plan stays a single
-    * shuffle on (entity, month).
+    * Scale posture: the pivot domain is pinned from the chart of accounts
+    * (dimension-sized — one KB-scale distinct, never a fact scan), so the
+    * fact is read ONCE: a single shuffle on (entity, month) computing
+    * sum + observation count per type. pandas pivot_table emits only
+    * OBSERVED types as columns and (dropna=True) drops groups whose every
+    * account_type is unmapped — both reproduced here by filtering null
+    * types pre-group and pruning unobserved columns post-pivot via one
+    * tiny aggregate over the already-grouped (entity×month) frame.
     */
   def kpiMonthly(fact: DataFrame, dimAccounts: DataFrame): DataFrame = {
     val joined = fact
@@ -143,15 +148,29 @@ object Transform {
         Seq("account_code"), "left")
       .withColumn("month", date_format(col("date"), "yyyy-MM"))
 
-    val observedTypes = joined
-      .filter(col("account_type").isNotNull)
-      .select("account_type").distinct()
+    // every observable type comes from the COA join, so the COA's domain
+    // (sorted, as pandas orders pivot columns) is a complete pivot pin
+    val coaTypes = dimAccounts.select("account_type").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
 
-    val wide0 = joined
+    val wide = joined
+      .filter(col("account_type").isNotNull) // pivot_table dropna parity
       .groupBy("entity", "month")
-      .pivot("account_type", observedTypes)
-      .agg(sum("amount_base"))
+      .pivot("account_type", coaTypes)
+      .agg(sum("amount_base").as("s"), count(lit(1)).as("c"))
+      .cache()
+
+    // prune COA types with zero observations anywhere — pandas emits only
+    // observed columns; this global count runs over the tiny wide frame
+    val obsCounts = wide.select(coaTypes.map(t => sum(col(s"${t}_c")).as(t)): _*)
+      .collect().headOption
+    val observedTypes = coaTypes.filter { t =>
+      obsCounts.exists(r => !r.isNullAt(r.fieldIndex(t)) && r.getLong(r.fieldIndex(t)) > 0)
+    }
+
+    val wide0 = wide
+      .select((Seq(col("entity"), col("month")) ++
+        observedTypes.map(t => col(s"${t}_s").as(t))): _*)
       .na.fill(0.0, observedTypes)
 
     val withDefaults = Seq("Revenue", "COGS", "Expense").foldLeft(wide0) { (df, c) =>
