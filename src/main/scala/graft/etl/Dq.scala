@@ -152,13 +152,18 @@ object Dq {
   /** severity rules (quality.py:150–181): default WARN; ERROR for key
     * columns, the fx_rates dataset, required/dtype checks, and COA
     * membership violations.
+    *
+    * Note: a null violation's check name is `not_nullable` (pandera's
+    * string), which does NOT contain "required" — so a null in a non-key
+    * column stays WARN, exactly as in the reference. The "required"
+    * substring fires for the strict-header `column_required` check.
     */
   def addSeverity(exceptions: DataFrame): DataFrame = {
     val checkLower = lower(col("check"))
     exceptions.withColumn("severity",
       when(col("column").isin(errorColumns: _*), "ERROR")
         .when(col("dataset") === "fx_rates", "ERROR")
-        .when(checkLower.contains("required") || checkLower.contains("not_nullable"), "ERROR")
+        .when(checkLower.contains("required"), "ERROR")
         .when(checkLower.contains("dtype"), "ERROR")
         .when(checkLower.contains("account_in_coa"), "ERROR")
         .otherwise("WARN"))
