@@ -34,6 +34,14 @@ object Sessions {
       // which Spark cannot read natively; read as long and convert
       // (Tables.eventsTs normalizes to TimestampType at µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state posture for the 100 TB story: RocksDB keeps
+      // operator state (dedup sets, windows, sessions, join buffers)
+      // off-heap and spillable instead of on the executor heap, with
+      // changelog checkpointing so commits upload deltas, not full
+      // snapshots. Harmless for batch-only sessions.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -123,6 +123,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
 
+  test("long-horizon dedup runs bounded-state on the RocksDB state store") {
+    // the 100 TB posture (Sessions.local defaults): RocksDB provider +
+    // changelog checkpointing keep a 24h dedup horizon's state off-heap.
+    // TestSession doesn't set it, so pin it here and prove via the
+    // query's state-operator metrics that RocksDB actually served.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[StreamingOps.Event]
+      val query = StreamingOps.dedupByEventId(input.toDF(), watermark = "24 hours")
+        .writeStream.format("memory").queryName("rocksdedup").outputMode("append").start()
+      val sample = eventsBatch.orderBy("ts").collect().toSeq // sf0.001: 1000 events
+      input.addData(sample); query.processAllAvailable()
+      input.addData(sample.take(700)); query.processAllAvailable() // re-sends inside the horizon
+      val stateMetrics = query.recentProgress.flatMap(_.stateOperators)
+        .flatMap(so => scala.jdk.CollectionConverters.MapHasAsScala(so.customMetrics).asScala.keys)
+      query.stop()
+      assert(spark.table("rocksdedup").count() == sample.length.toLong)
+      assert(spark.table("rocksdedup").groupBy("event_id").count().filter($"count" > 1).isEmpty)
+      assert(stateMetrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb state metrics; saw: ${stateMetrics.distinct.mkString(", ")}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("file-source stream restarts from its checkpoint without duplicating output") {
     val base = tmpDir("graft_ckpt")
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
