@@ -20,13 +20,43 @@ object EtlIO {
   def requireExists(path: String): Unit =
     require(Files.exists(Paths.get(path)), s"Missing file: $path")
 
-  /** actual header of a CSV file (driver-side, first line). */
+  /** actual header of a CSV file (driver-side, first line), parsed
+    * RFC-4180-aware — a quoted header field containing a comma stays one
+    * field instead of splitting into phantom columns. (Limitation: a
+    * header field containing a NEWLINE inside quotes is not supported —
+    * the reference's pandas layer never writes such headers.)
+    */
   def csvHeader(path: String): Seq[String] = {
     requireExists(path)
     val src = scala.io.Source.fromFile(path)
-    try src.getLines().nextOption()
-      .map(_.split(",", -1).toSeq.map(_.trim)).getOrElse(Nil)
-    finally src.close()
+    val line = try src.getLines().nextOption().getOrElse("") finally src.close()
+    if (line.isEmpty) Nil else parseCsvLine(line).map(_.trim)
+  }
+
+  /** single-line RFC-4180 field split: quoted fields may contain commas,
+    * doubled quotes escape a literal quote.
+    */
+  private[etl] def parseCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inQuotes = false
+        } else cur += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toSeq
   }
 
   /** all-strings CSV read bound BY HEADER NAME (a supplied schema binds

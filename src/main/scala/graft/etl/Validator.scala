@@ -1,8 +1,8 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import Dq._
 
@@ -33,6 +33,22 @@ object Validator {
     (table.orderKeys ++
       table.schema.fieldNames.filterNot(table.orderKeys.contains)).map(col)
 
+  /** 0-based rank of each row in `order`, computed scalably: a
+    * range-partitioned distributed sort + zipWithIndex (per-partition
+    * offsets from one small sizing job) — NOT a row_number over a global
+    * un-partitioned Window, which would drag the whole table through a
+    * single task. Two narrow passes, nothing to the driver but partition
+    * counts; holds at raw tables far beyond one executor's memory.
+    */
+  private def withGlobalIndex(df: DataFrame,
+      order: Seq[org.apache.spark.sql.Column], name: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val fields = StructType(sorted.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(indexed, fields)
+  }
+
   /** typed view of an all-strings frame + per-column raw copies + the
     * deterministic row index.
     */
@@ -41,8 +57,7 @@ object Validator {
       df.withColumn(rawCol(f.name), col(f.name))
         .withColumn(f.name, col(f.name).cast(f.dataType))
     }
-    withRaw.withColumn("__idx",
-      row_number().over(Window.orderBy(indexOrder(table): _*)).cast("long") - 1)
+    withGlobalIndex(withRaw, indexOrder(table), "__idx")
   }
 
   /** all exception rows for one table (dataset, index, column, check,
@@ -126,8 +141,7 @@ object Validator {
     * broadcast left-anti join (SURVEY J6).
     */
   def accountInCoa(df: DataFrame, dataset: String, coaCodes: DataFrame, orderKeys: Seq[String]): DataFrame = {
-    val indexed = df.withColumn("__idx",
-      row_number().over(Window.orderBy(orderKeys.map(col): _*)).cast("long") - 1)
+    val indexed = withGlobalIndex(df, orderKeys.map(col), "__idx")
     indexed
       .join(broadcast(coaCodes.select(col("account_code").cast("string").as("account_code"))),
         Seq("account_code"), "left_anti")
