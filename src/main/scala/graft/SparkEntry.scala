@@ -18,6 +18,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (SamplingQueries.queries, SamplingQueries.oracles),
       (EventQueries.queries, EventQueries.oracles),
       (ScaleQueries.queries, ScaleQueries.oracles),
       (AnalyticalQueries.queries, AnalyticalQueries.oracles),

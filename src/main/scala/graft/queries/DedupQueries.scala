@@ -67,6 +67,46 @@ object DedupQueries {
     withShingles(df).withColumn("bases",
       expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
 
+  /** MinHash(H=16) → LSH band signature table (doc_id, band_id, band_key;
+    * B=8 bands × R=2 rows): one narrow per-row projection over a
+    * (doc_id, sh) frame — one md5 per shingle, pure codegen universal
+    * hashing, NO explode/shuffle. Docs with <2 words get null band keys,
+    * which fall out of any band equi-join exactly as in the oracles.
+    * Shared by x2 (self-dedup) and x10 (incremental dedup).
+    */
+  private def bandSignatures(docsWithSh: DataFrame): DataFrame = {
+    val minhash = docsWithSh
+      .withColumn("bases",
+        expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        expr(s"array_min(transform(bases, x -> (${minhashA(i)} * x + ${minhashB(i)}) % $P))")
+          .as(s"mh$i")): _*)
+    val bandCols = (0 until 8).map(b =>
+      md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
+    minhash.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_id", "band_key")
+  }
+
+  /** the DuckDB mirror of [[bandSignatures]] as WITH-clause text (CTEs
+    * d → base → mh → sig), shared by the x2 and x10 oracles.
+    */
+  private lazy val lshSigCtesSql: String =
+    s"""d AS ($shinglesSql),
+       |base AS (
+       |  SELECT doc_id, list_transform(sh, t ->
+       |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+       |                 for i in range(1, 13)], (b, c) -> b * 16 + c) % 1000000007) AS bases
+       |  FROM d),
+       |mh AS (
+       |  SELECT doc_id, h AS seed,
+       |    list_min(list_transform(bases, x -> ($minhashASql[h + 1] * x + $minhashBSql[h + 1]) % $P)) AS mhv
+       |  FROM base, unnest(range(0, 16)) t(h)),
+       |sig AS (
+       |  SELECT a.doc_id, a.seed // 2 AS band_id,
+       |    md5(CAST(a.mhv AS VARCHAR) || ':' || CAST(bb.mhv AS VARCHAR)) AS band_key
+       |  FROM mh a JOIN mh bb ON a.doc_id = bb.doc_id
+       |    AND a.seed % 2 = 0 AND bb.seed = a.seed + 1)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("x1_dedup_exact",
@@ -95,24 +135,7 @@ object DedupQueries {
         // once per join side.
         val docs = withShingles(Tables.documents(s, dir))
           .select("doc_id", "sh").cache()
-        // the whole signature is a narrow per-row projection: ONE md5 per
-        // shingle folds to a 48-bit base (MinHashFamily), then
-        // mh_i = min over bases of (a_i·x + b_i) mod p — universal
-        // hashing, pure codegen arithmetic, NO explode/shuffle. Docs with
-        // <2 words have empty bases → null signatures, which fall out of
-        // the band equi-join exactly as in the oracle.
-        val minhash = docs
-          .withColumn("bases",
-            expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
-          .select(col("doc_id") +: (0 until 16).map(i =>
-            expr(s"array_min(transform(bases, x -> (${minhashA(i)} * x + ${minhashB(i)}) % $P))")
-              .as(s"mh$i")): _*)
-        val bandCols = (0 until 8).map(b =>
-          md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
-        val sig = minhash.select(col("doc_id"),
-          posexplode(array(bandCols: _*)))
-          .toDF("doc_id", "band_id", "band_key")
-          .cache()
+        val sig = bandSignatures(docs).cache()
         // NO broadcast hints anywhere below: the signature table and the
         // shingle frames grow O(corpus), so a hard-coded broadcast would
         // OOM the driver at real corpus sizes. Unhinted, the planner/AQE
@@ -137,21 +160,7 @@ object DedupQueries {
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH d AS ($shinglesSql),
-              |base AS (
-              |  SELECT doc_id, list_transform(sh, t ->
-              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
-              |                 for i in range(1, 13)], (b, c) -> b * 16 + c) % 1000000007) AS bases
-              |  FROM d),
-              |mh AS (
-              |  SELECT doc_id, h AS seed,
-              |    list_min(list_transform(bases, x -> ($minhashASql[h + 1] * x + $minhashBSql[h + 1]) % $P)) AS mhv
-              |  FROM base, unnest(range(0, 16)) t(h)),
-              |sig AS (
-              |  SELECT a.doc_id, a.seed // 2 AS band_id,
-              |    md5(CAST(a.mhv AS VARCHAR) || ':' || CAST(bb.mhv AS VARCHAR)) AS band_key
-              |  FROM mh a JOIN mh bb ON a.doc_id = bb.doc_id
-              |    AND a.seed % 2 = 0 AND bb.seed = a.seed + 1),
+      Some(s"""WITH $lshSigCtesSql,
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |  FROM sig a JOIN sig b
@@ -161,6 +170,48 @@ object DedupQueries {
               |    ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS jaccard
               |  FROM cand JOIN d x ON cand.doc_a = x.doc_id JOIN d y ON cand.doc_b = y.doc_id)
               |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("x10_dedup_incremental_lsh",
+      (s, dir) => {
+        // incremental ingest dedup — the production shape at 100 TB: a
+        // NEW batch (here: doc_id % 10 == 0) is checked against the
+        // existing INDEX (the rest) without ever pairing index docs with
+        // each other. Signatures come from the same bandSignatures build
+        // as x2; the candidate join is new×index on (band_id, band_key),
+        // so candidate volume scales with the batch, not the corpus.
+        // In production the index side's signature table is precomputed
+        // and persisted — here both derive from one cached scan.
+        val docs = withShingles(Tables.documents(s, dir))
+          .select("doc_id", "sh").cache()
+        val sig = bandSignatures(docs).cache()
+        val newSig = sig.filter(col("doc_id") % 10 === 0)
+        val idxSig = sig.filter(col("doc_id") % 10 =!= 0)
+        val cand = newSig.as("a").join(idxSig.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_key") === col("b.band_key"))
+          .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
+          .dropDuplicates("new_id", "index_id")
+        cand
+          .join(docs.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
+          .join(docs.select(col("doc_id").as("index_id"), col("sh").as("shb")), Seq("index_id"))
+          .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jaccard", roundAt(col("common").cast("double") /
+            (size(col("sha")) + size(col("shb")) - col("common")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("new_id", "index_id", "jaccard")
+          .orderBy("new_id", "index_id")
+      },
+      Some(s"""WITH $lshSigCtesSql,
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+              |  FROM sig a JOIN sig b
+              |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+              |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+              |SELECT new_id, index_id, jaccard FROM (
+              |  SELECT new_id, index_id,
+              |    ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS jaccard
+              |  FROM cand JOIN d x ON cand.new_id = x.doc_id JOIN d y ON cand.index_id = y.doc_id)
+              |WHERE jaccard >= 0.5 ORDER BY new_id, index_id""".stripMargin)),
 
     Q("x9_minhash_sketch_agg",
       (s, dir) => {

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.MoneyFunctions._
+
+/** Dataset-assembly operators for a training-data pipeline: deterministic
+  * train/val/test splitting, stratified sampling, and TF-IDF term scoring
+  * over the `documents` table.
+  *
+  * Splits and samples are CONTENT-ADDRESSED (an md5-derived bucket of the
+  * doc id), not RNG-based: the same document lands in the same split on
+  * every run, on any cluster, from either engine — the property that
+  * makes dataset assembly reproducible and incremental (new data never
+  * reshuffles old assignments). Each is a narrow per-row map — no
+  * shuffle at all for y1/y2; y3 shuffles once on the term key.
+  */
+object SamplingQueries {
+  import RelationalQueries.{Q, QFn}
+
+  /** portable deterministic bucket in [0, 100): first 8 md5 hex digits of
+    * the id string folded to an int (one md5 per row, hoisted), mod 100.
+    */
+  private val bucketSparkExpr =
+    """aggregate(transform(sequence(1, 8),
+      |  i -> instr('0123456789abcdef', substring(h8, i, 1)) - 1),
+      |  cast(0 as bigint), (b, c) -> b * 16 + c) % 100""".stripMargin
+
+  private val bucketDuckSql =
+    """list_reduce([CAST(strpos('0123456789abcdef', substr(h8, i, 1)) - 1 AS BIGINT)
+      |             for i in range(1, 9)], (b, c) -> b * 16 + c) % 100""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("y1_train_val_test_split",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("h8", substring(md5(col("doc_id").cast("string")), 1, 8))
+        .withColumn("bucket", expr(bucketSparkExpr))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, bucket,
+              |  CASE WHEN bucket < 80 THEN 'train'
+              |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+              |FROM (
+              |  SELECT doc_id, $bucketDuckSql AS bucket
+              |  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+              |        FROM documents))
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("y2_stratified_sample",
+      (s, dir) => {
+        // per-stratum deterministic downsampling: keep a doc iff its
+        // bucket clears the stratum's rate (en kept at 50%, everything
+        // else at 20%) — the hash-gate version of sampleBy, reproducible
+        // and join-free (sampleBy's RNG can't be oracle-checked)
+        Tables.documents(s, dir)
+          .withColumn("h8", substring(md5(col("doc_id").cast("string")), 1, 8))
+          .withColumn("bucket", expr(bucketSparkExpr))
+          .withColumn("rate", when(col("lang") === "en", 50).otherwise(20))
+          .filter(col("bucket") < col("rate"))
+          .select("doc_id", "lang", "bucket")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, bucket FROM (
+              |  SELECT doc_id, lang, $bucketDuckSql AS bucket,
+              |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS rate
+              |  FROM (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+              |        FROM documents))
+              |WHERE bucket < rate ORDER BY doc_id""".stripMargin)),
+
+    Q("y3_tfidf_topk",
+      (s, dir) => {
+        // classic TF-IDF, top-3 terms per document: tf over exploded
+        // words (one shuffle on (doc, term) with map-side combine), df
+        // over the distinct postings, idf = ln(N/df). The df table is
+        // vocabulary-sized — the planner/AQE picks the join strategy
+        // (broadcast when it fits, shuffle on the term key when not).
+        val docs = Tables.documents(s, dir)
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = words.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df, Seq("term"))
+          .crossJoin(broadcast(n)) // single-row scalar, always broadcast
+          .withColumn("score",
+            roundAt(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |tf AS (
+              |  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+              |df AS (
+              |  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM words)
+              |  GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              |    ${roundAtSql("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)", 6)} AS score
+              |  FROM tf JOIN df USING (term) CROSS JOIN n),
+              |ranked AS (
+              |  SELECT doc_id, term, tf, df, score,
+              |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+              |  FROM scored)
+              |SELECT doc_id, rank, term, tf, df, score FROM ranked
+              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+  )
+
+  val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+  val oracles: Map[String, String] =
+    all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
+}
