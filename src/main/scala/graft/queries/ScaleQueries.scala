@@ -51,6 +51,26 @@ object ScaleQueries {
               |  ${roundAtSql("sum(o_totalprice)", 2)} AS total
               |FROM orders GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""".stripMargin)),
 
+    Q("z4_exact_percentiles",
+      (s, dir) => {
+        // exact grouped quantiles (linear interpolation — Spark
+        // `percentile` ≡ DuckDB `quantile_cont`): the exact twin of the
+        // approx path; at 100 TB you reach for approx_percentile, and
+        // this pins the semantics it approximates. Array rendered as a
+        // joined string for engine-portable hashing.
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("q"))
+          .select(col("l_returnflag"),
+            expr(s"concat_ws('|', transform(q, x -> cast(${roundAtSql("x", 4)} as string)))")
+              .as("quartiles"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+              |  array_to_string(list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+              |    x -> CAST(${roundAtSql("x", 4)} AS VARCHAR)), '|') AS quartiles
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // approximate distinct (HLL): rows-only check — approximation is
     // engine-specific so no value oracle; the exact twin a11 covers the
     // semantics, this covers the scale path (constant memory per group).

@@ -129,6 +129,28 @@ object TextQueries {
              |  FROM documents)
              |SELECT doc_id, canon_fp, roll_hash, count(*) OVER (PARTITION BY canon_fp) AS n_same_fp
              |FROM f ORDER BY doc_id""".stripMargin)),
+    Q("t5_normalize_redact",
+      (s, dir) => {
+        // ingest-side text canonicalization: lowercase, redact number
+        // runs (the PII-scrub shape — swap the pattern for emails/phones
+        // in production), collapse whitespace, trim. Pure narrow
+        // codegen'd regex maps; emitted as (md5, length) so the output
+        // stays small at any corpus size. Patterns stay in the
+        // RE2 ∩ java.util.regex common subset so both engines agree.
+        Tables.documents(s, dir)
+          .withColumn("norm", trim(regexp_replace(regexp_replace(
+            lower(col("text")), "[0-9]+", "<num>"), " +", " ")))
+          .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+            length(col("norm")).cast("long").as("norm_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(norm) AS norm_md5,
+             |  CAST(length(norm) AS BIGINT) AS norm_len
+             |FROM (
+             |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |    lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS norm
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
