@@ -1,8 +1,8 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import Dq._
 
@@ -33,20 +33,31 @@ object Validator {
     (table.orderKeys ++
       table.schema.fieldNames.filterNot(table.orderKeys.contains)).map(col)
 
-  /** 0-based rank of each row in `order`, computed scalably: a
-    * range-partitioned distributed sort + zipWithIndex (per-partition
-    * offsets from one small sizing job) — NOT a row_number over a global
-    * un-partitioned Window, which would drag the whole table through a
-    * single task. Two narrow passes, nothing to the driver but partition
-    * counts; holds at raw tables far beyond one executor's memory.
+  /** 0-based rank of each row in `order`, computed scalably and entirely
+    * inside the DataFrame plan (stays lazy, codegen'd, prunable): range
+    * partition on the order keys, rank WITHIN each partition (a
+    * partition-local window — every executor sorts only its slice), then
+    * add each partition's starting offset, computed as a cumulative sum
+    * over the tiny per-partition-count aggregate (rows = #partitions) and
+    * broadcast-joined back. NOT a row_number over a global un-partitioned
+    * Window, which would drag the whole table through a single task; the
+    * range exchange is materialized once and reused by both branches.
     */
   private def withGlobalIndex(df: DataFrame,
       order: Seq[org.apache.spark.sql.Column], name: String): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val fields = StructType(sorted.schema.fields :+
-      StructField(name, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(indexed, fields)
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__gidx_pid", spark_partition_id())
+    val local = ranged.withColumn("__gidx_local",
+      row_number().over(
+        Window.partitionBy("__gidx_pid").orderBy(order: _*)).cast("long") - 1)
+    val offsets = ranged.groupBy("__gidx_pid").agg(count(lit(1)).as("__gidx_n"))
+      .withColumn("__gidx_off", coalesce(
+        sum("__gidx_n").over(Window.orderBy("__gidx_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__gidx_pid", "__gidx_off")
+    local.join(broadcast(offsets), Seq("__gidx_pid"))
+      .withColumn(name, col("__gidx_off") + col("__gidx_local"))
+      .drop("__gidx_pid", "__gidx_local", "__gidx_off")
   }
 
   /** typed view of an all-strings frame + per-column raw copies + the
