@@ -87,6 +87,25 @@ object EtlIO {
     spark.read.option("header", "true").schema(schema).csv(path)
   }
 
+  /** JSON-lines sink/source — the interchange format most
+    * training-data tooling speaks. Schema'd read (never inferred, same
+    * policy as CSV); line-delimited so the files split cleanly across
+    * executors at any size.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-layout partitioned parquet sink (e.g. month=2025-12/…): the
+    * data-lake layout that lets a reader's partition filter skip whole
+    * directories — at 100 TB the difference between scanning a month and
+    * scanning the lake. Callers pick LOW-cardinality columns.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 

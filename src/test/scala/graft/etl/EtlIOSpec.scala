@@ -18,6 +18,43 @@ class EtlIOSpec extends SparkSpec {
     assert(EtlIO.csvHeader(p) == Seq("date", "entity", "amount"))
   }
 
+  test("jsonl sink/source round-trips the fact schema") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${tmpDir("etlio_jsonl")}/fact"
+    val base = tmpDir("etlio_jsonl_raw")
+    SampleData.write(s"$base/raw", "2025-12")
+    SampleData.writeChartOfAccounts(s"$base/ref")
+    val out = Pipeline.runMonth(spark, Settings(), "2025-12",
+      s"$base/raw", s"$base/curated", s"$base/ref")
+    val fact = spark.read.parquet(out.fact)
+    EtlIO.writeJsonl(fact, dir)
+    val back = EtlIO.readJsonl(spark, dir, fact.schema)
+    assert(back.count() == fact.count())
+    // cell-level equality via full outer anti-style compare on txn_id
+    val mismatches = fact.as("a").join(back.as("b"), Seq("txn_id"))
+      .filter(fact.columns.filterNot(_ == "txn_id").map(c =>
+        !(col(s"a.$c") <=> col(s"b.$c"))).reduce(_ || _))
+    assert(mismatches.isEmpty)
+  }
+
+  test("partitioned parquet sink lays out month= dirs and reads prune partitions") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${tmpDir("etlio_part")}/fact_by_month"
+    val df = spark.range(100).toDF("id")
+      .withColumn("month", when(col("id") % 2 === 0, "2025-11").otherwise("2025-12"))
+      .withColumn("amount", col("id").cast("double"))
+    EtlIO.writePartitionedParquet(df, dir, Seq("month"))
+    val dirs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator())
+      .asScala.map(_.getFileName.toString).toSeq.filter(_.startsWith("month="))
+    assert(dirs.sorted == Seq("month=2025-11", "month=2025-12"))
+    val read = spark.read.parquet(dir).filter(col("month") === "2025-12")
+    assert(read.count() == 50)
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(month"), plan)
+  }
+
   test("a quoted comma-bearing header binds columns by name without phantoms") {
     val p = s"${tmpDir("etlio")}/q.csv"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
