@@ -151,11 +151,10 @@ object DedupQueries {
         cand
           .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
           .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-          // |A∪B| = |A|+|B|−|A∩B| for the distinct shingle sets — one
-          // array pass instead of materializing array_union
-          .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-          .withColumn("jaccard", roundAt(col("common").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("common")), 6))
+          // native codegen expression (graft.functions.JaccardSimilarity):
+          // one fused hash-set pass instead of array_intersect + sizes;
+          // value-identical to the intersect/union arithmetic
+          .withColumn("jaccard", roundAt(expr("jaccard_similarity(sha, shb)"), 6))
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -194,9 +193,7 @@ object DedupQueries {
         cand
           .join(docs.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
           .join(docs.select(col("doc_id").as("index_id"), col("sh").as("shb")), Seq("index_id"))
-          .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-          .withColumn("jaccard", roundAt(col("common").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("common")), 6))
+          .withColumn("jaccard", roundAt(expr("jaccard_similarity(sha, shb)"), 6))
           .filter(col("jaccard") >= 0.5)
           .select("new_id", "index_id", "jaccard")
           .orderBy("new_id", "index_id")

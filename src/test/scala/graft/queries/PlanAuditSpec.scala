@@ -62,6 +62,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("zip_with"), p)
   }
 
+  test("native jaccard_similarity serves the LSH verify stage") {
+    Seq("x2_dedup_minhash_lsh", "x10_dedup_incremental_lsh").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("jaccard_similarity"), s"$q:\n$p")
+      assert(!p.contains("array_intersect"), s"$q still uses array_intersect:\n$p")
+    }
+  }
+
   test("six-way analytical join broadcasts every dim side") {
     val p = plan("h2_local_supplier_volume")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
