@@ -107,6 +107,56 @@ object DedupQueries {
        |  FROM mh a JOIN mh bb ON a.doc_id = bb.doc_id
        |    AND a.seed % 2 = 0 AND bb.seed = a.seed + 1)""".stripMargin
 
+  /** MinHash(H=16) + LSH banding (B=8 bands × R=2 rows; s-curve
+    * threshold (1/8)^(1/2) ≈ 0.35) over word-bigram shingles, then exact
+    * Jaccard verification at 0.5: the verified duplicate-pair set
+    * (doc_a < doc_b, jaccard ≥ 0.5). Candidate generation is a self
+    * equi-join on (band_id, band_key) — the only O(n²) work left is
+    * within hash buckets.
+    *
+    * Cached twice, both bounded by what each consumer needs: the shingle
+    * sets feed BOTH verify joins; the band signature table (8 tiny
+    * rows/doc) feeds BOTH sides of the candidate self-join. NO broadcast
+    * hints anywhere: the signature table and shingle frames grow
+    * O(corpus), so a hard-coded broadcast would OOM the driver at real
+    * corpus sizes — unhinted, the planner/AQE size-gates the strategy
+    * and the plan degrades to shuffle joins at scale. The verify uses
+    * the native codegen jaccard_similarity (one fused hash-set pass).
+    * Shared by x2 (pair listing) and x11 (cluster building).
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(Tables.documents(s, dir))
+      .select("doc_id", "sh").cache()
+    val sig = bandSignatures(docs).cache()
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("jaccard", roundAt(expr("jaccard_similarity(sha, shb)"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** DuckDB mirror of [[lshVerifiedPairs]] as a CTE (`pairs`), appended
+    * after [[lshSigCtesSql]]; shared by the x2 and x11 oracles.
+    */
+  private lazy val lshPairsCteSql: String =
+    s"""cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b,
+       |      ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS jaccard
+       |    FROM cand JOIN d x ON cand.doc_a = x.doc_id JOIN d y ON cand.doc_b = y.doc_id)
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("x1_dedup_exact",
@@ -122,53 +172,62 @@ object DedupQueries {
              |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
 
     Q("x2_dedup_minhash_lsh",
-      (s, dir) => {
-        // MinHash(H=16) + LSH banding (B=8 bands × R=2 rows; s-curve
-        // threshold (1/8)^(1/2) ≈ 0.35) over word-bigram shingles, then
-        // exact-Jaccard verification at 0.5. Candidate generation is a
-        // self-equi-join on (band_id, band_key) — the only O(n²) work left
-        // is within hash buckets.
-        // cached twice, both bounded by what each consumer needs: the
-        // shingle sets feed BOTH verify joins; the band signature table
-        // (8 tiny rows/doc) feeds BOTH sides of the candidate self-join —
-        // without the second cache the whole minhash computation would run
-        // once per join side.
-        val docs = withShingles(Tables.documents(s, dir))
-          .select("doc_id", "sh").cache()
-        val sig = bandSignatures(docs).cache()
-        // NO broadcast hints anywhere below: the signature table and the
-        // shingle frames grow O(corpus), so a hard-coded broadcast would
-        // OOM the driver at real corpus sizes. Unhinted, the planner/AQE
-        // size-gates the strategy — broadcast when the runtime side is
-        // actually small, shuffle join on (band_id, band_key) / doc_id
-        // otherwise. That plan runs at any scale.
-        val cand = sig.as("a").join(sig.as("b"),
-            col("a.band_id") === col("b.band_id") &&
-              col("a.band_key") === col("b.band_key") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        cand
-          .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-          // native codegen expression (graft.functions.JaccardSimilarity):
-          // one fused hash-set pass instead of array_intersect + sizes;
-          // value-identical to the intersect/union arithmetic
-          .withColumn("jaccard", roundAt(expr("jaccard_similarity(sha, shb)"), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => lshVerifiedPairs(s, dir).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $lshSigCtesSql,
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sig a JOIN sig b
-              |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-              |SELECT doc_a, doc_b, jaccard FROM (
-              |  SELECT doc_a, doc_b,
-              |    ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS jaccard
-              |  FROM cand JOIN d x ON cand.doc_a = x.doc_id JOIN d y ON cand.doc_b = y.doc_id)
-              |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+              |$lshPairsCteSql
+              |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("x11_dedup_clusters",
+      (s, dir) => {
+        // connected components over the verified duplicate-pair graph —
+        // the step that turns pairwise dups into "keep ONE doc per
+        // cluster" (transitively: if a~b and b~c, all three are one
+        // cluster even when a~c itself missed the threshold).
+        // Pregel-style min-label propagation, the same scheme GraphX
+        // uses: every node starts labeled with its own id; each round a
+        // node takes the min of its own and its neighbors' labels; stop
+        // at fixpoint. Rounds = cluster diameter (dup clusters are
+        // shallow); each round is one shuffle join + partial-agg min.
+        // localCheckpoint truncates lineage so plans don't grow with
+        // rounds, and the convergence probe is a count, not a collect.
+        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").cache()
+        var labels = Tables.documents(s, dir)
+          .select(col("doc_id")).withColumn("label", col("doc_id"))
+          .localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val neighborMin = sym
+            .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+            .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
+          val next = labels.join(neighborMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+            .localCheckpoint()
+          changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+            .filter(col("n.label") =!= col("o.label")).count()
+          labels = next
+        }
+        labels.select(col("doc_id"), col("label").as("cluster_id"))
+          .withColumn("keep", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshSigCtesSql,
+              |$lshPairsCteSql,
+              |sym AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM sym
+              |  UNION
+              |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+              |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (
+              |  SELECT dd.doc_id,
+              |    least(dd.doc_id, coalesce(min(r.dst), dd.doc_id)) AS cluster_id
+              |  FROM documents dd LEFT JOIN reach r ON dd.doc_id = r.src
+              |  GROUP BY dd.doc_id)
+              |ORDER BY doc_id""".stripMargin)),
 
     Q("x10_dedup_incremental_lsh",
       (s, dir) => {
