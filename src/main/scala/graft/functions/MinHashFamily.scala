@@ -40,6 +40,26 @@ object MinHashFamily {
     * lambda folds its first 12 digits. Narrow per-row work — no explode,
     * no shuffle — shared by the LSH signature build and the sketch UDAF.
     */
+  /** JVM-side twin of the SQL base computation (fold of the first 12 md5
+    * hex digits, mod P) — used by the streaming sketch updater; must stay
+    * digit-for-digit identical to [[basesFromShinglesExprSql]].
+    */
+  def base(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    hex.foldLeft(0L)((b, c) => b * 16 + "0123456789abcdef".indexOf(c)) % P
+  }
+
+  /** distinct word-bigram shingles, matching the query-side withShingles
+    * (split on single spaces keeping empties, <2 words → none).
+    */
+  def shingles(text: String): Iterator[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 2) Iterator.empty
+    else w.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+  }
+
   def basesFromShinglesExprSql(arrCol: String): String =
     s"""transform(transform($arrCol, t -> md5(t)), h ->
        |  aggregate(transform(sequence(1, 12),

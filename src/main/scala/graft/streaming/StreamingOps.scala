@@ -140,4 +140,44 @@ object StreamingOps {
   def dedupByEventId(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- streaming MinHash sketches: ingest-time corpus fingerprinting ------
+
+  final case class DocRow(doc_id: Long, source: String, text: String)
+  final case class SketchOut(source: String, signature: String)
+
+  /** per-source MinHash(H=16) sketches maintained INCREMENTALLY as
+    * documents stream in: one Array[Long] of mins per source key, updated
+    * via mapGroupsWithState — the streaming twin of the batch
+    * MinHashSketchAgg UDAF (oracle-checked as x9). Sketch math
+    * (shingling, md5 base fold, universal hash family) is the shared
+    * [[graft.functions.MinHashFamily]], so a stream that has seen the
+    * same documents emits the exact same signature string the batch
+    * aggregator computes — the spec asserts that equality, and that
+    * re-ingesting duplicates can't move a min. State is one 16-long
+    * array per source — constant per key, the property that lets the
+    * sketch absorb an unbounded doc stream.
+    */
+  def minhashSketchStream(docs: Dataset[DocRow]): Dataset[SketchOut] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.MinHashFamily
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[Array[Long], SketchOut](GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocRow], state: GroupState[Array[Long]]) =>
+          val buf = state.getOption.getOrElse(Array.fill(MinHashFamily.H)(Long.MaxValue))
+          rows.foreach { r =>
+            MinHashFamily.shingles(r.text).foreach { t =>
+              val base = MinHashFamily.base(t)
+              var i = 0
+              while (i < MinHashFamily.H) {
+                val h = MinHashFamily.hash(i, base)
+                if (h < buf(i)) buf(i) = h
+                i += 1
+              }
+            }
+          }
+          state.update(buf)
+          SketchOut(source, buf.mkString("|"))
+      }
+  }
 }

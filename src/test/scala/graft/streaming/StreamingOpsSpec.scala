@@ -177,6 +177,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
 
+  test("streaming MinHash sketch equals the batch x9 aggregator, and dup re-ingest is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow].collect().toSeq
+    val input = MemoryStream[StreamingOps.DocRow]
+    val query = StreamingOps.minhashSketchStream(input.toDS())
+      .writeStream.format("memory").queryName("sketchstream").outputMode("update").start()
+    // two batches exercise cross-batch state merge
+    val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    val afterAll = spark.table("sketchstream").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // batch truth: the oracle-checked x9 UDAF over the same documents
+    val want = graft.SparkEntry.queries("x9_minhash_sketch_agg")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // the LAST emission per source must equal the batch sketch; emissions
+    // arrive in batch order, so take each source's final row
+    val lastPerSource = afterAll.zipWithIndex.groupBy(_._1._1)
+      .map { case (src, rows) => src -> rows.maxBy(_._2)._1._2 }
+    assert(lastPerSource == want)
+    // re-ingesting every document again cannot move a min
+    input.addData(docs); query.processAllAvailable()
+    val again = spark.table("sketchstream").collect()
+      .map(r => (r.getString(0), r.getString(1))).zipWithIndex
+      .groupBy(_._1._1).map { case (src, rows) => src -> rows.maxBy(_._2)._1._2 }
+    query.stop()
+    assert(again == want)
+  }
+
   test("json props parse on the streaming path") {
     val streamed = runStream("props")(
       df => StreamingOps.withParsedProps(
