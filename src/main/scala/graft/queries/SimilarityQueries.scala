@@ -232,6 +232,59 @@ object SimilarityQueries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
               |  FROM scored)
               |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+    Q("x12_embedding_centroids",
+      (s, dir) => {
+        // embedding hygiene for a training corpus: L2-normalize, build
+        // the per-label centroid, and report each label's cohesion (avg
+        // and min cosine of members to their centroid — low min = likely
+        // mislabeled/outlier vectors). Plan shape at scale: one
+        // posexplode + (label, dim) partial-agg for the centroid (dims
+        // are fixed-width so this shuffles |labels|·d tiny rows), one
+        // re-join on (label, dim) for the member dots, then a per-label
+        // rollup. No driver-side math; the centroid table is
+        // dimension-sized and the planner broadcasts it on its own.
+        val unit = vecs(s, dir)
+          .select(col("vec_id"), col("label"),
+            expr("transform(v, x -> x / norm)").as("u"))
+        val comp = unit.select(col("label"), posexplode(col("u")))
+          .toDF("label", "i", "x")
+        val cent = comp.groupBy("label", "i").agg(avg("x").as("c"))
+        val centNorm = cent.groupBy("label")
+          .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
+        val dots = unit.select(col("vec_id"), col("label"), posexplode(col("u")))
+          .toDF("vec_id", "label", "i", "x")
+          .join(cent, Seq("label", "i"))
+          .groupBy("vec_id", "label")
+          .agg(sum(col("x") * col("c")).as("dot"))
+        dots.join(centNorm, Seq("label"))
+          .withColumn("cos", col("dot") / col("cnorm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            roundAt(avg("cos"), 6).as("avg_cos"),
+            roundAt(min("cos"), 6).as("min_cos"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS ($vecsSql),
+              |unit AS (
+              |  SELECT vec_id, label, list_transform(v, x -> x / norm) AS u FROM e),
+              |expanded AS (
+              |  SELECT vec_id, label, t.i AS i, u[t.i + 1] AS x
+              |  FROM unit, unnest(range(0, len(u))) t(i)),
+              |comp AS (
+              |  SELECT label, i, avg(x) AS c FROM expanded GROUP BY 1, 2),
+              |centnorm AS (
+              |  SELECT label, sqrt(sum(c * c)) AS cnorm FROM comp GROUP BY 1),
+              |dots AS (
+              |  SELECT ex.vec_id, ex.label, sum(ex.x * comp.c) AS dot
+              |  FROM expanded ex JOIN comp ON comp.label = ex.label AND comp.i = ex.i
+              |  GROUP BY 1, 2),
+              |cos AS (
+              |  SELECT dots.label, dot / cnorm AS cos
+              |  FROM dots JOIN centnorm ON dots.label = centnorm.label)
+              |SELECT label, count(*) AS n_members,
+              |  ${roundAtSql("avg(cos)", 6)} AS avg_cos,
+              |  ${roundAtSql("min(cos)", 6)} AS min_cos
+              |FROM cos GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
