@@ -115,6 +115,35 @@ object SamplingQueries {
               |  FROM scored)
               |SELECT doc_id, rank, term, tf, df, score FROM ranked
               |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+    Q("y4_pack_shards",
+      (s, dir) => {
+        // sequence packing: assign docs to fixed-token-budget shards
+        // (think context-window-sized training shards). Deterministic
+        // prefix-sum formulation: within each source, docs in doc_id
+        // order fill shards of 2000 tokens; shard = floor(tokens-before-
+        // this-doc / budget). One window per source partition — at scale
+        // each source's prefix sum runs on its own executor slice; no
+        // global sort, no driver loop (a greedy bin-packer would be a
+        // sequential driver algorithm — this is the shuffle-friendly
+        // assignment the distributed pipeline actually uses).
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("shard_id", floor(col("tokens_before") / 2000).cast("long"))
+          .select("source", "doc_id", "n_tokens", "shard_id")
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id, n_tokens,
+             |  CAST(floor(tokens_before / 2000) AS BIGINT) AS shard_id
+             |FROM (
+             |  SELECT source, doc_id, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+             |  FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |        FROM documents))
+             |ORDER BY source, doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

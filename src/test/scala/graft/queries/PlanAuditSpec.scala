@@ -95,6 +95,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("split/sample assignment plans are narrow: no joins, no aggregates, one sort exchange") {
+    Seq("y1_train_val_test_split", "y2_stratified_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q unexpectedly joins:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q unexpectedly aggregates:\n$p")
+      // FormattedMode lists each node in the tree AND a detail header
+      // "(n) Exchange" — count the headers; only the output orderBy's
+      // range exchange may appear
+      assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+        s"$q has extra shuffles:\n$p")
+    }
+  }
+
   test("salted aggregation keeps two aggregation phases") {
     val p = plan("z1_salted_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 3, p) // partial+final ×2 phases (AQE may fuse one)
