@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,15 +45,12 @@ object DedupQueries {
     """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
-
   private def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b))"
 
   // universal-hash MinHash family, shared with the typed sketch
   // aggregator and reproduced in the oracles — see MinHashFamily.
-  import graft.functions.MinHashFamily.{P, hash => mhHash}
+  import graft.functions.MinHashFamily.P
   private def minhashA(i: Int): Long = graft.functions.MinHashFamily.a(i)
   private def minhashB(i: Int): Long = graft.functions.MinHashFamily.b(i)
   private val minhashASql: String = graft.functions.MinHashFamily.aSql
