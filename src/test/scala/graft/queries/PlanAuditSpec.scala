@@ -87,8 +87,11 @@ class PlanAuditSpec extends SparkSpec {
     // size gate (autoBroadcastJoinThreshold against actual stats), which
     // degrades to a shuffle join at scale — so the invariant to enforce
     // is "no ResolvedHint in the logical plan", not "no broadcast ever".
+    // (y3_tfidf_topk is excluded: its one hint broadcasts a single-row
+    // global-count aggregate — bounded by construction, not O(corpus))
     Seq("x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x5_dedup_cosine",
-        "x9_minhash_sketch_agg").foreach { q =>
+        "x9_minhash_sketch_agg", "x10_dedup_incremental_lsh",
+        "x12_embedding_centroids").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
         s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
