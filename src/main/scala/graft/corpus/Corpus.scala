@@ -1,0 +1,171 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashFamily
+
+/** Reusable corpus-curation transforms over a documents DataFrame
+  * (`doc_id` long, `text` string, plus optional strata columns) — the
+  * library surface behind the oracle-checked x/y query battery
+  * ([[graft.queries.DedupQueries]], [[graft.queries.SamplingQueries]]
+  * delegate here, so every transform's semantics are pinned against
+  * DuckDB). Compose them with plain DataFrame chaining; [[curate]] is
+  * the canonical normalize → near-dup-dedup → split pipeline.
+  *
+  * Scale posture: every step is either a narrow per-row map (normalize,
+  * bucket/split, shingling/signatures) or a key-partitioned
+  * shuffle/window (LSH band join, cluster propagation, shard prefix
+  * sums). No broadcast hints on corpus-derived tables — the planner/AQE
+  * size-gates join strategies.
+  */
+object Corpus {
+
+  // ---- shingling + MinHash/LSH signatures --------------------------------
+
+  /** distinct word-bigram shingle set of `text` (column `sh`). Guarded
+    * for <2-word texts (Spark's sequence(0,-1) would emit a phantom).
+    */
+  def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("w", split(col("text"), " "))
+      .withColumn("sh", when(size(col("w")) < 2, array().cast("array<string>"))
+        .otherwise(array_distinct(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))))
+
+  /** MinHash(H=16) → LSH band signature table (doc_id, band_id,
+    * band_key; B=8 bands × R=2 rows): one narrow per-row projection over
+    * a (doc_id, sh) frame — one md5 per shingle, pure codegen universal
+    * hashing, NO explode/shuffle. Docs with <2 words get null band keys,
+    * which fall out of any band equi-join.
+    */
+  def bandSignatures(docsWithSh: DataFrame): DataFrame = {
+    val minhash = docsWithSh
+      .withColumn("bases", expr(MinHashFamily.basesFromShinglesExprSql("sh")))
+      .select(col("doc_id") +: (0 until MinHashFamily.H).map(i =>
+        expr(s"array_min(transform(bases, x -> (${MinHashFamily.a(i)} * x + " +
+          s"${MinHashFamily.b(i)}) % ${MinHashFamily.P}))").as(s"mh$i")): _*)
+    val bandCols = (0 until 8).map(b =>
+      md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
+    minhash.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_id", "band_key")
+  }
+
+  /** LSH-verified near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
+    * `threshold` over bigram shingles). Candidates come from the band
+    * equi-join; only survivors pay the exact verify (the native codegen
+    * jaccard_similarity). Input needs (doc_id, text). The jaccard column
+    * is rounded at 6 dp BEFORE thresholding — the deterministic
+    * cross-engine contract the DuckDB oracles pin.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = withShingles(docs).select("doc_id", "sh").cache()
+    val sig = bandSignatures(sh).cache()
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        graft.functions.MoneyFunctions.roundAt(expr("jaccard_similarity(sha, shb)"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** transitive near-dup clusters: (doc_id, cluster_id, keep) with one
+    * canonical keeper (the min id) per connected component of the
+    * verified-pair graph. Pregel-style min-label propagation — one
+    * shuffle join + partial-agg min per round, localCheckpoint-truncated
+    * lineage, convergence probed by a count.
+    */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold).select("doc_a", "doc_b")
+    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  // ---- text canonicalization + splits ------------------------------------
+
+  /** ingest canonicalization: lowercase, redact number runs, collapse
+    * whitespace, trim — adds `norm` (narrow codegen'd regex maps).
+    */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.withColumn("norm", trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[0-9]+", "<num>"), " +", " ")))
+
+  /** content-addressed bucket in [0, 100): first 8 md5 hex digits of the
+    * doc id folded to an int — the same document lands in the same
+    * bucket on every run, on any cluster.
+    */
+  def withBucket(docs: DataFrame): DataFrame =
+    docs.withColumn("h8", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .withColumn("bucket", expr(
+        """aggregate(transform(sequence(1, 8),
+          |  i -> instr('0123456789abcdef', substring(h8, i, 1)) - 1),
+          |  cast(0 as bigint), (b, c) -> b * 16 + c) % 100""".stripMargin))
+      .drop("h8")
+
+  /** deterministic train/val/test assignment (80/10/10) — adds
+    * `bucket` + `split`; reproducible and incremental (new docs never
+    * reshuffle old assignments).
+    */
+  def withSplit(docs: DataFrame): DataFrame =
+    withBucket(docs).withColumn("split",
+      when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val")
+        .otherwise("test"))
+
+  /** per-stratum deterministic downsampling: keep a doc iff its bucket
+    * clears the stratum's percentage (the hash-gate version of sampleBy
+    * — reproducible, join-free).
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, r).otherwise(acc)
+    }
+    withBucket(docs).filter(col("bucket") < rate).drop("bucket")
+  }
+
+  /** token-budget shard assignment via per-group prefix sums — adds
+    * `n_tokens` + `shard_id`; no driver loop, no global sort.
+    */
+  def packShards(docs: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / budget).cast("long"))
+  }
+
+  /** the canonical curation pipeline: normalize text, drop near-dups
+    * (keep one doc per cluster), assign deterministic splits. Returns
+    * the curated corpus with `norm`, `cluster_id`, `bucket`, `split`.
+    */
+  def curate(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val clusters = dupClusters(docs, threshold)
+    withSplit(normalize(docs)
+      .join(clusters.filter(col("keep")).select("doc_id", "cluster_id"), Seq("doc_id")))
+  }
+}

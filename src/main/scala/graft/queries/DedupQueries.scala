@@ -31,15 +31,13 @@ import graft.functions.MoneyFunctions._
 object DedupQueries {
   import RelationalQueries.{Q, QFn}
 
-  /** distinct word-bigram shingle set of `text` (column `sh`).
-    * Guarded for <2-word texts: Spark's sequence(0, -1) yields [0, -1]
-    * (a phantom shingle) where DuckDB's range is empty.
+  /** distinct word-bigram shingle set of `text` (column `sh`) — shared
+    * with the library surface ([[graft.corpus.Corpus.withShingles]];
+    * guard notes there). DuckDB's range-comprehension twin is
+    * [[shinglesSql]].
     */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("w", split(col("text"), " "))
-      .withColumn("sh", when(size(col("w")) < 2, array().cast("array<string>"))
-        .otherwise(array_distinct(expr(
-          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))))
+    graft.corpus.Corpus.withShingles(df)
 
   private val shinglesSql =
     """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
@@ -64,25 +62,11 @@ object DedupQueries {
     withShingles(df).withColumn("bases",
       expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
 
-  /** MinHash(H=16) → LSH band signature table (doc_id, band_id, band_key;
-    * B=8 bands × R=2 rows): one narrow per-row projection over a
-    * (doc_id, sh) frame — one md5 per shingle, pure codegen universal
-    * hashing, NO explode/shuffle. Docs with <2 words get null band keys,
-    * which fall out of any band equi-join exactly as in the oracles.
-    * Shared by x2 (self-dedup) and x10 (incremental dedup).
+  /** MinHash→LSH band signatures — shared with the library surface
+    * ([[graft.corpus.Corpus.bandSignatures]]; construction notes there).
     */
-  private def bandSignatures(docsWithSh: DataFrame): DataFrame = {
-    val minhash = docsWithSh
-      .withColumn("bases",
-        expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
-      .select(col("doc_id") +: (0 until 16).map(i =>
-        expr(s"array_min(transform(bases, x -> (${minhashA(i)} * x + ${minhashB(i)}) % $P))")
-          .as(s"mh$i")): _*)
-    val bandCols = (0 until 8).map(b =>
-      md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
-    minhash.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band_id", "band_key")
-  }
+  private def bandSignatures(docsWithSh: DataFrame): DataFrame =
+    graft.corpus.Corpus.bandSignatures(docsWithSh)
 
   /** the DuckDB mirror of [[bandSignatures]] as WITH-clause text (CTEs
     * d → base → mh → sig), shared by the x2 and x10 oracles.
@@ -121,23 +105,8 @@ object DedupQueries {
     * the native codegen jaccard_similarity (one fused hash-set pass).
     * Shared by x2 (pair listing) and x11 (cluster building).
     */
-  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(Tables.documents(s, dir))
-      .select("doc_id", "sh").cache()
-    val sig = bandSignatures(docs).cache()
-    val cand = sig.as("a").join(sig.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .withColumn("jaccard", roundAt(expr("jaccard_similarity(sha, shb)"), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.corpus.Corpus.nearDupPairs(Tables.documents(s, dir))
 
   /** DuckDB mirror of [[lshVerifiedPairs]] as a CTE (`pairs`), appended
     * after [[lshSigCtesSql]]; shared by the x2 and x11 oracles.
@@ -180,34 +149,10 @@ object DedupQueries {
         // the step that turns pairwise dups into "keep ONE doc per
         // cluster" (transitively: if a~b and b~c, all three are one
         // cluster even when a~c itself missed the threshold).
-        // Pregel-style min-label propagation, the same scheme GraphX
-        // uses: every node starts labeled with its own id; each round a
-        // node takes the min of its own and its neighbors' labels; stop
-        // at fixpoint. Rounds = cluster diameter (dup clusters are
-        // shallow); each round is one shuffle join + partial-agg min.
-        // localCheckpoint truncates lineage so plans don't grow with
-        // rounds, and the convergence probe is a count, not a collect.
-        val pairs = lshVerifiedPairs(s, dir).select("doc_a", "doc_b")
-        val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").cache()
-        var labels = Tables.documents(s, dir)
-          .select(col("doc_id")).withColumn("label", col("doc_id"))
-          .localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          val neighborMin = sym
-            .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-            .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
-          val next = labels.join(neighborMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-            .localCheckpoint()
-          changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-            .filter(col("n.label") =!= col("o.label")).count()
-          labels = next
-        }
-        labels.select(col("doc_id"), col("label").as("cluster_id"))
-          .withColumn("keep", col("doc_id") === col("cluster_id"))
+        // Implementation (Pregel-style min-label propagation, rounds =
+        // cluster diameter, localCheckpoint-truncated lineage) lives on
+        // the library surface: graft.corpus.Corpus.dupClusters.
+        graft.corpus.Corpus.dupClusters(Tables.documents(s, dir))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $lshSigCtesSql,

@@ -20,14 +20,10 @@ import graft.functions.MoneyFunctions._
 object SamplingQueries {
   import RelationalQueries.{Q, QFn}
 
-  /** portable deterministic bucket in [0, 100): first 8 md5 hex digits of
-    * the id string folded to an int (one md5 per row, hoisted), mod 100.
+  /** DuckDB twin of [[graft.corpus.Corpus.withBucket]]: first 8 md5 hex
+    * digits of the id string folded to an int (one md5 per row, hoisted
+    * as `h8`), mod 100.
     */
-  private val bucketSparkExpr =
-    """aggregate(transform(sequence(1, 8),
-      |  i -> instr('0123456789abcdef', substring(h8, i, 1)) - 1),
-      |  cast(0 as bigint), (b, c) -> b * 16 + c) % 100""".stripMargin
-
   private val bucketDuckSql =
     """list_reduce([CAST(strpos('0123456789abcdef', substr(h8, i, 1)) - 1 AS BIGINT)
       |             for i in range(1, 9)], (b, c) -> b * 16 + c) % 100""".stripMargin
@@ -35,13 +31,8 @@ object SamplingQueries {
   val all: Seq[Q] = Seq(
 
     Q("y1_train_val_test_split",
-      (s, dir) => Tables.documents(s, dir)
-        .withColumn("h8", substring(md5(col("doc_id").cast("string")), 1, 8))
-        .withColumn("bucket", expr(bucketSparkExpr))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
+      // library surface: graft.corpus.Corpus.withSplit
+      (s, dir) => graft.corpus.Corpus.withSplit(Tables.documents(s, dir))
         .select("doc_id", "bucket", "split")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, bucket,
@@ -58,10 +49,9 @@ object SamplingQueries {
         // per-stratum deterministic downsampling: keep a doc iff its
         // bucket clears the stratum's rate (en kept at 50%, everything
         // else at 20%) — the hash-gate version of sampleBy, reproducible
-        // and join-free (sampleBy's RNG can't be oracle-checked)
-        Tables.documents(s, dir)
-          .withColumn("h8", substring(md5(col("doc_id").cast("string")), 1, 8))
-          .withColumn("bucket", expr(bucketSparkExpr))
+        // and join-free (sampleBy's RNG can't be oracle-checked).
+        // library surface: graft.corpus.Corpus.withBucket/stratifiedSample
+        graft.corpus.Corpus.withBucket(Tables.documents(s, dir))
           .withColumn("rate", when(col("lang") === "en", 50).otherwise(20))
           .filter(col("bucket") < col("rate"))
           .select("doc_id", "lang", "bucket")
@@ -126,12 +116,8 @@ object SamplingQueries {
         // global sort, no driver loop (a greedy bin-packer would be a
         // sequential driver algorithm — this is the shuffle-friendly
         // assignment the distributed pipeline actually uses).
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, dir)
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-          .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
-          .withColumn("shard_id", floor(col("tokens_before") / 2000).cast("long"))
+        // library surface: graft.corpus.Corpus.packShards
+        graft.corpus.Corpus.packShards(Tables.documents(s, dir), "source", 2000)
           .select("source", "doc_id", "n_tokens", "shard_id")
           .orderBy("source", "doc_id")
       },

@@ -137,9 +137,8 @@ object TextQueries {
         // codegen'd regex maps; emitted as (md5, length) so the output
         // stays small at any corpus size. Patterns stay in the
         // RE2 ∩ java.util.regex common subset so both engines agree.
-        Tables.documents(s, dir)
-          .withColumn("norm", trim(regexp_replace(regexp_replace(
-            lower(col("text")), "[0-9]+", "<num>"), " +", " ")))
+        // library surface: graft.corpus.Corpus.normalize
+        graft.corpus.Corpus.normalize(Tables.documents(s, dir))
           .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
             length(col("norm")).cast("long").as("norm_len"))
           .orderBy("doc_id")

@@ -1,0 +1,66 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The library-surface curation pipeline, end to end. Each building
+  * block's VALUES are already pinned by the DuckDB oracles (x2/x11/t5/
+  * y1–y4 delegate to Corpus); this spec checks the composition contract:
+  * curate() keeps exactly one doc per near-dup cluster, splits partition
+  * the kept corpus, and every transform is deterministic across runs.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, dir)
+
+  test("curate keeps exactly one doc per cluster and splits partition the keepers") {
+    val curated = Corpus.curate(docs).cache()
+    val clusters = Corpus.dupClusters(docs).cache()
+
+    // keeper count = distinct clusters; each kept doc IS its cluster head
+    assert(curated.count() == clusters.select("cluster_id").distinct().count())
+    assert(curated.filter(col("doc_id") =!= col("cluster_id")).isEmpty)
+    // no two keepers share a cluster
+    assert(curated.groupBy("cluster_id").count().filter(col("count") > 1).isEmpty)
+    // splits cover the keepers exactly, with all three classes present
+    val bySplit = curated.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit.values.sum == curated.count())
+    // normalization really applied: no double spaces, no digit runs
+    assert(curated.filter(col("norm").rlike("[0-9]|  ")).isEmpty)
+  }
+
+  test("dropped docs are exactly the non-head members of multi-doc clusters") {
+    val clusters = Corpus.dupClusters(docs)
+    val dropped = clusters.filter(!col("keep"))
+    // every dropped doc's cluster head is kept and differs from it
+    assert(dropped.filter(col("doc_id") === col("cluster_id")).isEmpty)
+    val heads = clusters.filter(col("keep")).select(col("cluster_id").as("h"))
+    assert(dropped.join(heads, col("cluster_id") === col("h"), "left_anti").isEmpty)
+  }
+
+  test("split and sample assignments are stable across runs (content-addressed)") {
+    val a = Corpus.withSplit(docs).select("doc_id", "bucket", "split").collect().toSet
+    val b = Corpus.withSplit(docs).select("doc_id", "bucket", "split").collect().toSet
+    assert(a == b)
+    val s1 = Corpus.stratifiedSample(docs, "lang", Map("en" -> 50), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.stratifiedSample(docs, "lang", Map("en" -> 50), 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty)
+  }
+
+  test("packShards respects contiguity: shard ids are non-decreasing in doc order per group") {
+    val packed = Corpus.packShards(docs, "source", 2000)
+      .select("source", "doc_id", "shard_id").collect()
+      .groupBy(_.getString(0))
+    packed.values.foreach { rows =>
+      val byDoc = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(byDoc.zip(byDoc.tail).forall { case (a, b) => a <= b })
+    }
+  }
+}
