@@ -124,6 +124,19 @@ class GoldenParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("star model notes match the committed golden modulo its stale alignment") {
+    // the reference's committed POWERBI_MODEL_NOTES.txt carries cosmetic
+    // column alignment its CURRENT generator no longer emits
+    // (export_powerbi_star_schema.py:389–413 writes single spaces);
+    // our modelNotes matches the current script byte-for-byte, so the
+    // committed artifact must match after collapsing whitespace runs
+    val got = StarSchema.modelNotes("2025-12")
+    val want = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/data/bi_star/2025-12/POWERBI_MODEL_NOTES.txt"))
+    def canon(s: String) = s.replaceAll("[ \t]+", " ").trim
+    assert(canon(got) == canon(want))
+  }
+
   test("star fact_kpi_monthly matches") {
     val factM = fact.filter(date_format(col("date"), "yyyy-MM") === "2025-12")
     val dEntity = StarSchema.dimEntity(factM, kpi)
