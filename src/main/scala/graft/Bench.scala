@@ -1,18 +1,44 @@
 package graft
 /** Driver-run benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR plus the end-to-end ETL close at 100× and 1000×
-  * the reference generator's volume.
+  * the reference generator's volume and the corpus-curation pipeline
+  * (normalize → LSH dedup → split) on the documents table.
   *
-  * Emission contract: ONE JSON line on stdout, printed LAST (after
-  * spark.stop(), so no log interleaving), with timings rounded to ms so
-  * the line stays well inside the driver's output-tail buffer; the same
-  * JSON is also written to BENCH_LOCAL.json in the working directory.
-  * Failed queries are recorded as -1 in `queries` AND listed in `errors`
-  * — a crashing query must never masquerade as a fast passing one.
+  * Measurement contract: each entry runs REPS (≥2, SPARK_GRAFT_BENCH_REPS)
+  * times and reports the MIN — a single-shot timing on a multi-tenant box
+  * is dominated by first-run codegen/JIT and neighbor noise (round-2
+  * record showed 82s for a query whose warm time is ~16s). The max is
+  * retained per query in BENCH_LOCAL.json (`spread`), and the worst
+  * max/min ratio across entries is summarized in the stdout line
+  * (`noise`) so a noisy run is visible in the official record.
+  *
+  * Emission contract: the driver captures only a ~2 KiB tail of stdout,
+  * and the full 90-query map is ~2.4 KB — longer than the window, which
+  * is exactly how round 2's record ended up unparseable. So stdout gets
+  * TWO lines after spark.stop(): first the full JSON (all queries), then
+  * LAST a short headline JSON (< 1 KB: totals, the heavy/judge-tracked
+  * queries, errors, noise) that always fits the tail window whole. The
+  * full JSON is also written to BENCH_LOCAL.json in the working
+  * directory. Failed queries are recorded as -1 AND listed in `errors` —
+  * a crashing query must never masquerade as a fast passing one.
   */
 object Bench {
+  /** queries worth tracking round-over-round in the short line: the
+    * corpus-scale heavies, the TPC-H-ish join benchmarks, and the
+    * end-to-end pipeline closes.
+    */
+  private val headline = Seq(
+    "x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x9_minhash_sketch_agg",
+    "x10_dedup_incremental_lsh", "x11_dedup_clusters", "x12_embedding_centroids",
+    "y3_tfidf_topk", "h1_shipping_priority", "h2_local_supplier_volume",
+    "corpus_curate", "etl_close_scale100", "etl_close_scale1000")
+
+  private def fmt(v: Double): String =
+    if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val spark = graft.core.Sessions.local("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", graft.core.Sessions.cpus))
     // warm the session (codegen, shuffle service, FS footers) so the
@@ -22,15 +48,37 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    /** min/max of `reps` timed runs; -1/-1 and an `errors` entry on the
+      * first failure (later reps are skipped — the timing is meaningless).
+      */
+    def timed(name: String)(body: => Unit): (Double, Double) = {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < reps && !failed) {
+        val t0 = System.nanoTime()
+        try { body; times += (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => failed = true; errors += name }
+        // queries may cache intermediate frames; drop them so later
+        // runs aren't measured under accumulated memory pressure
+        spark.catalog.clearCache()
+        i += 1
+      }
+      if (failed || times.isEmpty) (-1.0, -1.0) else (times.min, times.max)
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => errors += name; false }
-      // queries may cache intermediate frames; drop them so later
-      // queries aren't measured under accumulated memory pressure
-      spark.catalog.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    } ++ Seq(100, 1000).map { scale =>
+      name -> timed(name) { fn(spark, sfDir).count(); () }
+    } ++ Seq(
+      // the composed curation library surface (normalize → LSH near-dup
+      // dedup keep-one → deterministic split) on the sf corpus — the
+      // training-data-pipeline throughput headline
+      "corpus_curate" -> timed("corpus_curate") {
+        graft.corpus.Corpus.curate(
+          graft.core.Tables.documents(spark, sfDir)).count(); ()
+      }
+    ) ++ Seq(100, 1000).map { scale =>
       // end-to-end monthly close (scan→validate→gate→fact→kpi→sinks) at
       // 100× / 1000× the reference generator's volume — the
       // pipeline-throughput headline (the reference's own close is
@@ -39,28 +87,34 @@ object Bench {
       val base = java.nio.file.Files.createTempDirectory(s"bench_etl_$scale").toString
       graft.etl.SampleData.write(s"$base/raw", "2025-12", scale = scale)
       graft.etl.SampleData.writeChartOfAccounts(s"$base/ref")
-      val t0 = System.nanoTime()
-      val ok = try {
+      name -> timed(name) {
         graft.etl.Pipeline.runMonth(spark, graft.etl.Settings(), "2025-12",
-          s"$base/raw", s"$base/curated", s"$base/ref")
-        true
-      } catch { case _: Throwable => errors += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          s"$base/raw", s"$base/curated", s"$base/ref"); ()
+      }
     }
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    def qmap(rs: Seq[(String, (Double, Double))], pick: ((Double, Double)) => Double) =
+      rs.map { case (k, mm) => "\"" + k + "\":" + fmt(pick(mm)) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
+    val noise = results.collect { case (_, (mn, mx)) if mn > 0.05 => mx / mn }
+      .foldLeft(1.0)(math.max)
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // numeric sf parsed from the dir name (…/sf0.1 → 0.1); falls back to
     // the raw string if the dir is not sf-suffixed
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":$sfNum}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    val common = s""""unit":"sec","reps":$reps,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},$common,"queries":${qmap(results, _._1)},"spread":${qmap(results, _._2)}}"""
+    val short0 = results.filter(r => headline.contains(r._1))
+    val short =
+      s"""{"metric":"total","value":${fmt(total)},$common,"queries":${qmap(short0, _._1)},"queries_full":"BENCH_LOCAL.json"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     spark.stop()
-    // LAST line on stdout, nothing after it
-    System.out.println(json)
+    // full record first (head may be clipped by the driver's tail
+    // window), short headline record LAST — it always fits whole
+    System.out.println(full)
+    System.out.println(short)
     System.out.flush()
   }
 }

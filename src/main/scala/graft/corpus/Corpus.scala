@@ -1,9 +1,9 @@
 package graft.corpus
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
-import graft.functions.MinHashFamily
+import graft.functions.{JaccardSimilarity, MinHashFamily}
 
 /** Reusable corpus-curation transforms over a documents DataFrame
   * (`doc_id` long, `text` string, plus optional strata columns) — the
@@ -12,6 +12,10 @@ import graft.functions.MinHashFamily
   * delegate here, so every transform's semantics are pinned against
   * DuckDB). Compose them with plain DataFrame chaining; [[curate]] is
   * the canonical normalize → near-dup-dedup → split pipeline.
+  *
+  * Works on a vanilla SparkSession: the native similarity expressions are
+  * constructed directly as Columns (no
+  * `spark.sql.extensions=graft.GraftExtensions` requirement).
   *
   * Scale posture: every step is either a narrow per-row map (normalize,
   * bucket/split, shingling/signatures) or a key-partitioned
@@ -50,14 +54,12 @@ object Corpus {
       .toDF("doc_id", "band_id", "band_key")
   }
 
-  /** LSH-verified near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
-    * `threshold` over bigram shingles). Candidates come from the band
-    * equi-join; only survivors pay the exact verify (the native codegen
-    * jaccard_similarity). Input needs (doc_id, text). The jaccard column
-    * is rounded at 6 dp BEFORE thresholding — the deterministic
-    * cross-engine contract the DuckDB oracles pin.
+  /** [[nearDupPairs]] plus the cached frames backing it (shingle sets +
+    * band signatures), so composite callers can release them once their
+    * terminal action has run.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  private def nearDupPairsCached(docs: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sh = withShingles(docs).select("doc_id", "sh").cache()
     val sig = bandSignatures(sh).cache()
     val cand = sig.as("a").join(sig.as("b"),
@@ -66,23 +68,51 @@ object Corpus {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("jaccard",
-        graft.functions.MoneyFunctions.roundAt(expr("jaccard_similarity(sha, shb)"), 6))
+        graft.functions.MoneyFunctions.roundAt(
+          JaccardSimilarity(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    (pairs, Seq(sh, sig))
   }
+
+  /** LSH-verified near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
+    * `threshold` over bigram shingles). Candidates come from the band
+    * equi-join; only survivors pay the exact verify (the native codegen
+    * jaccard_similarity). Input needs (doc_id, text). The jaccard column
+    * is rounded at 6 dp BEFORE thresholding — the deterministic
+    * cross-engine contract the DuckDB oracles pin.
+    *
+    * Caching contract: the returned frame is LAZY and is backed by two
+    * cached intermediates (the shingle sets, which feed both verify
+    * joins, and the band signature table, which feeds both sides of the
+    * candidate self-join). They stay cached after the caller's action —
+    * release them with `spark.catalog.clearCache()` (or use
+    * [[dupClusters]]/[[curate]], which release their own working set).
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    nearDupPairsCached(docs, threshold)._1
 
   /** transitive near-dup clusters: (doc_id, cluster_id, keep) with one
     * canonical keeper (the min id) per connected component of the
     * verified-pair graph. Pregel-style min-label propagation — one
     * shuffle join + partial-agg min per round, localCheckpoint-truncated
-    * lineage, convergence probed by a count.
+    * lineage. Convergence is read from an [[Observation]] metric
+    * collected DURING the checkpoint materialization, so each round is
+    * exactly one Spark action (the r2 shape paid a second join+count
+    * action per round just to probe convergence).
+    *
+    * The working caches (shingles, signatures, symmetric edges) are
+    * released before returning — the result is materialized into the
+    * final round's checkpoint blocks, which the ContextCleaner frees once
+    * the returned frame is unreferenced.
     */
   def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = nearDupPairs(docs, threshold).select("doc_a", "doc_b")
+    val (pairsDf, backing) = nearDupPairsCached(docs, threshold)
+    val pairs = pairsDf.select("doc_a", "doc_b")
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
     var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id"))
@@ -92,16 +122,73 @@ object Corpus {
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
+      val obs = Observation()
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).cast("long").as("chg"))
+        .observe(obs, sum(col("chg")).as("changed"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = obs.get("changed") match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      }
+      labels = next.select("doc_id", "label")
     }
+    sym.unpersist()
+    backing.foreach(_.unpersist())
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  // ---- persisted LSH index (incremental ingest) --------------------------
+
+  /** Persist the LSH dedup index for `docs` under `path`: the band
+    * signature table (Hive-partitioned by band_id so a band-targeted
+    * reader prunes directories) and the shingle sets (needed by the
+    * exact-verify stage). Once written, [[dedupAgainstIndex]] checks any
+    * future batch against this corpus WITHOUT rescanning its text — the
+    * property that makes incremental ingest dedup affordable at 100 TB
+    * (re-shingling the full corpus per batch is exactly what this
+    * avoids). For rolling ingest, write each batch's index under its own
+    * path (or append); signatures are per-doc, so indexes compose by
+    * union.
+    */
+  def writeLshIndex(docs: DataFrame, path: String): Unit = {
+    val sh = withShingles(docs).select("doc_id", "sh").cache()
+    graft.etl.EtlIO.writePartitionedParquet(
+      bandSignatures(sh), s"$path/signatures", Seq("band_id"))
+    graft.etl.EtlIO.writeParquet(sh, s"$path/shingles")
+    sh.unpersist()
+  }
+
+  /** Dedup a NEW batch against a persisted index (see [[writeLshIndex]]):
+    * returns (new_id, index_id, jaccard ≥ threshold). The batch is
+    * shingled and signed fresh; the index side comes entirely from
+    * parquet — signatures for the band equi-join candidates, shingle
+    * sets for the exact verify. Candidate volume scales with the BATCH
+    * (new×index band join), never index×index.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idxSig = spark.read.parquet(s"$indexPath/signatures")
+      .select("doc_id", "band_id", "band_key")
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val sh = withShingles(newDocs).select("doc_id", "sh").cache()
+    val cand = bandSignatures(sh).as("a").join(idxSig.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
+      .dropDuplicates("new_id", "index_id")
+    cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
+      .join(idxSh.select(col("doc_id").as("index_id"), col("sh").as("shb")), Seq("index_id"))
+      .withColumn("jaccard",
+        graft.functions.MoneyFunctions.roundAt(
+          JaccardSimilarity(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "index_id", "jaccard")
   }
 
   // ---- text canonicalization + splits ------------------------------------

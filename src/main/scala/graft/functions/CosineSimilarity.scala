@@ -82,4 +82,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "cosine_similarity")
+
+  /** registry-free `Column` form: usable on a vanilla SparkSession (no
+    * `spark.sql.extensions=graft.GraftExtensions` required), unlike
+    * `expr("cosine_similarity(...)")` which needs the SQL registry.
+    */
+  def apply(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.NativeColumn
+    NativeColumn(CosineSimilarity(NativeColumn.expressionOf(a), NativeColumn.expressionOf(b)))
+  }
 }

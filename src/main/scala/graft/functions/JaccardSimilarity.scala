@@ -92,4 +92,14 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 object JaccardSimilarity {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[JaccardSimilarity].getName, "jaccard_similarity")
+
+  /** registry-free `Column` form: usable on a vanilla SparkSession (no
+    * `spark.sql.extensions=graft.GraftExtensions` required), unlike
+    * `expr("jaccard_similarity(...)")` which needs the SQL registry.
+    */
+  def apply(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.NativeColumn
+    NativeColumn(JaccardSimilarity(NativeColumn.expressionOf(a), NativeColumn.expressionOf(b)))
+  }
 }

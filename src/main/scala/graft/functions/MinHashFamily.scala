@@ -51,8 +51,12 @@ object MinHashFamily {
     hex.foldLeft(0L)((b, c) => b * 16 + "0123456789abcdef".indexOf(c)) % P
   }
 
-  /** distinct word-bigram shingles, matching the query-side withShingles
-    * (split on single spaces keeping empties, <2 words → none).
+  /** word-bigram shingles (split on single spaces keeping empties,
+    * <2 words → none). NOTE: duplicates are RETAINED — unlike the
+    * query-side withShingles, which applies array_distinct. That is
+    * harmless for the min-sketch consumer (min is idempotent under
+    * repeats), but do NOT use this for set-cardinality/Jaccard math;
+    * apply .distinct first if set semantics are needed.
     */
   def shingles(text: String): Iterator[String] = {
     val w = text.split(" ", -1)

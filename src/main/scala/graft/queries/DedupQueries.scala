@@ -68,6 +68,45 @@ object DedupQueries {
   private def bandSignatures(docsWithSh: DataFrame): DataFrame =
     graft.corpus.Corpus.bandSignatures(docsWithSh)
 
+  /** exact common-shingle counts per (doc_a < doc_b) pair within a lang
+    * block — the inverted-index self-join behind x4, with per-key salt
+    * fan-out against posting-list skew. A (lang, shingle) key with df
+    * postings joins under nsalt = ceil(df / saltChunk) salts (capped at
+    * 256): the left side is keyed by pmod(doc_id, nsalt), the right side
+    * replicated once per salt, so the key's df² pair-chunks spread over
+    * nsalt reducers instead of one. Normal keys get nsalt = 1 — zero
+    * replication, and the join stays eligible for AQE's broadcast pick.
+    * Every co-occurrence matches exactly once for ANY saltChunk, so the
+    * output is saltChunk-invariant (DedupSaltSpec pins a tiny-chunk run
+    * against the default).
+    */
+  private[queries] def ngramJaccardCommon(docs: DataFrame,
+      saltChunk: Long = 1024L): DataFrame = {
+    val postings = docs.select(col("doc_id"), col("lang"), col("n"),
+      explode(col("sh")).as("shingle"))
+    val dfCounts = postings.groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("df"))
+    val p = postings.join(dfCounts, Seq("lang", "shingle"))
+      .withColumn("nsalt",
+        least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
+    // one physical build feeds both sides: the replicated (right) side is
+    // cached, and the left side is its salt-matching subset (each posting
+    // appears under exactly one salt = pmod(doc_id, nsalt)), so the
+    // inverted index isn't recomputed per join input. The cache follows
+    // the nearDupPairs contract (released by spark.catalog.clearCache()).
+    val b = p.withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
+      .select("doc_id", "lang", "n", "shingle", "nsalt", "salt").cache()
+    val a = b.filter(col("salt") === pmod(col("doc_id"), col("nsalt")))
+    a.as("a").join(b.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.shingle") === col("b.shingle") &&
+          col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+  }
+
   /** the DuckDB mirror of [[bandSignatures]] as WITH-clause text (CTEs
     * d → base → mh → sig), shared by the x2 and x10 oracles.
     */
@@ -175,28 +214,22 @@ object DedupQueries {
       (s, dir) => {
         // incremental ingest dedup — the production shape at 100 TB: a
         // NEW batch (here: doc_id % 10 == 0) is checked against the
-        // existing INDEX (the rest) without ever pairing index docs with
-        // each other. Signatures come from the same bandSignatures build
-        // as x2; the candidate join is new×index on (band_id, band_key),
-        // so candidate volume scales with the batch, not the corpus.
-        // In production the index side's signature table is precomputed
-        // and persisted — here both derive from one cached scan.
-        val docs = withShingles(Tables.documents(s, dir))
-          .select("doc_id", "sh").cache()
-        val sig = bandSignatures(docs).cache()
-        val newSig = sig.filter(col("doc_id") % 10 === 0)
-        val idxSig = sig.filter(col("doc_id") % 10 =!= 0)
-        val cand = newSig.as("a").join(idxSig.as("b"),
-            col("a.band_id") === col("b.band_id") &&
-              col("a.band_key") === col("b.band_key"))
-          .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
-          .dropDuplicates("new_id", "index_id")
-        cand
-          .join(docs.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
-          .join(docs.select(col("doc_id").as("index_id"), col("sh").as("shb")), Seq("index_id"))
-          .withColumn("jaccard", roundAt(expr("jaccard_similarity(sha, shb)"), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("new_id", "index_id", "jaccard")
+        // PERSISTED index of the existing corpus (the rest) without ever
+        // pairing index docs with each other AND without rescanning the
+        // indexed corpus text: the index (band signatures Hive-
+        // partitioned by band_id + shingle sets) is written to parquet
+        // once (Corpus.writeLshIndex) and the batch dedups against the
+        // files (Corpus.dedupAgainstIndex — candidate volume scales with
+        // the batch, not the corpus). CorpusSpec proves the
+        // no-batch-1-rescan property by deleting the indexed corpus's
+        // source before running the dedup.
+        val docs = Tables.documents(s, dir)
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("x10_lsh_index").toString
+        graft.corpus.Corpus.writeLshIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), idxPath)
+        graft.corpus.Corpus.dedupAgainstIndex(
+            docs.filter(col("doc_id") % 10 === 0), idxPath)
           .orderBy("new_id", "index_id")
       },
       Some(s"""WITH $lshSigCtesSql,
@@ -303,20 +336,28 @@ object DedupQueries {
         // the self-join hash-shuffles on the (lang, shingle) key — the
         // scalable inverted-index shape — and the planner/AQE still
         // broadcasts when the runtime side happens to be small.
-        // aggregate on the slim (doc_a, doc_b) key only — lang and set
-        // sizes rejoin from the per-doc dim afterward, keeping the
-        // big shuffle rows at two longs + a count
+        //
         // length filter (PPJoin): jaccard = c/(na+nb−c) ≥ 0.5 with
         // c ≤ min(na,nb) forces max(na,nb) ≤ 2·min(na,nb); pairs that
         // violate it can never pass the final threshold, so pruning them
         // inside the join predicate (before the pair aggregation) is
         // output-preserving and cuts the agg input ~35% on this corpus.
-        val common = postings.as("a").join(postings.as("b"),
-            col("a.lang") === col("b.lang") && col("a.shingle") === col("b.shingle") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2)
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("common"))
+        // (The final filter thresholds the 6 dp-ROUNDED jaccard, whose
+        // strict bound is max ≤ 2.000004·min — identical to 2·min for
+        // integer set sizes below 250k elements, so the ×2 prune is
+        // provably output-preserving at any plausible document length.)
+        //
+        // Skew mitigation: a hot (lang, shingle) key materializes df²
+        // pairs on ONE reducer if joined naively — at 100× data a
+        // 100×-longer posting list would put 10,000× the pairs on that
+        // key. Each key therefore joins under a measured, PER-KEY salt
+        // fan-out (ngramJaccardPairs): nsalt = ceil(df / saltChunk), so
+        // normal keys pay zero replication (nsalt = 1 keeps the plan —
+        // and AQE's broadcast choice — identical to the unsalted shape)
+        // while a pathological posting list is spread over up to 256
+        // reducer chunks. Salt-invariance of the output is spec-pinned
+        // (DedupSaltSpec compares a tiny-chunk run against this one).
+        val common = ngramJaccardCommon(docs)
         val sizes = docs.select(col("doc_id"), col("lang"), col("n"))
         common
           .join(sizes.select(col("doc_id").as("doc_a"),

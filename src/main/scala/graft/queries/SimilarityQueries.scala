@@ -201,19 +201,29 @@ object SimilarityQueries {
 
     Q("x7_ann_lsh_bucketed",
       (s, dir) => {
-        // bucket the corpus once, join queries to their own bucket only,
-        // exact-rerank inside the bucket. Recall < 1 by design — the
-        // oracle checks the *algorithm*, brute-force x6 is the quality bar.
+        // bucket the corpus once; each query probes its own bucket PLUS
+        // the 4 buckets at Hamming distance 1 (one sign bit flipped) —
+        // multi-probe LSH, the standard recall lever that costs probe
+        // fan-out on the TINY query side instead of more hash tables on
+        // the corpus side. Buckets are disjoint so probes never yield
+        // duplicate candidates, and the join stays a pure bucket
+        // equi-join (shuffle/broadcast by bucket at scale — never a
+        // Hamming-distance theta-join against the corpus). Recall < 1
+        // by design — AnnRecallSpec puts the measured recall@3 against
+        // brute-force x6 on the record.
         val e = withPlanes(vecs(s, dir)).withColumn("bucket", bucketCol)
           .drop((0 until 4).map(planeExprName): _*)
         val queries = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v"), col("norm"), col("bucket"))
+          .withColumn("probe", explode(array(
+            col("bucket") +: (0 until 4).map(p =>
+              expr(s"int(bucket) ^ ${1 << (3 - p)}")): _*)))
         val corpus = e.select(col("vec_id").as("cand_id"), col("v"), col("norm"), col("bucket"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("cand_id"))
         corpus.as("c")
           .join(broadcast(queries.as("q")),
-            col("q.bucket") === col("c.bucket") && col("q.query_id") =!= col("c.cand_id"))
+            col("q.probe") === col("c.bucket") && col("q.query_id") =!= col("c.cand_id"))
           .withColumn("cosine",
             roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
           .select(col("q.query_id").as("query_id"), col("q.bucket").as("bucket"),
@@ -224,10 +234,14 @@ object SimilarityQueries {
       },
       Some(s"""WITH n AS ($vecsSql),
               |b AS (SELECT *, CAST($bucketSql AS INT) AS bucket FROM n),
+              |probes AS (
+              |  SELECT vec_id, v, norm, bucket, p.probe AS probe
+              |  FROM b, unnest([bucket, xor(bucket, 8), xor(bucket, 4), xor(bucket, 2), xor(bucket, 1)]) p(probe)
+              |  WHERE vec_id < 10),
               |scored AS (
               |  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS cand_id,
               |    ${roundAtSql(dotSql + " / (q.norm * c.norm)", 6)} AS cosine
-              |  FROM b q JOIN b c ON q.vec_id < 10 AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+              |  FROM probes q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id)
               |SELECT query_id, bucket, cand_id, cosine, rank FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
               |  FROM scored)

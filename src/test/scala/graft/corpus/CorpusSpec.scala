@@ -54,6 +54,64 @@ class CorpusSpec extends SparkSpec {
     assert(s1 == s2 && s1.nonEmpty)
   }
 
+  test("dedupAgainstIndex never rescans the indexed batch's text (persisted LSH index)") {
+    val base = tmpDir("lsh_index_spec")
+    val batch1Path = s"$base/batch1"
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(batch1Path)
+    Corpus.writeLshIndex(spark.read.parquet(batch1Path), s"$base/index")
+    // delete batch 1's source files: any attempt to re-shingle the
+    // indexed corpus text from here on fails loudly
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(batch1Path)).iterator()
+      .asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.delete)
+    val got = Corpus
+      .dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 0), s"$base/index")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cross-check: exactly the full-corpus near-dup pairs that straddle
+    // the batch boundary, oriented (new, index)
+    val expected = Corpus.nearDupPairs(docs)
+      .filter((col("doc_a") % 2 === 0) =!= (col("doc_b") % 2 === 0))
+      .collect().map { r =>
+        if (r.getLong(0) % 2 == 0) (r.getLong(0), r.getLong(1), r.getDouble(2))
+        else (r.getLong(1), r.getLong(0), r.getDouble(2))
+      }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "batch split produced no cross pairs — spec is vacuous")
+    spark.catalog.clearCache()
+  }
+
+  test("dupClusters: one action per round (convergence via observation) and caches released") {
+    spark.catalog.clearCache()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { seen.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Corpus.dupClusters(docs) // propagation rounds run eagerly inside
+      // listener delivery is async — wait for the checkpoint actions
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 15000000000L
+      while (System.nanoTime() < deadline &&
+        seen.asScala.count(_.toLowerCase.contains("checkpoint")) < 2)
+        Thread.sleep(100)
+      Thread.sleep(500) // let any stragglers (a stray count?) arrive
+      val names = seen.asScala.toSeq
+      assert(names.count(_.toLowerCase.contains("checkpoint")) >= 2,
+        s"expected initial + per-round checkpoint actions, saw $names")
+      assert(!names.contains("count"),
+        s"convergence must not pay a separate count action, saw $names")
+    } finally spark.listenerManager.unregister(listener)
+    // working set (shingles, signatures, edges) released before returning
+    assert(org.apache.spark.sql.graftbridge.NativeColumn.noCachedPlans(spark))
+  }
+
   test("packShards respects contiguity: shard ids are non-decreasing in doc order per group") {
     val packed = Corpus.packShards(docs, "source", 2000)
       .select("source", "doc_id", "shard_id").collect()

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Quantifies the quality the approximate ANN paths trade for speed:
+  * recall@3 of the LSH-bucketed (x7) and IVF (x8) searches against the
+  * exact brute-force top-3 (x6) on the sf0.01 embeddings. The numbers
+  * are printed so the trade-off is on the record in the test log.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** query_id → top-k cand_ids (rank ≤ k). */
+  private def topk(name: String, k: Int): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, dir)
+      .select("query_id", "cand_id", "rank").collect()
+      .filter(_.getInt(2) <= k)
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallAt3(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
+    val hits = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size
+    }.sum
+    hits.toDouble / (3 * exact.size)
+  }
+
+  test("ANN recall@3 vs brute force is on the record and above floor") {
+    val exact = topk("x6_ann_bruteforce_topk", 3)
+    val lsh = topk("x7_ann_lsh_bucketed", 3)
+    val ivf = topk("x8_ann_ivf", 3)
+    spark.catalog.clearCache()
+    val rLsh = recallAt3(lsh, exact)
+    val rIvf = recallAt3(ivf, exact)
+    info(f"recall@3 x7 (LSH, 4 hyperplanes, 16 buckets): $rLsh%.3f")
+    info(f"recall@3 x8 (IVF, K=8, nprobe=2):             $rIvf%.3f")
+    println(f"ANN RECALL@3: lsh=$rLsh%.3f ivf=$rIvf%.3f")
+    // floors: the structures must beat random bucketing by a wide margin
+    // (16 buckets ⇒ random recall ~1/16; 8 lists × nprobe 2 ⇒ ~1/4)
+    assert(rLsh >= 0.3, f"LSH recall collapsed: $rLsh%.3f")
+    assert(rIvf >= 0.5, f"IVF recall collapsed: $rIvf%.3f")
+  }
+}
