@@ -94,20 +94,76 @@ object SimilarityQueries {
     "list_reduce([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)], (x, y) -> x + y)" +
       " / (q.norm * c.norm)"
 
+  /** Lloyd rounds unrolled for the IVF quantizer (x8) — the Spark fold
+    * and this CTE chain MUST stay step-for-step identical.
+    */
+  private val LLOYD_ITERS = 2
+
+  /** CTE chain cent0 → asg1/clf1/cent1 → … → cent{LLOYD_ITERS}: assign
+    * every vector to its nearest previous-round centroid (rounded
+    * cosine, ties by centroid id), re-center each (centroid, dim) on the
+    * member mean rounded at 6 dp — the rounding that makes both engines'
+    * differently-ordered float sums agree — then reassemble ordered
+    * arrays + norms for the next round's cosine.
+    */
+  private def lloydCtesSql: String = (1 to LLOYD_ITERS).map { k =>
+    s"""asg$k AS (
+       |  SELECT centroid_id, vec_id, v FROM (
+       |    SELECT c.vec_id AS vec_id, c.v AS v, q.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS rnk
+       |    FROM n c CROSS JOIN cent${k - 1} q)
+       |  WHERE rnk = 1),
+       |clf$k AS (
+       |  SELECT centroid_id, t.i AS i, ${roundAtSql("avg(v[t.i + 1])", 6)} AS c
+       |  FROM asg$k, unnest(range(0, len(v))) t(i) GROUP BY 1, 2),
+       |cent$k AS (
+       |  SELECT centroid_id, v,
+       |    sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (x, y) -> x + y)) AS norm
+       |  FROM (SELECT centroid_id, list(c ORDER BY i) AS v FROM clf$k GROUP BY 1))""".stripMargin
+  }.mkString(",\n")
+
   val all: Seq[Q] = Seq(
 
     Q("x8_ann_ivf",
       (s, dir) => {
         // IVF (inverted-file) ANN: a coarse quantizer of K=8 centroids
-        // (deterministically the first 8 vectors — a real deployment
-        // k-means-trains these; the *index structure* is what's under
-        // test) partitions the corpus into posting lists; a query probes
-        // its nprobe=2 nearest lists and exact-reranks only those.
-        // At scale the corpus is shuffled once by centroid id and each
-        // query touches nprobe/K of the data.
+        // partitions the corpus into posting lists; a query probes its
+        // nprobe=2 nearest lists and exact-reranks only those. At scale
+        // the corpus is shuffled once by centroid id and each query
+        // touches nprobe/K of the data.
+        //
+        // The quantizer is TRAINED: LLOYD_ITERS unrolled Lloyd rounds
+        // seeded from the first 8 vectors — assign every vector to its
+        // nearest centroid (rounded cosine, ties by centroid id), then
+        // re-center on the per-dimension member mean. Centroid
+        // components are rounded at 6 dp, which is what lets the DuckDB
+        // oracle (same unrolled rounds as CTEs) reproduce them exactly
+        // despite the engines' different float-summation orders — the
+        // same contract x12's centroid oracle relies on. Training is
+        // K·N narrow work per round (broadcast of 8 centroids, one
+        // corpus pass, (centroid, dim) partial agg) — nothing all-pairs.
+        // AnnRecallSpec puts the trained recall@3 on the record.
         val e = vecs(s, dir)
-        val centroids = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("centroid_id"), col("v"), col("norm"))
+        val seed = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("v"))
+        def lloydStep(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos").desc, col("centroid_id"))
+          e.select(col("vec_id"), col("v")).as("c")
+            .join(broadcast(cents.as("q")))
+            .withColumn("cos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+            .select(col("c.vec_id").as("vec_id"), col("c.v").as("v"),
+              col("q.centroid_id").as("centroid_id"), col("cos"))
+            .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+            .select(col("centroid_id"), posexplode(col("v")))
+            .toDF("centroid_id", "i", "x")
+            .groupBy("centroid_id", "i").agg(roundAt(avg("x"), 6).as("c"))
+            .groupBy("centroid_id")
+            .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+              .as("v"))
+        }
+        val centroids = (1 to LLOYD_ITERS).foldLeft(seed)((c, _) => lloydStep(c))
         // corpus → nearest centroid (rank 1 by cosine desc, id asc)
         val assignW = Window.partitionBy("cand_id")
           .orderBy(col("ccos").desc, col("centroid_id"))
@@ -146,20 +202,21 @@ object SimilarityQueries {
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH n AS ($vecsSql),
-              |cent AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
+              |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
+              |$lloydCtesSql,
               |assigned AS (
               |  SELECT cand_id, v, norm, centroid_id FROM (
               |    SELECT c.vec_id AS cand_id, c.v AS v, c.norm AS norm, q.centroid_id,
               |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
               |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS arnk
-              |    FROM n c CROSS JOIN cent q)
+              |    FROM n c CROSS JOIN cent$LLOYD_ITERS q)
               |  WHERE arnk = 1),
               |probes AS (
               |  SELECT query_id, v, norm, centroid_id FROM (
               |    SELECT c.vec_id AS query_id, c.v AS v, c.norm AS norm, q.centroid_id,
               |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
               |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS prnk
-              |    FROM n c CROSS JOIN cent q WHERE c.vec_id < 10)
+              |    FROM n c CROSS JOIN cent$LLOYD_ITERS q WHERE c.vec_id < 10)
               |  WHERE prnk <= 2),
               |scored AS (
               |  SELECT DISTINCT q.query_id, c.cand_id,

@@ -34,12 +34,14 @@ class AnnRecallSpec extends SparkSpec {
     spark.catalog.clearCache()
     val rLsh = recallAt3(lsh, exact)
     val rIvf = recallAt3(ivf, exact)
-    info(f"recall@3 x7 (LSH, 4 hyperplanes, 16 buckets): $rLsh%.3f")
-    info(f"recall@3 x8 (IVF, K=8, nprobe=2):             $rIvf%.3f")
+    info(f"recall@3 x7 (multi-probe LSH, 4 planes, Hamming-1 probes): $rLsh%.3f")
+    info(f"recall@3 x8 (IVF, K=8 Lloyd-trained, nprobe=2):           $rIvf%.3f")
     println(f"ANN RECALL@3: lsh=$rLsh%.3f ivf=$rIvf%.3f")
     // floors: the structures must beat random bucketing by a wide margin
-    // (16 buckets ⇒ random recall ~1/16; 8 lists × nprobe 2 ⇒ ~1/4)
+    // (16 buckets ⇒ random recall ~1/16; 8 lists × nprobe 2 ⇒ ~1/4).
+    // Measured on this corpus: single-probe LSH 0.167 → multi-probe
+    // 0.433; untrained IVF 0.833 → Lloyd-trained 0.900.
     assert(rLsh >= 0.3, f"LSH recall collapsed: $rLsh%.3f")
-    assert(rIvf >= 0.5, f"IVF recall collapsed: $rIvf%.3f")
+    assert(rIvf >= 0.6, f"IVF recall collapsed: $rIvf%.3f")
   }
 }
