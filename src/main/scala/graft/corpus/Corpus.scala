@@ -200,6 +200,34 @@ object Corpus {
     docs.withColumn("norm", trim(regexp_replace(regexp_replace(
       lower(col("text")), "[0-9]+", "<num>"), " +", " ")))
 
+  /** Gopher/C4-style quality-filter signals, one narrow codegen'd pass:
+    * word count, duplicate-word fraction (repetition), numeric-character
+    * fraction, symbol-word fraction (words with no ASCII letter), and
+    * the keep/drop decision at fixed thresholds. Fractions are rounded
+    * at 6 dp (the cross-engine contract). Swap thresholds per corpus;
+    * the *mechanism* — per-doc signals → boolean gate, no shuffle — is
+    * the 100 TB shape.
+    */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.MoneyFunctions.roundAt(c, 6)
+    docs.withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("dup_word_fraction", r6(lit(1.0) -
+        size(array_distinct(col("w"))).cast("double") / col("n_words")))
+      .withColumn("numeric_char_fraction", r6(
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+          greatest(length(col("text")), lit(1))))
+      .withColumn("symbol_word_fraction", r6(
+        size(expr("filter(w, x -> NOT x rlike '[a-z]')")).cast("double") /
+          col("n_words")))
+      .withColumn("keep",
+        col("n_words").between(5, 5000) &&
+          col("dup_word_fraction") <= 0.6 &&
+          col("symbol_word_fraction") <= 0.3)
+      .drop("w")
+  }
+
   /** content-addressed bucket in [0, 100): first 8 md5 hex digits of the
     * doc id folded to an int — the same document lands in the same
     * bucket on every run, on any cluster.

@@ -43,7 +43,7 @@ object DedupQueries {
     """SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
-  private def jaccardSql(a: String, b: String): String =
+  private[queries] def jaccardSql(a: String, b: String): String =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct($a || $b))"
 
   // universal-hash MinHash family, shared with the typed sketch
@@ -110,7 +110,7 @@ object DedupQueries {
   /** the DuckDB mirror of [[bandSignatures]] as WITH-clause text (CTEs
     * d → base → mh → sig), shared by the x2 and x10 oracles.
     */
-  private lazy val lshSigCtesSql: String =
+  private[queries] lazy val lshSigCtesSql: String =
     s"""d AS ($shinglesSql),
        |base AS (
        |  SELECT doc_id, list_transform(sh, t ->

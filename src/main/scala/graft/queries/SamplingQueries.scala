@@ -130,6 +130,67 @@ object SamplingQueries {
              |  FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |        FROM documents))
              |ORDER BY source, doc_id""".stripMargin)),
+
+    Q("y5_contamination_check",
+      (s, dir) => {
+        // train/eval contamination sweep — the check every training-data
+        // pipeline must run before shipping a split: eval (val+test)
+        // docs that near- or exact-duplicate a train doc. Candidates
+        // come from the same LSH band equi-join as x2 (eval signatures ×
+        // train signatures — never train × train), survivors pay the
+        // exact jaccard verify, and exactness is flagged by content
+        // digest. At 100 TB the train side is the persisted x10 index;
+        // candidate volume scales with the (small) eval split.
+        import graft.corpus.Corpus
+        val docs = Corpus.withSplit(Tables.documents(s, dir))
+        val sh = Corpus.withShingles(docs)
+          .select(col("doc_id"), col("sh"), col("split"),
+            md5(col("text")).as("digest")).cache()
+        val evalSig = Corpus.bandSignatures(sh.filter(col("split") =!= "train"))
+        val trainSig = Corpus.bandSignatures(sh.filter(col("split") === "train"))
+        val cand = evalSig.as("a").join(trainSig.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_key") === col("b.band_key"))
+          .select(col("a.doc_id").as("eval_id"), col("b.doc_id").as("train_id"))
+          .dropDuplicates("eval_id", "train_id")
+        cand
+          .join(sh.select(col("doc_id").as("eval_id"), col("sh").as("sha"),
+            col("digest").as("da")), Seq("eval_id"))
+          .join(sh.select(col("doc_id").as("train_id"), col("sh").as("shb"),
+            col("digest").as("db")), Seq("train_id"))
+          .withColumn("jaccard",
+            roundAt(graft.functions.JaccardSimilarity(col("sha"), col("shb")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .withColumn("is_exact", col("da") === col("db"))
+          .select("eval_id", "train_id", "jaccard", "is_exact")
+          .orderBy("eval_id", "train_id")
+      },
+      Some(s"""WITH ${DedupQueries.lshSigCtesSql},
+              |sp AS (
+              |  SELECT doc_id,
+              |    CASE WHEN bucket < 80 THEN 'train'
+              |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+              |  FROM (
+              |    SELECT doc_id, $bucketDuckSql AS bucket
+              |    FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+              |          FROM documents))),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS train_id
+              |  FROM sig a
+              |  JOIN sig b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              |  JOIN sp sa ON sa.doc_id = a.doc_id
+              |  JOIN sp sb ON sb.doc_id = b.doc_id
+              |  WHERE sa.split <> 'train' AND sb.split = 'train')
+              |SELECT eval_id, train_id, jaccard, is_exact FROM (
+              |  SELECT cand.eval_id, cand.train_id,
+              |    ${roundAtSql(DedupQueries.jaccardSql("x.sh", "y.sh"), 6)} AS jaccard,
+              |    md5(dx.text) = md5(dy.text) AS is_exact
+              |  FROM cand
+              |  JOIN d x ON cand.eval_id = x.doc_id
+              |  JOIN d y ON cand.train_id = y.doc_id
+              |  JOIN documents dx ON dx.doc_id = cand.eval_id
+              |  JOIN documents dy ON dy.doc_id = cand.train_id)
+              |WHERE jaccard >= 0.5 ORDER BY eval_id, train_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -356,6 +356,57 @@ object SimilarityQueries {
               |  ${roundAtSql("avg(cos)", 6)} AS avg_cos,
               |  ${roundAtSql("min(cos)", 6)} AS min_cos
               |FROM cos GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("x13_embedding_quantization",
+      (s, dir) => {
+        // int8 scalar quantization of the embedding store — the 4×
+        // compression a 100 TB vector corpus takes before anything else.
+        // Per-dimension min/max over the corpus (exact — mins/maxes of
+        // input floats are order-independent) define the affine code;
+        // each component maps to floor((x-mn)/(mx-mn)*255 + 0.5), all
+        // scalar IEEE ops, bit-identical across engines. The report is
+        // the per-label reconstruction quality (MSE + worst absolute
+        // error, 6 dp) — the number that decides whether int8 is safe
+        // for the recall target. Plan shape: one posexplode, a
+        // dim-keyed (64-row) range table the planner broadcasts on its
+        // own, and a (label) partial agg — no all-pairs, no driver math.
+        val comp = vecs(s, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("v")))
+          .toDF("vec_id", "label", "i", "x")
+        val rng = comp.groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+        val rec = comp.join(rng, Seq("i"))
+          .withColumn("qv", when(col("mx") === col("mn"), lit(0L))
+            .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * 255 + 0.5).cast("long")))
+          .withColumn("r",
+            col("mn") + col("qv").cast("double") / 255.0 * (col("mx") - col("mn")))
+        rec.groupBy("label")
+          .agg(countDistinct("vec_id").as("n_members"),
+            roundAt(avg((col("x") - col("r")) * (col("x") - col("r"))), 6).as("mse"),
+            roundAt(max(abs(col("x") - col("r"))), 6).as("max_abs_err"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |comp AS (
+              |  SELECT vec_id, label, t.i AS i, v[t.i + 1] AS x
+              |  FROM e, unnest(range(0, len(v))) t(i)),
+              |rng AS (
+              |  SELECT i, min(x) AS mn, max(x) AS mx FROM comp GROUP BY 1),
+              |rec AS (
+              |  SELECT vec_id, label, x,
+              |    mn + CAST(qv AS DOUBLE) / 255.0 * (mx - mn) AS r
+              |  FROM (
+              |    SELECT vec_id, label, x, mn, mx,
+              |      CASE WHEN mx = mn THEN 0
+              |           ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+              |      END AS qv
+              |    FROM comp JOIN rng USING (i)))
+              |SELECT label, count(DISTINCT vec_id) AS n_members,
+              |  ${roundAtSql("avg((x - r) * (x - r))", 6)} AS mse,
+              |  ${roundAtSql("max(abs(x - r))", 6)} AS max_abs_err
+              |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

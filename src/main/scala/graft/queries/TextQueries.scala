@@ -150,6 +150,31 @@ object TextQueries {
              |    lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS norm
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
+
+    Q("t6_quality_signals",
+      (s, dir) => {
+        // Gopher/C4-style quality-filter suite: repetition
+        // (duplicate-word fraction), numeric-character fraction,
+        // symbol-word fraction, word-count bounds → keep/drop gate.
+        // One narrow codegen'd pass per doc, no shuffle — the filter
+        // stage every pretraining pipeline runs before tokenization.
+        // library surface: graft.corpus.Corpus.qualitySignals
+        graft.corpus.Corpus.qualitySignals(Tables.documents(s, dir))
+          .select("doc_id", "n_words", "dup_word_fraction",
+            "numeric_char_fraction", "symbol_word_fraction", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_words, dup_word_fraction, numeric_char_fraction,
+              |  symbol_word_fraction,
+              |  (n_words BETWEEN 5 AND 5000) AND dup_word_fraction <= 0.6
+              |    AND symbol_word_fraction <= 0.3 AS keep
+              |FROM (
+              |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+              |    ${roundAtSql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 6)} AS dup_word_fraction,
+              |    ${roundAtSql("CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)", 6)} AS numeric_char_fraction,
+              |    ${roundAtSql("CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)", 6)} AS symbol_word_fraction
+              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+              |ORDER BY doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
