@@ -407,6 +407,94 @@ object SimilarityQueries {
               |  ${roundAtSql("avg((x - r) * (x - r))", 6)} AS mse,
               |  ${roundAtSql("max(abs(x - r))", 6)} AS max_abs_err
               |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("x14_product_quantization",
+      (s, dir) => {
+        // product quantization — the codebook compression behind IVF-PQ,
+        // the structure that actually serves billion-vector ANN: the 64
+        // dims split into M=8 subspaces of 8; each subspace learns a
+        // K=4-centroid codebook (one Lloyd round seeded from the first 4
+        // vectors' subvectors; squared-L2 assignment as a SEQUENTIAL
+        // fold so both engines compute bit-identical distances, rounded
+        // at 6 dp before ranking; re-centered means rounded at 6 dp —
+        // the x8 contract); a vector stores M 2-bit codes (2 bytes vs
+        // the raw 256). The report is per-label reconstruction MSE +
+        // worst absolute error — directly comparable with x13's int8
+        // numbers: the compression-vs-fidelity ladder. Plan shape:
+        // codebooks are (M·K)-row broadcasts, assignment is one narrow
+        // pass per round, re-centering a (s, cid, dim) partial agg.
+        val subs = vecs(s, dir).select(col("vec_id"), col("label"),
+            posexplode(expr("transform(sequence(0, 7), s -> slice(v, s * 8 + 1, 8))")))
+          .toDF("vec_id", "label", "s", "sub")
+        val cb0 = subs.filter(col("vec_id") < 4)
+          .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
+        def assign(cb: DataFrame): DataFrame = {
+          val w = Window.partitionBy("vec_id", "s")
+            .orderBy(col("dist"), col("cid"))
+          subs.as("c").join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
+            .withColumn("dist", roundAt(expr(
+              """aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)),
+                |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6))
+            .select(col("c.vec_id").as("vec_id"), col("c.label").as("label"),
+              col("c.s").as("s"), col("c.sub").as("sub"),
+              col("q.cid").as("cid"), col("q.cent").as("cent"), col("dist"))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") === 1).drop("rnk", "dist")
+        }
+        val cb1 = assign(cb0)
+          .select(col("s"), col("cid"), posexplode(col("sub")))
+          .toDF("s", "cid", "j", "x")
+          .groupBy("s", "cid", "j").agg(roundAt(avg("x"), 6).as("c"))
+          .groupBy("s", "cid")
+          .agg(expr("transform(array_sort(collect_list(struct(j, c))), t -> t.c)")
+            .as("cent"))
+        assign(cb1)
+          .select(col("vec_id"), col("label"),
+            posexplode(expr("zip_with(sub, cent, (a, b) -> a - b)")))
+          .toDF("vec_id", "label", "j", "d")
+          .groupBy("label")
+          .agg(countDistinct("vec_id").as("n_members"),
+            roundAt(avg(col("d") * col("d")), 6).as("mse"),
+            roundAt(max(abs(col("d"))), 6).as("max_abs_err"))
+          .orderBy("label")
+      },
+      Some {
+        val distSql = roundAtSql(
+          "list_reduce([(c.sub[j] - q.cent[j]) * (c.sub[j] - q.cent[j]) " +
+            "for j in range(1, 9)], (x, y) -> x + y)", 6)
+        s"""WITH e AS (
+           |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |subs AS (
+           |  SELECT vec_id, label, t.s AS s, v[t.s * 8 + 1 : t.s * 8 + 8] AS sub
+           |  FROM e, unnest(range(0, 8)) t(s)),
+           |cb0 AS (SELECT s, vec_id AS cid, sub AS cent FROM subs WHERE vec_id < 4),
+           |asg0 AS (
+           |  SELECT vec_id, label, s, sub, cid, cent FROM (
+           |    SELECT c.vec_id, c.label, c.s, c.sub, q.cid, q.cent,
+           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+           |        ORDER BY $distSql ASC, q.cid ASC) AS rnk
+           |    FROM subs c JOIN cb0 q ON c.s = q.s)
+           |  WHERE rnk = 1),
+           |cbl AS (
+           |  SELECT s, cid, t.j AS j, ${roundAtSql("avg(sub[t.j + 1])", 6)} AS c
+           |  FROM asg0, unnest(range(0, 8)) t(j) GROUP BY 1, 2, 3),
+           |cb1 AS (SELECT s, cid, list(c ORDER BY j) AS cent FROM cbl GROUP BY 1, 2),
+           |fin AS (
+           |  SELECT vec_id, label, s, sub, cid, cent FROM (
+           |    SELECT c.vec_id, c.label, c.s, c.sub, q.cid, q.cent,
+           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+           |        ORDER BY $distSql ASC, q.cid ASC) AS rnk
+           |    FROM subs c JOIN cb1 q ON c.s = q.s)
+           |  WHERE rnk = 1),
+           |errs AS (
+           |  SELECT vec_id, label, sub[t.j + 1] - cent[t.j + 1] AS d
+           |  FROM fin, unnest(range(0, 8)) t(j))
+           |SELECT label, count(DISTINCT vec_id) AS n_members,
+           |  ${roundAtSql("avg(d * d)", 6)} AS mse,
+           |  ${roundAtSql("max(abs(d))", 6)} AS max_abs_err
+           |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
