@@ -123,6 +123,80 @@ object SimilarityQueries {
        |  FROM (SELECT centroid_id, list(c ORDER BY i) AS v FROM clf$k GROUP BY 1))""".stripMargin
   }.mkString(",\n")
 
+  // ---- product quantization (x14 reconstruction, x15 ADC search) ---------
+
+  /** per-vector subvectors: (vec_id, label, s, sub) — M=8 subspaces of
+    * 8 dims each.
+    */
+  private def pqSubs(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).select(col("vec_id"), col("label"),
+        posexplode(expr("transform(sequence(0, 7), s -> slice(v, s * 8 + 1, 8))")))
+      .toDF("vec_id", "label", "s", "sub")
+
+  /** nearest-centroid assignment per (vector, subspace): squared-L2 as a
+    * sequential zip_with fold, rounded at 6 dp BEFORE ranking (the
+    * cross-engine tie contract), ties by centroid id.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("cid"))
+    subs.as("c").join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
+      .withColumn("dist", roundAt(expr(
+        """aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)),
+          |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6))
+      .select(col("c.vec_id").as("vec_id"), col("c.label").as("label"),
+        col("c.s").as("s"), col("c.sub").as("sub"),
+        col("q.cid").as("cid"), col("q.cent").as("cent"), col("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).drop("rnk", "dist")
+  }
+
+  /** one-Lloyd-round K=16 codebook per subspace: seeds are the first 16
+    * vectors' subvectors; re-centered on the 6dp-rounded member means
+    * (the x8 training contract, which the oracle CTEs reproduce).
+    */
+  private val PQ_K = 16
+
+  private def pqCodebook(subs: DataFrame): DataFrame = {
+    val cb0 = subs.filter(col("vec_id") < PQ_K)
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
+    pqAssign(subs, cb0)
+      .select(col("s"), col("cid"), posexplode(col("sub")))
+      .toDF("s", "cid", "j", "x")
+      .groupBy("s", "cid", "j").agg(roundAt(avg("x"), 6).as("c"))
+      .groupBy("s", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(j, c))), t -> t.c)")
+        .as("cent"))
+  }
+
+  private lazy val pqDistSql = roundAtSql(
+    "list_reduce([(c.sub[j] - q.cent[j]) * (c.sub[j] - q.cent[j]) " +
+      "for j in range(1, 9)], (x, y) -> x + y)", 6)
+
+  private def pqAssignSql(cbName: String): String =
+    s"""SELECT vec_id, label, s, sub, cid, cent FROM (
+       |    SELECT c.vec_id, c.label, c.s, c.sub, q.cid, q.cent,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
+       |        ORDER BY $pqDistSql ASC, q.cid ASC) AS rnk
+       |    FROM subs c JOIN $cbName q ON c.s = q.s)
+       |  WHERE rnk = 1""".stripMargin
+
+  /** shared oracle CTEs n → subs → cb0 → asg0 → cbl → cb1 (the trained
+    * codebooks), mirrored by pqSubs/pqCodebook.
+    */
+  private lazy val pqCtesSql =
+    s"""n AS ($vecsSql),
+       |subs AS (
+       |  SELECT vec_id, label, t.s AS s, v[t.s * 8 + 1 : t.s * 8 + 8] AS sub
+       |  FROM n, unnest(range(0, 8)) t(s)),
+       |cb0 AS (SELECT s, vec_id AS cid, sub AS cent FROM subs WHERE vec_id < $PQ_K),
+       |asg0 AS (${pqAssignSql("cb0")}),
+       |cbl AS (
+       |  SELECT s, cid, t.j AS j, ${roundAtSql("avg(sub[t.j + 1])", 6)} AS c
+       |  FROM asg0, unnest(range(0, 8)) t(j) GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT s, cid, list(c ORDER BY j) AS cent FROM cbl GROUP BY 1, 2)""".stripMargin
+
+  private lazy val pqFinalAssignSql = pqAssignSql("cb1")
+
   val all: Seq[Q] = Seq(
 
     Q("x8_ann_ivf",
@@ -413,42 +487,20 @@ object SimilarityQueries {
         // product quantization — the codebook compression behind IVF-PQ,
         // the structure that actually serves billion-vector ANN: the 64
         // dims split into M=8 subspaces of 8; each subspace learns a
-        // K=4-centroid codebook (one Lloyd round seeded from the first 4
+        // K=16-centroid codebook (one Lloyd round seeded from the first 16
         // vectors' subvectors; squared-L2 assignment as a SEQUENTIAL
         // fold so both engines compute bit-identical distances, rounded
         // at 6 dp before ranking; re-centered means rounded at 6 dp —
-        // the x8 contract); a vector stores M 2-bit codes (2 bytes vs
+        // the x8 contract); a vector stores M 4-bit codes (4 bytes vs
         // the raw 256). The report is per-label reconstruction MSE +
         // worst absolute error — directly comparable with x13's int8
         // numbers: the compression-vs-fidelity ladder. Plan shape:
         // codebooks are (M·K)-row broadcasts, assignment is one narrow
         // pass per round, re-centering a (s, cid, dim) partial agg.
-        val subs = vecs(s, dir).select(col("vec_id"), col("label"),
-            posexplode(expr("transform(sequence(0, 7), s -> slice(v, s * 8 + 1, 8))")))
-          .toDF("vec_id", "label", "s", "sub")
-        val cb0 = subs.filter(col("vec_id") < 4)
-          .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
-        def assign(cb: DataFrame): DataFrame = {
-          val w = Window.partitionBy("vec_id", "s")
-            .orderBy(col("dist"), col("cid"))
-          subs.as("c").join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
-            .withColumn("dist", roundAt(expr(
-              """aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)),
-                |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6))
-            .select(col("c.vec_id").as("vec_id"), col("c.label").as("label"),
-              col("c.s").as("s"), col("c.sub").as("sub"),
-              col("q.cid").as("cid"), col("q.cent").as("cent"), col("dist"))
-            .withColumn("rnk", row_number().over(w))
-            .filter(col("rnk") === 1).drop("rnk", "dist")
-        }
-        val cb1 = assign(cb0)
-          .select(col("s"), col("cid"), posexplode(col("sub")))
-          .toDF("s", "cid", "j", "x")
-          .groupBy("s", "cid", "j").agg(roundAt(avg("x"), 6).as("c"))
-          .groupBy("s", "cid")
-          .agg(expr("transform(array_sort(collect_list(struct(j, c))), t -> t.c)")
-            .as("cent"))
-        assign(cb1)
+        // x15 searches over these codes; shared build in pqSubs/
+        // pqCodebook/pqAssign.
+        val subs = pqSubs(s, dir)
+        pqAssign(subs, pqCodebook(subs))
           .select(col("vec_id"), col("label"),
             posexplode(expr("zip_with(sub, cent, (a, b) -> a - b)")))
           .toDF("vec_id", "label", "j", "d")
@@ -458,43 +510,90 @@ object SimilarityQueries {
             roundAt(max(abs(col("d"))), 6).as("max_abs_err"))
           .orderBy("label")
       },
-      Some {
-        val distSql = roundAtSql(
-          "list_reduce([(c.sub[j] - q.cent[j]) * (c.sub[j] - q.cent[j]) " +
-            "for j in range(1, 9)], (x, y) -> x + y)", 6)
-        s"""WITH e AS (
-           |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |subs AS (
-           |  SELECT vec_id, label, t.s AS s, v[t.s * 8 + 1 : t.s * 8 + 8] AS sub
-           |  FROM e, unnest(range(0, 8)) t(s)),
-           |cb0 AS (SELECT s, vec_id AS cid, sub AS cent FROM subs WHERE vec_id < 4),
-           |asg0 AS (
-           |  SELECT vec_id, label, s, sub, cid, cent FROM (
-           |    SELECT c.vec_id, c.label, c.s, c.sub, q.cid, q.cent,
-           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
-           |        ORDER BY $distSql ASC, q.cid ASC) AS rnk
-           |    FROM subs c JOIN cb0 q ON c.s = q.s)
-           |  WHERE rnk = 1),
-           |cbl AS (
-           |  SELECT s, cid, t.j AS j, ${roundAtSql("avg(sub[t.j + 1])", 6)} AS c
-           |  FROM asg0, unnest(range(0, 8)) t(j) GROUP BY 1, 2, 3),
-           |cb1 AS (SELECT s, cid, list(c ORDER BY j) AS cent FROM cbl GROUP BY 1, 2),
-           |fin AS (
-           |  SELECT vec_id, label, s, sub, cid, cent FROM (
-           |    SELECT c.vec_id, c.label, c.s, c.sub, q.cid, q.cent,
-           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.s
-           |        ORDER BY $distSql ASC, q.cid ASC) AS rnk
-           |    FROM subs c JOIN cb1 q ON c.s = q.s)
-           |  WHERE rnk = 1),
-           |errs AS (
-           |  SELECT vec_id, label, sub[t.j + 1] - cent[t.j + 1] AS d
-           |  FROM fin, unnest(range(0, 8)) t(j))
-           |SELECT label, count(DISTINCT vec_id) AS n_members,
-           |  ${roundAtSql("avg(d * d)", 6)} AS mse,
-           |  ${roundAtSql("max(abs(d))", 6)} AS max_abs_err
-           |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin
-      }),
+      Some(s"""WITH $pqCtesSql,
+              |fin AS ($pqFinalAssignSql),
+              |errs AS (
+              |  SELECT vec_id, label, sub[t.j + 1] - cent[t.j + 1] AS d
+              |  FROM fin, unnest(range(0, 8)) t(j))
+              |SELECT label, count(DISTINCT vec_id) AS n_members,
+              |  ${roundAtSql("avg(d * d)", 6)} AS mse,
+              |  ${roundAtSql("max(abs(d))", 6)} AS max_abs_err
+              |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("x15_ann_pq_adc",
+      (s, dir) => {
+        // ANN search over the PQ codes (x14's trained codebooks) by
+        // asymmetric distance computation — the memory-bandwidth play
+        // that makes billion-vector search feasible: candidates are
+        // never decoded; each query precomputes a tiny per-subspace
+        // lookup table (query_sub · centroid, M·K = 128 entries) and a
+        // candidate's approximate cosine is table lookups summed over
+        // its M codes, normalized by the code-implied norm. Plan shape:
+        // the corpus side is the narrow (vec_id, s, cid) code table; the
+        // per-query tables and the code-norm table are bounded
+        // broadcasts; the only shuffle is the (query, cand) partial-agg
+        // over M=8 rows per pair. Recall@3 vs exact x6 is on the record
+        // in AnnRecallSpec.
+        val subs = pqSubs(s, dir)
+        val cb = pqCodebook(subs)
+        val codes = pqAssign(subs, cb)
+          .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+        // per-(s, cid) squared norm of the centroid — query-independent
+        val cn2 = cb.select(col("s"), col("cid"), roundAt(expr(
+          """aggregate(transform(cent, x -> x * x),
+            |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("cn2"))
+        // per-query subspace inner-product tables
+        val dt = subs.filter(col("vec_id") < 10).as("c")
+          .join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
+          .select(col("c.vec_id").as("query_id"), col("c.s").as("s"),
+            col("q.cid").as("cid"),
+            roundAt(expr(
+              """aggregate(zip_with(sub, cent, (a, b) -> a * b),
+                |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("ipd"))
+        val qn = vecs(s, dir).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("norm").as("qnorm"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("acos").desc, col("cand_id"))
+        codes
+          .join(broadcast(dt), Seq("s", "cid"))
+          .join(broadcast(cn2), Seq("s", "cid"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .groupBy("query_id", "cand_id")
+          .agg(sum("ipd").as("ip"), sum("cn2").as("c2"))
+          .join(broadcast(qn), Seq("query_id"))
+          .withColumn("acos", roundAt(col("ip") / (col("qnorm") * sqrt(col("c2"))), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "cand_id", "acos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $pqCtesSql,
+              |fin AS ($pqFinalAssignSql),
+              |codes AS (SELECT vec_id AS cand_id, s, cid FROM fin),
+              |cn2 AS (
+              |  SELECT s, cid,
+              |    ${roundAtSql("list_reduce([cent[j] * cent[j] for j in range(1, 9)], (x, y) -> x + y)", 6)} AS cn2
+              |  FROM cb1),
+              |dt AS (
+              |  SELECT c.vec_id AS query_id, c.s AS s, q.cid AS cid,
+              |    ${roundAtSql("list_reduce([c.sub[j] * q.cent[j] for j in range(1, 9)], (x, y) -> x + y)", 6)} AS ipd
+              |  FROM subs c JOIN cb1 q ON c.s = q.s WHERE c.vec_id < 10),
+              |qn AS (SELECT vec_id AS query_id, norm AS qnorm FROM n WHERE vec_id < 10),
+              |agg AS (
+              |  SELECT dt.query_id, codes.cand_id, sum(dt.ipd) AS ip, sum(cn2.cn2) AS c2
+              |  FROM codes
+              |  JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+              |  JOIN cn2 ON cn2.s = codes.s AND cn2.cid = codes.cid
+              |  WHERE dt.query_id <> codes.cand_id
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT agg.query_id, agg.cand_id,
+              |    ${roundAtSql("agg.ip / (qn.qnorm * sqrt(agg.c2))", 6)} AS acos
+              |  FROM agg JOIN qn ON qn.query_id = agg.query_id)
+              |SELECT query_id, cand_id, acos, rank FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY acos DESC, cand_id) AS rank FROM scored)
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

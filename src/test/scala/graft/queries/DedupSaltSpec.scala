@@ -35,6 +35,25 @@ class DedupSaltSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("salting bounds the per-(key, salt) posting volume (chunk=8)") {
+    // the balance property behind the fan-out: after salting, no join
+    // key carries more than ~chunk postings on the keyed side, so no
+    // reducer can receive a df² pair block. (Same nsalt/salt formula as
+    // ngramJaccardCommon; pmod spread isn't perfectly uniform → 3× slack.)
+    val chunk = 8L
+    val postings = shingled.select(col("doc_id"), col("lang"),
+      explode(col("sh")).as("shingle"))
+    val dfc = postings.groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+    val maxPer = postings.join(dfc, Seq("lang", "shingle"))
+      .withColumn("nsalt",
+        least(ceil(col("df") / lit(chunk.toDouble)), lit(256L)).cast("int"))
+      .withColumn("salt", pmod(col("doc_id"), col("nsalt")))
+      .groupBy("lang", "shingle", "salt").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxPer <= 3 * chunk,
+      s"hot key not spread: max per-(key, salt) posting volume $maxPer")
+  }
+
   test("the tiny chunk really engages the fan-out (corpus has df > 2 keys)") {
     val maxDf = shingled
       .select(col("lang"), explode(col("sh")).as("shingle"))
