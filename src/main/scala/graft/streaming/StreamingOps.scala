@@ -146,6 +146,24 @@ object StreamingOps {
   final case class DocRow(doc_id: Long, source: String, text: String)
   final case class SketchOut(source: String, signature: String)
 
+  /** streaming corpus-ingest front half — the curation intake as a
+    * stream: quality-gate ([[graft.corpus.Corpus.qualitySignals]]'s
+    * keep decision) → exact content dedup (first arrival of each digest
+    * wins) → normalize; emits (digest, norm) per distinct surviving
+    * content. The gate and normalize are stateless narrow maps; the
+    * dedup keeps one digest key per distinct content — on an unbounded
+    * 100 TB ingest you bound that state with an ingest-time watermark
+    * (`dropDuplicatesWithinWatermark`, exactly [[dedupByEventId]]'s
+    * shape); the documents table has no event-time column, so this
+    * keeps the exact unbounded form the spec can equate with batch.
+    */
+  def curateIngestStream(docs: DataFrame): DataFrame =
+    graft.corpus.Corpus.normalize(
+        graft.corpus.Corpus.qualitySignals(docs).filter(col("keep")))
+      .withColumn("digest", md5(col("text")))
+      .dropDuplicates("digest")
+      .select("digest", "norm")
+
   /** per-source MinHash(H=16) sketches maintained INCREMENTALLY as
     * documents stream in: one Array[Long] of mins per source key, updated
     * via mapGroupsWithState — the streaming twin of the batch

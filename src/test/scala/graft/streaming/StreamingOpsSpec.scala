@@ -177,6 +177,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
 
+  test("streaming curate-ingest (gate → dedup → normalize) equals its batch execution") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+    val docs = docsDf.select($"doc_id", $"source", $"text")
+      .as[StreamingOps.DocRow].collect().toSeq
+    val input = MemoryStream[StreamingOps.DocRow]
+    val query = StreamingOps.curateIngestStream(input.toDF())
+      .writeStream.format("memory").queryName("curateingest")
+      .outputMode("append").start()
+    // two batches: dedup state must carry across them
+    val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    val got = spark.table("curateingest").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    query.stop()
+    // batch truth: same gate + digest-distinct + normalize
+    val expected = graft.corpus.Corpus.normalize(
+        graft.corpus.Corpus.qualitySignals(docsDf).filter($"keep"))
+      .select(md5($"text").as("digest"), $"norm").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the corpus has exact duplicates — the dedup must actually drop rows
+    assert(got.size < docs.size)
+  }
+
   test("streaming MinHash sketch equals the batch x9 aggregator, and dup re-ingest is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.core.Tables.documents(spark, sfDir)
