@@ -274,13 +274,21 @@ object Corpus {
         floor(coalesce(sum("n_tokens").over(w), lit(0L)) / budget).cast("long"))
   }
 
-  /** the canonical curation pipeline: normalize text, drop near-dups
-    * (keep one doc per cluster), assign deterministic splits. Returns
-    * the curated corpus with `norm`, `cluster_id`, `bucket`, `split`.
+  /** the canonical curation pipeline: (optionally) quality-gate, then
+    * normalize text, drop near-dups (keep one doc per cluster), assign
+    * deterministic splits. Returns the curated corpus with `norm`,
+    * `cluster_id`, `bucket`, `split`. With `qualityGate` on, docs
+    * failing [[qualitySignals]]' keep decision are dropped BEFORE
+    * dedup — the usual intake order (no point clustering garbage).
     */
-  def curate(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val clusters = dupClusters(docs, threshold)
-    withSplit(normalize(docs)
+  def curate(docs: DataFrame, threshold: Double = 0.5,
+      qualityGate: Boolean = false): DataFrame = {
+    val base =
+      if (qualityGate) qualitySignals(docs).filter(col("keep"))
+        .select(docs.columns.map(col): _*)
+      else docs
+    val clusters = dupClusters(base, threshold)
+    withSplit(normalize(base)
       .join(clusters.filter(col("keep")).select("doc_id", "cluster_id"), Seq("doc_id")))
   }
 }

@@ -112,6 +112,18 @@ class CorpusSpec extends SparkSpec {
     assert(org.apache.spark.sql.graftbridge.NativeColumn.noCachedPlans(spark))
   }
 
+  test("quality-gated curate == curate over the pre-filtered corpus") {
+    val gated = Corpus.curate(docs, qualityGate = true)
+      .select("doc_id", "cluster_id", "split").collect().toSet
+    val prefiltered = Corpus.curate(
+        Corpus.qualitySignals(docs).filter(col("keep"))
+          .select(docs.columns.map(col): _*))
+      .select("doc_id", "cluster_id", "split").collect().toSet
+    assert(gated == prefiltered)
+    assert(gated.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("packShards respects contiguity: shard ids are non-decreasing in doc order per group") {
     val packed = Corpus.packShards(docs, "source", 2000)
       .select("source", "doc_id", "shard_id").collect()
