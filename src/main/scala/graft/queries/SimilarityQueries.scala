@@ -159,6 +159,9 @@ object SimilarityQueries {
   private def pqCodebook(subs: DataFrame): DataFrame = {
     val cb0 = subs.filter(col("vec_id") < PQ_K)
       .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
+    // cached: M·K = 128 rows, and every consumer (final assignment, the
+    // per-query lookup tables, the code-norm table) would otherwise
+    // re-run the whole training subtree. Released by clearCache().
     pqAssign(subs, cb0)
       .select(col("s"), col("cid"), posexplode(col("sub")))
       .toDF("s", "cid", "j", "x")
@@ -166,6 +169,7 @@ object SimilarityQueries {
       .groupBy("s", "cid")
       .agg(expr("transform(array_sort(collect_list(struct(j, c))), t -> t.c)")
         .as("cent"))
+      .cache()
   }
 
   private lazy val pqDistSql = roundAtSql(
@@ -237,7 +241,10 @@ object SimilarityQueries {
             .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
               .as("v"))
         }
+        // cached: 8 rows, consumed by both the corpus assignment and the
+        // query probes — training must not re-run per consumer
         val centroids = (1 to LLOYD_ITERS).foldLeft(seed)((c, _) => lloydStep(c))
+          .cache()
         // corpus → nearest centroid (rank 1 by cosine desc, id asc)
         val assignW = Window.partitionBy("cand_id")
           .orderBy(col("ccos").desc, col("centroid_id"))
