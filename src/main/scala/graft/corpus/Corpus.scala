@@ -42,16 +42,28 @@ object Corpus {
     * hashing, NO explode/shuffle. Docs with <2 words get null band keys,
     * which fall out of any band equi-join.
     */
-  def bandSignatures(docsWithSh: DataFrame): DataFrame = {
+  def bandSignatures(docsWithSh: DataFrame): DataFrame =
+    bandSignaturesCarrying(docsWithSh, Nil)
+
+  /** [[bandSignatures]] with extra input columns carried through to the
+    * output (doc_id, carry…, band_id, band_key). The streaming
+    * incremental-dedup path carries the shingle set itself so the
+    * verify stage never has to join the stream back against itself
+    * (a stream-stream self-join would need watermarks; a carried
+    * column is free).
+    */
+  def bandSignaturesCarrying(docsWithSh: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val keyCols = col("doc_id") +: carry.map(col)
     val minhash = docsWithSh
       .withColumn("bases", expr(MinHashFamily.basesFromShinglesExprSql("sh")))
-      .select(col("doc_id") +: (0 until MinHashFamily.H).map(i =>
+      .select(keyCols ++ (0 until MinHashFamily.H).map(i =>
         expr(s"array_min(transform(bases, x -> (${MinHashFamily.a(i)} * x + " +
           s"${MinHashFamily.b(i)}) % ${MinHashFamily.P}))").as(s"mh$i")): _*)
     val bandCols = (0 until 8).map(b =>
       md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
-    minhash.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band_id", "band_key")
+    minhash.select(keyCols :+ posexplode(array(bandCols: _*)): _*)
+      .toDF(("doc_id" +: carry) ++ Seq("band_id", "band_key"): _*)
   }
 
   /** [[nearDupPairs]] plus the cached frames backing it (shingle sets +

@@ -164,6 +164,44 @@ object StreamingOps {
       .dropDuplicates("digest")
       .select("digest", "norm")
 
+  /** incremental LSH dedup as a STREAM: each arriving document is
+    * checked against the persisted on-disk index
+    * ([[graft.corpus.Corpus.writeLshIndex]]) — signatures for the band
+    * candidates, shingle sets for the exact verify — via stream-static
+    * joins, so the indexed corpus is never rescanned and nothing pairs
+    * index docs with each other. The stream's own shingle set is
+    * CARRIED through the signature build (bandSignaturesCarrying)
+    * instead of re-joined, because a stream-stream self-join would need
+    * watermarks the data doesn't have. Emits (new_id, index_id,
+    * jaccard ≥ threshold); the (new_id, index_id) dropDuplicates is the
+    * only stateful op (a doc pairs with an index doc once even when
+    * they share several bands). The streaming twin of the batch
+    * [[graft.corpus.Corpus.dedupAgainstIndex]] (oracle-checked as x10);
+    * the spec pins stream = batch.
+    */
+  def dedupStreamAgainstIndex(newDocs: DataFrame, indexPath: String,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.corpus.Corpus
+    val spark = newDocs.sparkSession
+    val idxSig = spark.read.parquet(s"$indexPath/signatures")
+      .select("doc_id", "band_id", "band_key")
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val sig = Corpus.bandSignaturesCarrying(
+      Corpus.withShingles(newDocs).select("doc_id", "sh"), Seq("sh"))
+    sig.as("a").join(idxSig.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("new_id"), col("a.sh").as("sha"),
+        col("b.doc_id").as("index_id"))
+      .dropDuplicates("new_id", "index_id")
+      .join(idxSh.select(col("doc_id").as("index_id"), col("sh").as("shb")),
+        Seq("index_id"))
+      .withColumn("jaccard", graft.functions.MoneyFunctions.roundAt(
+        graft.functions.JaccardSimilarity(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "index_id", "jaccard")
+  }
+
   /** per-source MinHash(H=16) sketches maintained INCREMENTALLY as
     * documents stream in: one Array[Long] of mins per source key, updated
     * via mapGroupsWithState — the streaming twin of the batch

@@ -177,6 +177,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.groupBy("event_id").count().filter($"count" > 1).isEmpty)
   }
 
+  test("streaming incremental dedup against the persisted index equals batch x10") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("stream_lsh_index").toString
+    graft.corpus.Corpus.writeLshIndex(docsDf.filter($"doc_id" % 2 =!= 0), idxPath)
+    val newDocs = docsDf.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow].collect().toSeq
+    val input = MemoryStream[StreamingOps.DocRow]
+    val query = StreamingOps.dedupStreamAgainstIndex(input.toDF(), idxPath)
+      .writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    // two micro-batches: the pair dedup state must carry across them
+    val (b1, b2) = newDocs.partition(_.doc_id % 4 == 0)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    val got = spark.table("streamdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    query.stop()
+    val expected = graft.corpus.Corpus
+      .dedupAgainstIndex(docsDf.filter($"doc_id" % 2 === 0), idxPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "no cross pairs — spec is vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("streaming curate-ingest (gate → dedup → normalize) equals its batch execution") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = graft.core.Tables.documents(spark, sfDir)
