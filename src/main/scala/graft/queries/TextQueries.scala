@@ -175,6 +175,47 @@ object TextQueries {
               |    ${roundAtSql("CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)", 6)} AS symbol_word_fraction
               |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
               |ORDER BY doc_id""".stripMargin)),
+
+    Q("t7_unigram_logprob",
+      (s, dir) => {
+        // CCNet/KenLM-style LM quality scoring with a self-trained
+        // unigram model: p(w|lang) = corpus count ratios (exact ints →
+        // one double division), per-doc score = avg ln p over its words
+        // (rounded at 6 dp — ln/exp agree across libms at that
+        // precision, the y3 contract), perplexity = exp(−score) of the
+        // ROUNDED score so both engines exponentiate the same double.
+        // High-perplexity docs are the "unnatural text" a pretraining
+        // filter drops. Plan shape: one (lang, word) shuffle with
+        // map-side combine for the model, a vocabulary-sized prob table
+        // the planner/AQE broadcasts, one (doc, lang) partial agg.
+        val words = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+        val langTotals = words.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val probs = words.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+          .join(langTotals, Seq("lang"))
+          .withColumn("lp", log(col("cnt").cast("double") / col("n_lang")))
+        words.join(probs.select("lang", "w", "lp"), Seq("lang", "w"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_words"), roundAt(avg("lp"), 6).as("avg_logprob"))
+          .withColumn("perplexity", roundAt(exp(-col("avg_logprob")), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+              |lt AS (SELECT lang, count(*) AS n_lang FROM words GROUP BY 1),
+              |probs AS (
+              |  SELECT c.lang, c.w, ln(CAST(c.cnt AS DOUBLE) / lt.n_lang) AS lp
+              |  FROM (SELECT lang, w, count(*) AS cnt FROM words GROUP BY 1, 2) c
+              |  JOIN lt USING (lang)),
+              |scored AS (
+              |  SELECT words.doc_id, words.lang, count(*) AS n_words,
+              |    ${roundAtSql("avg(probs.lp)", 6)} AS avg_logprob
+              |  FROM words JOIN probs ON probs.lang = words.lang AND probs.w = words.w
+              |  GROUP BY 1, 2)
+              |SELECT doc_id, lang, n_words, avg_logprob,
+              |  ${roundAtSql("exp(-avg_logprob)", 6)} AS perplexity
+              |FROM scored ORDER BY doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
