@@ -274,6 +274,50 @@ object DedupQueries {
            |FROM b GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    Q("x16_sketch_source_overlap",
+      (s, dir) => {
+        // the sketches in USE: estimated Jaccard between SOURCES from
+        // their MinHash signatures (fraction of agreeing positions, the
+        // classic unbiased estimator) — the triage step that decides
+        // which source pairs are worth a full pairwise dedup at 100 TB.
+        // Each source collapses to 16 longs (the x9 sketch, same
+        // universal-hash family), so the pairwise stage compares
+        // |sources|² tiny rows — never documents. One explode+groupBy
+        // with map-side partial min builds all sketches in a pass.
+        val sk = withShingleBases(Tables.documents(s, dir))
+          .select(col("source"), explode(col("bases")).as("base"))
+          .groupBy("source")
+          .agg(min(expr(s"(${minhashA(0)} * base + ${minhashB(0)}) % $P")).as("mh0"),
+            (1 until 16).map(i =>
+              min(expr(s"(${minhashA(i)} * base + ${minhashB(i)}) % $P")).as(s"mh$i")): _*)
+        val agree = (0 until 16).map(i =>
+          when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0)).reduce(_ + _)
+        sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+          .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+            agree.cast("long").as("n_agree"))
+          .withColumn("est_jaccard", roundAt(col("n_agree").cast("double") / 16.0, 6))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT source,
+              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)
+              |                 for i in range(1, 13)], (x, y) -> x * 16 + y) % $P AS base
+              |  FROM (
+              |    SELECT source, unnest(list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS t
+              |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+              |mh AS (
+              |  SELECT source, h,
+              |    min(($minhashASql[h + 1] * base + $minhashBSql[h + 1]) % $P) AS mhv
+              |  FROM b, unnest(range(0, 16)) t(h) GROUP BY 1, 2),
+              |ag AS (
+              |  SELECT x.source AS source_a, y.source AS source_b,
+              |    CAST(sum(CASE WHEN x.mhv = y.mhv THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+              |  FROM mh x JOIN mh y ON x.h = y.h AND x.source < y.source
+              |  GROUP BY 1, 2)
+              |SELECT source_a, source_b, n_agree,
+              |  ${roundAtSql("CAST(n_agree AS DOUBLE) / 16.0", 6)} AS est_jaccard
+              |FROM ag ORDER BY 1, 2""".stripMargin)),
+
     Q("x3_dedup_simhash",
       (s, dir) => {
         // 16-bit SimHash over the distinct-word set: per bit j, sum ±1
