@@ -88,6 +88,49 @@ object EventQueries {
              |  count(CASE WHEN k IS NULL THEN 1 END) AS null_k
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("e5_funnel_stages",
+      (s, dir) => {
+        // ordered funnel (view → click → purchase): each stage's
+        // timestamp is the min event time strictly after the previous
+        // stage — the staged-min formulation keeps everything as
+        // per-user aggregations + dimension-sized joins (no per-user
+        // sequence materialization, no UDF pattern matching), which is
+        // the shape that survives a 100 TB event log: three filtered
+        // partial-agg passes and two joins on the user key.
+        val ev = Tables.eventsTs(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t_view"))
+        val s2 = ev.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+          .filter(col("ts_us") > col("t_view"))
+          .groupBy("user_id").agg(min("ts_us").as("t_click"))
+        val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+          .filter(col("ts_us") > col("t_click"))
+          .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .withColumn("converted", col("t_purchase").isNotNull)
+          .select("user_id", "t_view", "t_click", "t_purchase", "converted")
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |s1 AS (
+             |  SELECT user_id, min(ts_us) AS t_view FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT ev.user_id, min(ts_us) AS t_click
+             |  FROM ev JOIN s1 ON s1.user_id = ev.user_id
+             |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.t_view GROUP BY 1),
+             |s3 AS (
+             |  SELECT ev.user_id, min(ts_us) AS t_purchase
+             |  FROM ev JOIN s2 ON s2.user_id = ev.user_id
+             |  WHERE ev.event_type = 'purchase' AND ev.ts_us > s2.t_click GROUP BY 1)
+             |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+             |  s3.t_purchase IS NOT NULL AS converted
+             |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+             |        LEFT JOIN s3 ON s3.user_id = s1.user_id
+             |ORDER BY s1.user_id""".stripMargin)),
+
     Q("m1_binary_plumbing",
       (s, dir) => {
         // multimodal plumbing shape: opaque binary payload + typed
