@@ -186,33 +186,62 @@ object Corpus {
     sh.unpersist()
   }
 
+  /** persisted-index readers ([[writeLshIndex]]'s layout) — shared by
+    * the batch and streaming incremental-dedup paths so the layout has
+    * exactly one definition.
+    */
+  private[graft] def readIndexSignatures(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/signatures")
+      .select("doc_id", "band_id", "band_key")
+
+  private[graft] def readIndexShingles(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/shingles")
+
+  /** exact-verify tail shared by the batch and streaming incremental
+    * paths: candidates (new_id, sha, index_id) join the index shingle
+    * sets, jaccard rounded at 6 dp before thresholding (the oracle
+    * contract).
+    */
+  private[graft] def verifyAgainstIndex(candWithSha: DataFrame,
+      idxSh: DataFrame, threshold: Double): DataFrame =
+    candWithSha
+      .join(idxSh.select(col("doc_id").as("index_id"), col("sh").as("shb")),
+        Seq("index_id"))
+      .withColumn("jaccard",
+        graft.functions.MoneyFunctions.roundAt(
+          JaccardSimilarity(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "index_id", "jaccard")
+
   /** Dedup a NEW batch against a persisted index (see [[writeLshIndex]]):
     * returns (new_id, index_id, jaccard ≥ threshold). The batch is
     * shingled and signed fresh; the index side comes entirely from
     * parquet — signatures for the band equi-join candidates, shingle
     * sets for the exact verify. Candidate volume scales with the BATCH
     * (new×index band join), never index×index.
+    *
+    * Caching contract: like [[nearDupPairs]], the returned frame is
+    * lazy and backed by the cached batch shingle sets (they feed both
+    * the signature build and the verify join) — release with
+    * `spark.catalog.clearCache()` between ingests on a long-lived
+    * session.
     */
   def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val idxSig = spark.read.parquet(s"$indexPath/signatures")
-      .select("doc_id", "band_id", "band_key")
-    val idxSh = spark.read.parquet(s"$indexPath/shingles")
     val sh = withShingles(newDocs).select("doc_id", "sh").cache()
-    val cand = bandSignatures(sh).as("a").join(idxSig.as("b"),
+    val cand = bandSignatures(sh).as("a")
+      .join(readIndexSignatures(spark, indexPath).as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
       .dropDuplicates("new_id", "index_id")
-    cand
-      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
-      .join(idxSh.select(col("doc_id").as("index_id"), col("sh").as("shb")), Seq("index_id"))
-      .withColumn("jaccard",
-        graft.functions.MoneyFunctions.roundAt(
-          JaccardSimilarity(col("sha"), col("shb")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("new_id", "index_id", "jaccard")
+    verifyAgainstIndex(
+      cand.join(sh.select(col("doc_id").as("new_id"), col("sh").as("sha")),
+        Seq("new_id")),
+      readIndexShingles(spark, indexPath), threshold)
   }
 
   // ---- text canonicalization + splits ------------------------------------
@@ -243,7 +272,7 @@ object Corpus {
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
           greatest(length(col("text")), lit(1))))
       .withColumn("symbol_word_fraction", r6(
-        size(expr("filter(w, x -> NOT x rlike '[a-z]')")).cast("double") /
+        size(expr("filter(w, x -> NOT x rlike '[a-zA-Z]')")).cast("double") /
           col("n_words")))
       .withColumn("keep",
         col("n_words").between(5, 5000) &&

@@ -172,7 +172,7 @@ object TextQueries {
               |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
               |    ${roundAtSql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 6)} AS dup_word_fraction,
               |    ${roundAtSql("CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)", 6)} AS numeric_char_fraction,
-              |    ${roundAtSql("CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)", 6)} AS symbol_word_fraction
+              |    ${roundAtSql("CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w)", 6)} AS symbol_word_fraction
               |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
               |ORDER BY doc_id""".stripMargin)),
 

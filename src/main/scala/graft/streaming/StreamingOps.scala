@@ -183,23 +183,20 @@ object StreamingOps {
       threshold: Double = 0.5): DataFrame = {
     import graft.corpus.Corpus
     val spark = newDocs.sparkSession
-    val idxSig = spark.read.parquet(s"$indexPath/signatures")
-      .select("doc_id", "band_id", "band_key")
-    val idxSh = spark.read.parquet(s"$indexPath/shingles")
     val sig = Corpus.bandSignaturesCarrying(
       Corpus.withShingles(newDocs).select("doc_id", "sh"), Seq("sh"))
-    sig.as("a").join(idxSig.as("b"),
+    val candWithSha = sig.as("a")
+      .join(Corpus.readIndexSignatures(spark, indexPath).as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("new_id"), col("a.sh").as("sha"),
         col("b.doc_id").as("index_id"))
       .dropDuplicates("new_id", "index_id")
-      .join(idxSh.select(col("doc_id").as("index_id"), col("sh").as("shb")),
-        Seq("index_id"))
-      .withColumn("jaccard", graft.functions.MoneyFunctions.roundAt(
-        graft.functions.JaccardSimilarity(col("sha"), col("shb")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("new_id", "index_id", "jaccard")
+    // index readers + verify tail are the batch path's own definitions,
+    // so the layout/rounding/threshold contracts cannot diverge between
+    // the two paths the spec pins equal
+    Corpus.verifyAgainstIndex(candWithSha,
+      Corpus.readIndexShingles(spark, indexPath), threshold)
   }
 
   /** per-source MinHash(H=16) sketches maintained INCREMENTALLY as

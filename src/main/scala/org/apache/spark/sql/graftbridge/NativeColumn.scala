@@ -19,11 +19,4 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object NativeColumn {
   def apply(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
-
-  /** whether the session's Catalyst cache holds any entries — lets tests
-    * assert that library transforms release their working caches.
-    */
-  def noCachedPlans(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sharedState.cacheManager.isEmpty
 }

@@ -109,7 +109,7 @@ class CorpusSpec extends SparkSpec {
         s"convergence must not pay a separate count action, saw $names")
     } finally spark.listenerManager.unregister(listener)
     // working set (shingles, signatures, edges) released before returning
-    assert(org.apache.spark.sql.graftbridge.NativeColumn.noCachedPlans(spark))
+    assert(org.apache.spark.sql.graftbridge.CacheProbe.noCachedPlans(spark))
   }
 
   test("quality-gated curate == curate over the pre-filtered corpus") {

@@ -213,22 +213,26 @@ class StreamingOpsSpec extends SparkSpec {
     val query = StreamingOps.curateIngestStream(input.toDF())
       .writeStream.format("memory").queryName("curateingest")
       .outputMode("append").start()
-    // two batches: dedup state must carry across them
+    // batch 1 is ingested TWICE (once again alongside batch 2): the
+    // digest-dedup state must swallow the replay across micro-batches —
+    // this corpus has no exact dups of its own post-gate, so the replay
+    // is what actually exercises the dedup key
     val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
     input.addData(b1); query.processAllAvailable()
-    input.addData(b2); query.processAllAvailable()
-    val got = spark.table("curateingest").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+    input.addData(b1 ++ b2); query.processAllAvailable()
+    val gotRows = spark.table("curateingest").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
     query.stop()
     // batch truth: same gate + digest-distinct + normalize
     val expected = graft.corpus.Corpus.normalize(
         graft.corpus.Corpus.qualitySignals(docsDf).filter($"keep"))
       .select(md5($"text").as("digest"), $"norm").distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got == expected)
-    assert(got.nonEmpty)
-    // the corpus has exact duplicates — the dedup must actually drop rows
-    assert(got.size < docs.size)
+    assert(gotRows.toSet == expected)
+    assert(gotRows.nonEmpty)
+    // row count (not set size): a broken dedup key would re-emit the
+    // replayed batch as duplicate sink rows that a Set would hide
+    assert(gotRows.size == expected.size)
   }
 
   test("streaming MinHash sketch equals the batch x9 aggregator, and dup re-ingest is a no-op") {
