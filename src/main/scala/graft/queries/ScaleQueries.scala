@@ -74,11 +74,29 @@ object ScaleQueries {
     // approximate distinct (HLL): rows-only check — approximation is
     // engine-specific so no value oracle; the exact twin a11 covers the
     // semantics, this covers the scale path (constant memory per group).
+    // ScaleBoundSpec bounds the error at ≤5% of the exact count.
     Q("z3_approx_count_distinct",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
           count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // approximate grouped quantiles (KLL-style sketch): rows-only —
+    // the sketch is engine-specific; z4 pins the exact semantics this
+    // approximates, and ScaleBoundSpec bounds the rank error against
+    // it. At 100 TB this is the only affordable percentile: constant
+    // sketch memory per group, map-side mergeable, vs z4's full sort.
+    Q("z5_approx_percentiles",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("q"))
+        .select(col("l_returnflag"),
+          expr("concat_ws('|', transform(q, x -> cast(x as string)))")
+            .as("quartiles"))
         .orderBy("l_returnflag"),
       None),
   )

@@ -60,4 +60,5 @@ for name in names:
             eq = False; break
     print(f"{name}: {'OK' if eq else 'VALUE MISMATCH'} ({len(s)} rows)")
     fails += 0 if eq else 1
+con.close()
 sys.exit(1 if fails else 0)
