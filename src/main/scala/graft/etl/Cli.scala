@@ -12,6 +12,10 @@ import graft.core.Sessions
   *   generate --raw-dir D --reference-dir D --month 2025-12 [--seed N]
   *   stream-demo --events-dir D   # file-source structured stream, prints
   *                                # hourly windows as they complete
+  *   curate --documents D --out D [--threshold 0.5] [--quality-gate true]
+  *       # corpus curation: (gate) → LSH near-dup dedup keep-one →
+  *       # deterministic splits; writes parquet partitioned by split
+  *   index --documents D --out D  # persist the LSH dedup index
   *   version
   */
 object Cli {
@@ -62,6 +66,25 @@ object Cli {
           Dashboard.write(path, html)
           println(s"dashboard=$path")
         }
+      } finally spark.stop()
+    case Some("curate") =>
+      val opts = parse(args.tail)
+      val spark = Sessions.local(name)
+      try {
+        val curated = graft.corpus.Corpus.curate(
+          spark.read.parquet(opts("documents")),
+          opts.getOrElse("threshold", "0.5").toDouble,
+          opts.getOrElse("quality-gate", "false").toBoolean)
+        EtlIO.writePartitionedParquet(curated, opts("out"), Seq("split"))
+        println(s"curated=${opts("out")}")
+      } finally spark.stop()
+    case Some("index") =>
+      val opts = parse(args.tail)
+      val spark = Sessions.local(name)
+      try {
+        graft.corpus.Corpus.writeLshIndex(
+          spark.read.parquet(opts("documents")), opts("out"))
+        println(s"index=${opts("out")}")
       } finally spark.stop()
     case Some("stream-demo") =>
       val opts = parse(args.tail)

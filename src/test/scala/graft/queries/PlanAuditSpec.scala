@@ -92,7 +92,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq("x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x5_dedup_cosine",
         "x9_minhash_sketch_agg", "x10_dedup_incremental_lsh",
         "x12_embedding_centroids", "x13_embedding_quantization",
-        "y5_contamination_check").foreach { q =>
+        "x16_sketch_source_overlap", "y5_contamination_check",
+        "t7_unigram_logprob").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
         s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
