@@ -232,6 +232,48 @@ object DedupQueries {
               |  GROUP BY dd.doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("x17_dedup_keep_longest",
+      (s, dir) => {
+        // keeper POLICY on top of the cluster structure: production
+        // dedup usually keeps the longest (most complete) duplicate,
+        // not the smallest id — x11's clusters plus a per-cluster
+        // rank by (length desc, id asc). One extra window over the
+        // cluster key; the cluster build is the shared
+        // Corpus.dupClusters.
+        val docs = Tables.documents(s, dir)
+        val clusters = graft.corpus.Corpus.dupClusters(docs)
+          .select("doc_id", "cluster_id")
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("text_len").desc, col("doc_id"))
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+          .join(clusters, Seq("doc_id"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select("doc_id", "cluster_id", "text_len", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshSigCtesSql,
+              |$lshPairsCteSql,
+              |sym AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM sym
+              |  UNION
+              |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+              |cl AS (
+              |  SELECT dd.doc_id,
+              |    least(dd.doc_id, coalesce(min(r.dst), dd.doc_id)) AS cluster_id
+              |  FROM documents dd LEFT JOIN reach r ON dd.doc_id = r.src
+              |  GROUP BY dd.doc_id)
+              |SELECT doc_id, cluster_id, text_len,
+              |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |    ORDER BY text_len DESC, doc_id ASC) = 1 AS keep
+              |FROM (
+              |  SELECT cl.doc_id, cl.cluster_id,
+              |    CAST(length(d2.text) AS BIGINT) AS text_len
+              |  FROM cl JOIN documents d2 ON d2.doc_id = cl.doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("x10_dedup_incremental_lsh",
       (s, dir) => {
         // incremental ingest dedup — the production shape at 100 TB: a
