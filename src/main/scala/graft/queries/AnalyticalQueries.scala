@@ -215,6 +215,28 @@ object AnalyticalQueries {
               |  ${roundAtSql("sum(l_extendedprice) FILTER (WHERE l_tax = 0.0)", 2)} AS taxfree_revenue
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("a18_stats_moments",
+      (s, dir) => {
+        // second-moment statistics per group: sample stddev, sample
+        // covariance, and Pearson correlation (price vs quantity) — the
+        // profiling aggregates a feature-engineering pass runs over a
+        // 100 TB table in one partial+final shuffle. 6 dp rounding
+        // absorbs the engines' different partial-merge orders (the x12
+        // contract).
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            roundAt(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+            roundAt(covar_samp("l_extendedprice", "l_quantity"), 4).as("cov_pq"),
+            roundAt(corr("l_extendedprice", "l_quantity"), 6).as("corr_pq"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |  ${roundAtSql("stddev_samp(l_extendedprice)", 4)} AS sd_price,
+              |  ${roundAtSql("covar_samp(l_extendedprice, l_quantity)", 4)} AS cov_pq,
+              |  ${roundAtSql("corr(l_extendedprice, l_quantity)", 6)} AS corr_pq
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("e4_sliding_window_batch",
       (s, dir) => {
         // batch twin of StreamingOps.slidingCounts: every event belongs to

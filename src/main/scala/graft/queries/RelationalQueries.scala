@@ -600,6 +600,28 @@ object RelationalQueries {
              |  dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow_1sun
              |FROM orders WHERE o_orderkey < 1000 ORDER BY 1""".stripMargin)),
 
+    Q("f19_edit_distance",
+      (s, dir) => {
+        // Levenshtein distance — the scalar behind fuzzy entity/title
+        // matching (both engines implement the same DP definition, so
+        // exact integers compare). Distance of each part name to a
+        // probe string, bucketed; narrow per-row codegen'd work.
+        Tables.part(s, dir).filter(col("p_partkey") <= 500)
+          .select(col("p_partkey"),
+            levenshtein(col("p_name"), lit("promo brushed steel")).cast("long")
+              .as("dist"))
+          .withColumn("band",
+            when(col("dist") <= 10, "near")
+              .when(col("dist") <= 20, "mid").otherwise("far"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(levenshtein(p_name, 'promo brushed steel') AS BIGINT) AS dist,
+             |  CASE WHEN levenshtein(p_name, 'promo brushed steel') <= 10 THEN 'near'
+             |       WHEN levenshtein(p_name, 'promo brushed steel') <= 20 THEN 'mid'
+             |       ELSE 'far' END AS band
+             |FROM part WHERE p_partkey <= 500 ORDER BY 1""".stripMargin)),
+
     Q("f15_contains_dispatch",
       (s, dir) => Tables.part(s, dir)
         .withColumn("tier",
