@@ -12,9 +12,11 @@ import graft.core.Sessions
   *   generate --raw-dir D --reference-dir D --month 2025-12 [--seed N]
   *   stream-demo --events-dir D   # file-source structured stream, prints
   *                                # hourly windows as they complete
-  *   curate --documents D --out D [--threshold 0.5] [--quality-gate true]
-  *       # corpus curation: (gate) → LSH near-dup dedup keep-one →
-  *       # deterministic splits; writes parquet partitioned by split
+  *   curate --documents D --out D [--threshold 0.5] [--quality-gate false]
+  *       # corpus curation: (optional gate) → LSH near-dup dedup
+  *       # keep-one → deterministic splits; writes parquet partitioned
+  *       # by split. Pass --quality-gate true to drop low-quality docs
+  *       # before dedup (off by default).
   *   index --documents D --out D  # persist the LSH dedup index
   *   version
   */
@@ -101,7 +103,8 @@ object Cli {
         println("stream-demo=done")
       } finally spark.stop()
     case _ =>
-      System.err.println("usage: run|generate|version (see Scaladoc)")
+      System.err.println(
+        "usage: run|generate|curate|index|stream-demo|version (see Scaladoc)")
       sys.exit(2)
   }
 

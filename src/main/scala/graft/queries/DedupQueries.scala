@@ -115,19 +115,31 @@ object DedupQueries {
   private val x10IndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def x10IndexPath(s: SparkSession, dir: String): String =
-    x10IndexDirs.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("x10_lsh_index")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  private def x10IndexPath(s: SparkSession, dir: String): String = {
+    // double-checked outside computeIfAbsent: the index build is a
+    // multi-second Spark job, and holding the map's bin lock for it
+    // would serialize unrelated callers (parallel suites, other dirs)
+    val existing = x10IndexDirs.get(dir)
+    if (existing != null) existing
+    else dir.intern.synchronized {
+      val again = x10IndexDirs.get(dir)
+      if (again != null) again
+      else {
+        val p = java.nio.file.Files.createTempDirectory("x10_lsh_index")
+        sys.addShutdownHook {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+        graft.corpus.Corpus.writeLshIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), p.toString)
+        x10IndexDirs.put(dir, p.toString)
+        p.toString
       }
-      graft.corpus.Corpus.writeLshIndex(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), p.toString)
-      p.toString
-    })
+    }
+  }
 
   /** the DuckDB mirror of [[bandSignatures]] as WITH-clause text (CTEs
     * d → base → mh → sig), shared by the x2 and x10 oracles.
