@@ -60,6 +60,36 @@ object WindowGroupingQueries {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    Q("w7_range_frame_trailing_sum",
+      (s, dir) => {
+        // time-based RANGE frame — the window feature the ROWS family
+        // (w2–w6) can't express: each order's trailing-30-day customer
+        // revenue, where the frame is defined by VALUE distance (epoch
+        // days) and includes all peers at the same day regardless of
+        // row order. One shuffle on the customer key, then a sorted
+        // range scan per partition — the moving-aggregate plan a 100 TB
+        // fact table wants.
+        val w = Window.partitionBy("o_custkey").orderBy("epoch_day")
+          .rangeBetween(-29, 0)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 200)
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+              .cast("long").as("epoch_day"),
+            col("o_totalprice"))
+          .withColumn("trailing_30d",
+            roundAt(sum("o_totalprice").over(w), 2))
+          .select("o_orderkey", "o_custkey", "epoch_day", "trailing_30d")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, epoch_day,
+              |  ${roundAtSql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)", 2)} AS trailing_30d
+              |FROM (
+              |  SELECT o_orderkey, o_custkey, o_totalprice,
+              |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+              |  FROM orders WHERE o_custkey <= 200)
+              |ORDER BY o_orderkey""".stripMargin)),
+
     Q("a15_rollup",
       (s, dir) => Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
