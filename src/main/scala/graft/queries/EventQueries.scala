@@ -131,6 +131,47 @@ object EventQueries {
              |        LEFT JOIN s3 ON s3.user_id = s1.user_id
              |ORDER BY s1.user_id""".stripMargin)),
 
+    Q("e6_retention_cohort",
+      (s, dir) => {
+        // cohort retention matrix: users cohorted by first-seen day,
+        // retention = distinct active users at each day offset over the
+        // cohort's size. Plan shape at scale: one user-key partial agg
+        // for the cohort assignment, one distinct over (user, day) —
+        // both map-side combinable — then a join on the user key and a
+        // (cohort, offset) rollup; the cohort-size table is
+        // calendar-sized, so the planner broadcasts it on its own. No
+        // per-user sequence materialization.
+        val ev = Tables.eventsTs(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+        ev.distinct()
+          .join(cohorts, Seq("user_id"))
+          .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          .join(sizes, Seq("cohort_day"))
+          .withColumn("retention",
+            roundAt(col("n_active").cast("double") / col("cohort_size"), 6))
+          .select(col("cohort_day").cast("string").as("cohort_day"),
+            col("day_offset"), col("n_active"), col("cohort_size"), col("retention"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+              |coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+              |sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM coh GROUP BY 1),
+              |act AS (SELECT DISTINCT user_id, day FROM ev),
+              |ret AS (
+              |  SELECT c.cohort_day, date_diff('day', c.cohort_day, a.day) AS day_offset,
+              |    count(DISTINCT a.user_id) AS n_active
+              |  FROM act a JOIN coh c ON c.user_id = a.user_id GROUP BY 1, 2)
+              |SELECT CAST(ret.cohort_day AS VARCHAR) AS cohort_day, day_offset, n_active,
+              |  sizes.cohort_size,
+              |  ${roundAtSql("CAST(n_active AS DOUBLE) / cohort_size", 6)} AS retention
+              |FROM ret JOIN sizes ON sizes.cohort_day = ret.cohort_day
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("m1_binary_plumbing",
       (s, dir) => {
         // multimodal plumbing shape: opaque binary payload + typed

@@ -191,6 +191,62 @@ object SamplingQueries {
               |  JOIN documents dx ON dx.doc_id = cand.eval_id
               |  JOIN documents dy ON dy.doc_id = cand.train_id)
               |WHERE jaccard >= 0.5 ORDER BY eval_id, train_id""".stripMargin)),
+    Q("y6_source_mixture",
+      (s, dir) => {
+        // temperature-weighted source mixture (the mT5/CC multinomial
+        // sampling shape, τ=2): each source's target share is
+        // sqrt(tokens)/Σ sqrt(tokens) of a half-corpus token budget, its
+        // acceptance rate = min(1, budget/tokens), and a doc is kept by
+        // the same content-addressed md5 gate as y1/y2 (first 6 hex
+        // digits vs floor(rate·16^6) — integer compare, reproducible,
+        // join-free per doc). Cross-engine float contract: the
+        // Σ sqrt sum and the rate are rounded at 6 dp (sum order
+        // differs between engines; everything after is identical
+        // scalar IEEE ops). Plan shape at scale: one source-key partial
+        // agg for the totals, a source-sized rate table the planner
+        // broadcasts, one narrow gate pass over the corpus — no
+        // shuffle of the big side.
+        val d = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            substring(md5(col("doc_id").cast("string")), 1, 6).as("h6"))
+        val tot = d.groupBy("source").agg(sum("n_tokens").as("t"))
+        val sc = tot.agg(
+          roundAt(sum(sqrt(col("t").cast("double"))), 6).as("ss"),
+          sum("t").as("tt"))
+        val rates = tot.crossJoin(broadcast(sc)) // single-row scalar
+          .withColumn("rate", roundAt(least(lit(1.0),
+            sqrt(col("t").cast("double")) / col("ss")
+              * (lit(0.5) * col("tt")) / col("t")), 6))
+          .select("source", "rate")
+        d.join(rates, Seq("source"))
+          .withColumn("h6i", expr(
+            """aggregate(transform(sequence(1, 6),
+              |  i -> instr('0123456789abcdef', substring(h6, i, 1)) - 1),
+              |  cast(0 as bigint), (b, c) -> b * 16 + c)""".stripMargin))
+          .filter(col("h6i") < floor(col("rate") * 16777216).cast("long"))
+          .select("source", "doc_id", "n_tokens", "rate")
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT source, doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h6
+              |  FROM documents),
+              |tot AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1),
+              |sc AS (
+              |  SELECT ${roundAtSql("sum(sqrt(CAST(t AS DOUBLE)))", 6)} AS ss,
+              |    sum(t) AS tt FROM tot),
+              |rates AS (
+              |  SELECT source,
+              |    ${roundAtSql("least(1.0, sqrt(CAST(t AS DOUBLE)) / ss * (0.5 * tt) / t)", 6)} AS rate
+              |  FROM tot CROSS JOIN sc)
+              |SELECT source, doc_id, n_tokens, rate
+              |FROM d JOIN rates USING (source)
+              |WHERE list_reduce([CAST(strpos('0123456789abcdef', substr(h6, i, 1)) - 1 AS BIGINT)
+              |                   for i in range(1, 7)], (b, c) -> b * 16 + c)
+              |      < CAST(floor(rate * 16777216) AS BIGINT)
+              |ORDER BY source, doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

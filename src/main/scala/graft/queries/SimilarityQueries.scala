@@ -123,6 +123,76 @@ object SimilarityQueries {
        |  FROM (SELECT centroid_id, list(c ORDER BY i) AS v FROM clf$k GROUP BY 1))""".stripMargin
   }.mkString(",\n")
 
+  /** LLOYD_ITERS unrolled Lloyd rounds seeded from the first 8 vectors —
+    * the trained coarse quantizer x8 (IVF) and x18 (semantic dedup)
+    * share. Assignment ranks by 6dp-rounded cosine (ties by centroid
+    * id); re-centered means are rounded at 6 dp so the oracle CTE chain
+    * reproduces them exactly despite sum-order differences. Cached: 8
+    * rows, consumed by every downstream assignment — training must not
+    * re-run per consumer. Released by clearCache().
+    */
+  private def trainedCentroids(e: DataFrame): DataFrame = {
+    val seed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("v"))
+    def lloydStep(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("centroid_id"))
+      e.select(col("vec_id"), col("v")).as("c")
+        .join(broadcast(cents.as("q")))
+        .withColumn("cos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+        .select(col("c.vec_id").as("vec_id"), col("c.v").as("v"),
+          col("q.centroid_id").as("centroid_id"), col("cos"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("centroid_id"), posexplode(col("v")))
+        .toDF("centroid_id", "i", "x")
+        .groupBy("centroid_id", "i").agg(roundAt(avg("x"), 6).as("c"))
+        .groupBy("centroid_id")
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+          .as("v"))
+    }
+    (1 to LLOYD_ITERS).foldLeft(seed)((c, _) => lloydStep(c)).cache()
+  }
+
+  /** corpus → nearest trained centroid (rank 1 by rounded cosine desc,
+    * centroid id asc) — one narrow pass against the 8-row broadcast.
+    */
+  private def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val assignW = Window.partitionBy("cand_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
+      .as("c").join(broadcast(centroids.as("q")))
+      .withColumn("ccos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+      .select(col("c.cand_id").as("cand_id"), col("c.v").as("v"),
+        col("c.norm").as("norm"), col("q.centroid_id").as("centroid_id"), col("ccos"))
+      .withColumn("arnk", row_number().over(assignW))
+      .filter(col("arnk") === 1)
+      .select("cand_id", "v", "norm", "centroid_id")
+  }
+
+  /** oracle twin of [[assignNearest]] over [[lloydCtesSql]]'s final
+    * centroids — shared by the x8 and x18 oracles.
+    */
+  private def assignedCteSql: String =
+    s"""assigned AS (
+       |  SELECT cand_id, v, norm, centroid_id FROM (
+       |    SELECT c.vec_id AS cand_id, c.v AS v, c.norm AS norm, q.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS arnk
+       |    FROM n c CROSS JOIN cent$LLOYD_ITERS q)
+       |  WHERE arnk = 1)""".stripMargin
+
+  /** oracle twin of x8's query-probe stage (nprobe=2 nearest trained
+    * centroids per query) — shared by the x8 and x19 oracles.
+    */
+  private def probesCteSql: String =
+    s"""probes AS (
+       |  SELECT query_id, v, norm, centroid_id FROM (
+       |    SELECT c.vec_id AS query_id, c.v AS v, c.norm AS norm, q.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS prnk
+       |    FROM n c CROSS JOIN cent$LLOYD_ITERS q WHERE c.vec_id < 10)
+       |  WHERE prnk <= 2)""".stripMargin
+
   // ---- product quantization (x14 reconstruction, x15 ADC search) ---------
 
   /** per-vector subvectors: (vec_id, label, s, sub) — M=8 subspaces of
@@ -223,40 +293,8 @@ object SimilarityQueries {
         // corpus pass, (centroid, dim) partial agg) — nothing all-pairs.
         // AnnRecallSpec puts the trained recall@3 on the record.
         val e = vecs(s, dir)
-        val seed = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("centroid_id"), col("v"))
-        def lloydStep(cents: DataFrame): DataFrame = {
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("cos").desc, col("centroid_id"))
-          e.select(col("vec_id"), col("v")).as("c")
-            .join(broadcast(cents.as("q")))
-            .withColumn("cos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
-            .select(col("c.vec_id").as("vec_id"), col("c.v").as("v"),
-              col("q.centroid_id").as("centroid_id"), col("cos"))
-            .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-            .select(col("centroid_id"), posexplode(col("v")))
-            .toDF("centroid_id", "i", "x")
-            .groupBy("centroid_id", "i").agg(roundAt(avg("x"), 6).as("c"))
-            .groupBy("centroid_id")
-            .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
-              .as("v"))
-        }
-        // cached: 8 rows, consumed by both the corpus assignment and the
-        // query probes — training must not re-run per consumer
-        val centroids = (1 to LLOYD_ITERS).foldLeft(seed)((c, _) => lloydStep(c))
-          .cache()
-        // corpus → nearest centroid (rank 1 by cosine desc, id asc)
-        val assignW = Window.partitionBy("cand_id")
-          .orderBy(col("ccos").desc, col("centroid_id"))
-        val assigned = e.select(col("vec_id").as("cand_id"),
-            col("v"), col("norm"))
-          .as("c").join(broadcast(centroids.as("q")))
-          .withColumn("ccos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
-          .select(col("c.cand_id").as("cand_id"), col("c.v").as("v"),
-            col("c.norm").as("norm"), col("q.centroid_id").as("centroid_id"), col("ccos"))
-          .withColumn("arnk", row_number().over(assignW))
-          .filter(col("arnk") === 1)
-          .select("cand_id", "v", "norm", "centroid_id")
+        val centroids = trainedCentroids(e)
+        val assigned = assignNearest(e, centroids)
         // queries → their nprobe=2 nearest centroids
         val probeW = Window.partitionBy("query_id")
           .orderBy(col("qcos").desc, col("centroid_id"))
@@ -285,20 +323,8 @@ object SimilarityQueries {
       Some(s"""WITH n AS ($vecsSql),
               |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
               |$lloydCtesSql,
-              |assigned AS (
-              |  SELECT cand_id, v, norm, centroid_id FROM (
-              |    SELECT c.vec_id AS cand_id, c.v AS v, c.norm AS norm, q.centroid_id,
-              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
-              |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS arnk
-              |    FROM n c CROSS JOIN cent$LLOYD_ITERS q)
-              |  WHERE arnk = 1),
-              |probes AS (
-              |  SELECT query_id, v, norm, centroid_id FROM (
-              |    SELECT c.vec_id AS query_id, c.v AS v, c.norm AS norm, q.centroid_id,
-              |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
-              |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS prnk
-              |    FROM n c CROSS JOIN cent$LLOYD_ITERS q WHERE c.vec_id < 10)
-              |  WHERE prnk <= 2),
+              |$assignedCteSql,
+              |$probesCteSql,
               |scored AS (
               |  SELECT DISTINCT q.query_id, c.cand_id,
               |    ${roundAtSql(cosSql, 6)} AS cosine
@@ -601,6 +627,51 @@ object SimilarityQueries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY acos DESC, cand_id) AS rank FROM scored)
               |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("x18_semantic_dedup",
+      (s, dir) => {
+        // SemDeDup-style semantic deduplication: cluster the corpus with
+        // the trained coarse quantizer (the x8 Lloyd centroids), then
+        // find near-duplicate pairs ONLY within a cluster (rounded
+        // cosine ≥ 0.35) and drop the higher id, reporting each dropped
+        // vector's smallest keeper. The cluster blocking is the whole
+        // point at 100 TB: the quadratic term is Σ cluster_size², not
+        // n² — k grows with the corpus (k ≈ n/target_cluster_size) so
+        // the per-cluster work stays bounded, and the pair join is a
+        // pure equi-join on centroid_id (shuffle by cluster, never
+        // all-pairs). Embedding-space dedup catches the paraphrases
+        // and re-encodings that x2/x4's lexical shingles can't.
+        val e = vecs(s, dir)
+        // cached: the self-join's two branches would otherwise each
+        // re-run training + assignment. Released by clearCache().
+        val assigned = assignNearest(e, trainedCentroids(e)).cache()
+        assigned.as("a").join(assigned.as("b"),
+            col("a.centroid_id") === col("b.centroid_id") &&
+              col("a.cand_id") < col("b.cand_id"))
+          .withColumn("cosine", roundAt(expr("cosine_similarity(a.v, b.v)"), 6))
+          .filter(col("cosine") >= 0.35)
+          .select(col("a.centroid_id").as("centroid_id"),
+            col("a.cand_id").as("keep_cand"), col("b.cand_id").as("drop_id"),
+            col("cosine"))
+          .groupBy("centroid_id", "drop_id")
+          .agg(min("keep_cand").as("keep_id"), count(lit(1)).as("n_dups"),
+            max("cosine").as("max_cosine"))
+          .orderBy("drop_id")
+      },
+      Some(s"""WITH n AS ($vecsSql),
+              |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
+              |$lloydCtesSql,
+              |$assignedCteSql,
+              |pairs AS (
+              |  SELECT a.centroid_id AS centroid_id, a.cand_id AS keep_cand,
+              |    b.cand_id AS drop_id,
+              |    ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} AS cosine
+              |  FROM assigned a JOIN assigned b
+              |    ON a.centroid_id = b.centroid_id AND a.cand_id < b.cand_id)
+              |SELECT centroid_id, drop_id, min(keep_cand) AS keep_id,
+              |  count(*) AS n_dups, max(cosine) AS max_cosine
+              |FROM pairs WHERE cosine >= 0.35
+              |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

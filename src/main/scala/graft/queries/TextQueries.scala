@@ -216,6 +216,84 @@ object TextQueries {
               |SELECT doc_id, lang, n_words, avg_logprob,
               |  ${roundAtSql("exp(-avg_logprob)", 6)} AS perplexity
               |FROM scored ORDER BY doc_id""".stripMargin)),
+    Q("t8_ngram_repetition",
+      (s, dir) => {
+        // Gopher-style n-gram repetition signals — the word-level
+        // repetition filters (top-2-gram occupancy, duplicate 2-/3-gram
+        // fractions) that catch boilerplate and looping generations t6's
+        // unigram dup fraction misses. Plan shape at scale: trigram
+        // dup fraction is a pure narrow per-row map; the bigram mode
+        // (most-frequent bigram share) needs one (doc, bigram) shuffle
+        // with map-side combine + a per-doc rollup — same cost class as
+        // y3's tf stage, linear in corpus tokens. Thresholds are
+        // tunable constants; the mechanism is the operator.
+        val docs = Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("bgs", expr(
+            """CASE WHEN size(w) >= 2
+              |  THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))
+              |  ELSE array() END""".stripMargin))
+          .withColumn("tgs", expr(
+            """CASE WHEN size(w) >= 3
+              |  THEN transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+              |  ELSE array() END""".stripMargin))
+        val base = docs.select(col("doc_id"),
+          when(size(col("tgs")) === 0, 0.0).otherwise(
+            roundAt(lit(1.0) - size(array_distinct(col("tgs"))).cast("double")
+              / size(col("tgs")), 6)).as("dup_trigram_fraction"))
+        val cnt = docs.select(col("doc_id"), explode(col("bgs")).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        val stats = cnt.groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+            max("c").as("max_c"))
+        base.join(stats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            when(col("n_bigrams").isNull, 0.0).otherwise(
+              roundAt(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6))
+              .as("dup_bigram_fraction"),
+            when(col("n_bigrams").isNull, 0.0).otherwise(
+              roundAt(col("max_c").cast("double") / col("n_bigrams"), 6))
+              .as("top_bigram_fraction"),
+            col("dup_trigram_fraction"))
+          .withColumn("keep",
+            col("top_bigram_fraction") <= 0.05 && col("dup_bigram_fraction") <= 0.06)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |g AS (
+              |  SELECT doc_id,
+              |    [w[i] || ' ' || w[i + 1] for i in range(1, len(w))] AS bgs,
+              |    [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)] AS tgs
+              |  FROM d),
+              |base AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(tgs) = 0 THEN 0.0
+              |         ELSE ${roundAtSql("1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs)", 6)}
+              |    END AS dup_trigram_fraction
+              |  FROM g),
+              |cnt AS (
+              |  SELECT doc_id, bg, count(*) AS c
+              |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) GROUP BY 1, 2),
+              |stats AS (
+              |  SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct, max(c) AS max_c
+              |  FROM cnt GROUP BY 1)
+              |SELECT doc_id, n_bigrams, dup_bigram_fraction, top_bigram_fraction,
+              |  dup_trigram_fraction,
+              |  top_bigram_fraction <= 0.05 AND dup_bigram_fraction <= 0.06 AS keep
+              |FROM (
+              |  SELECT base.doc_id,
+              |    CAST(coalesce(stats.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |    CASE WHEN stats.n_bigrams IS NULL THEN 0.0
+              |         ELSE ${roundAtSql("1.0 - CAST(stats.n_distinct AS DOUBLE) / stats.n_bigrams", 6)}
+              |    END AS dup_bigram_fraction,
+              |    CASE WHEN stats.n_bigrams IS NULL THEN 0.0
+              |         ELSE ${roundAtSql("CAST(stats.max_c AS DOUBLE) / stats.n_bigrams", 6)}
+              |    END AS top_bigram_fraction,
+              |    base.dup_trigram_fraction
+              |  FROM base LEFT JOIN stats ON stats.doc_id = base.doc_id)
+              |ORDER BY doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
