@@ -172,6 +172,56 @@ object EventQueries {
               |FROM ret JOIN sizes ON sizes.cohort_day = ret.cohort_day
               |ORDER BY 1, 2""".stripMargin)),
 
+    Q("e7_scd2_intervals",
+      (s, dir) => {
+        // SCD-2 dimension build from a change stream: collapse each
+        // user's consecutive same-state observations (event_type as the
+        // tracked attribute) into validity intervals —
+        // [valid_from, valid_to), open-ended for the current state.
+        // The run-length encoding is the e2 shape (lag marks changes,
+        // running sum numbers the runs): one shuffle on the user key,
+        // then narrow window functions inside each partition — the
+        // warehouse-standard way to derive a type-2 dimension from CDC
+        // events without any driver-side iteration.
+        val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val runs = Tables.eventsTs(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+          .withColumn("chg",
+            when(lag("event_type", 1).over(byUser).isNull ||
+              col("event_type") =!= lag("event_type", 1).over(byUser), 1).otherwise(0))
+          .withColumn("seg", sum("chg").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+          .groupBy(col("user_id"), col("seg"), col("event_type").as("state"))
+          .agg(min("ts_us").as("valid_from_us"), count(lit(1)).as("n_obs"))
+        val bySeg = Window.partitionBy("user_id").orderBy("valid_from_us")
+        runs
+          .withColumn("valid_to_us", lead("valid_from_us", 1).over(bySeg))
+          .select("user_id", "seg", "state", "valid_from_us", "valid_to_us", "n_obs")
+          .orderBy("user_id", "seg")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, event_type, ts_us,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |           OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |r AS (
+             |  SELECT user_id, event_type, ts_us,
+             |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+             |  FROM m),
+             |runs AS (
+             |  SELECT user_id, seg, event_type AS state,
+             |    min(ts_us) AS valid_from_us, count(*) AS n_obs
+             |  FROM r GROUP BY 1, 2, 3)
+             |SELECT user_id, seg, state, valid_from_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+             |  n_obs
+             |FROM runs ORDER BY user_id, seg""".stripMargin)),
+
     Q("m1_binary_plumbing",
       (s, dir) => {
         // multimodal plumbing shape: opaque binary payload + typed

@@ -271,6 +271,23 @@ object SimilarityQueries {
 
   private lazy val pqFinalAssignSql = pqAssignSql("cb1")
 
+  /** oracle twin of the ADC building blocks (PQ code table, per-code
+    * centroid norms, per-query M×K inner-product lookup tables, query
+    * norms) — shared by the x15 and x19 oracles; requires `fin` (the
+    * final PQ assignment) and `n` upstream.
+    */
+  private lazy val pqAdcCtesSql =
+    s"""codes AS (SELECT vec_id AS cand_id, s, cid FROM fin),
+       |cn2 AS (
+       |  SELECT s, cid,
+       |    ${roundAtSql("list_reduce([cent[j] * cent[j] for j in range(1, 9)], (x, y) -> x + y)", 6)} AS cn2
+       |  FROM cb1),
+       |dt AS (
+       |  SELECT c.vec_id AS query_id, c.s AS s, q.cid AS cid,
+       |    ${roundAtSql("list_reduce([c.sub[j] * q.cent[j] for j in range(1, 9)], (x, y) -> x + y)", 6)} AS ipd
+       |  FROM subs c JOIN cb1 q ON c.s = q.s WHERE c.vec_id < 10),
+       |qn AS (SELECT vec_id AS query_id, norm AS qnorm FROM n WHERE vec_id < 10)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("x8_ann_ivf",
@@ -602,16 +619,7 @@ object SimilarityQueries {
       },
       Some(s"""WITH $pqCtesSql,
               |fin AS ($pqFinalAssignSql),
-              |codes AS (SELECT vec_id AS cand_id, s, cid FROM fin),
-              |cn2 AS (
-              |  SELECT s, cid,
-              |    ${roundAtSql("list_reduce([cent[j] * cent[j] for j in range(1, 9)], (x, y) -> x + y)", 6)} AS cn2
-              |  FROM cb1),
-              |dt AS (
-              |  SELECT c.vec_id AS query_id, c.s AS s, q.cid AS cid,
-              |    ${roundAtSql("list_reduce([c.sub[j] * q.cent[j] for j in range(1, 9)], (x, y) -> x + y)", 6)} AS ipd
-              |  FROM subs c JOIN cb1 q ON c.s = q.s WHERE c.vec_id < 10),
-              |qn AS (SELECT vec_id AS query_id, norm AS qnorm FROM n WHERE vec_id < 10),
+              |$pqAdcCtesSql,
               |agg AS (
               |  SELECT dt.query_id, codes.cand_id, sum(dt.ipd) AS ip, sum(cn2.cn2) AS c2
               |  FROM codes
@@ -672,6 +680,94 @@ object SimilarityQueries {
               |  count(*) AS n_dups, max(cosine) AS max_cosine
               |FROM pairs WHERE cosine >= 0.35
               |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin)),
+
+    Q("x19_ann_ivf_pq",
+      (s, dir) => {
+        // IVF-PQ — the composed billion-scale ANN index (the FAISS
+        // production shape): x8's trained coarse quantizer partitions
+        // the corpus into posting lists, x14's trained PQ codebooks
+        // compress every vector to M=8 4-bit codes, and a query (a)
+        // probes its nprobe=2 nearest lists and (b) scores ONLY those
+        // lists' members by asymmetric distance over the codes — never
+        // decoding a candidate. At scale the corpus is one code table
+        // shuffled by centroid_id; per query the work is
+        // nprobe/K of the corpus × M table lookups, and every
+        // trained artifact (centroids, codebooks, lookup tables) is a
+        // bounded broadcast. Recall@3 vs exact x6 goes on the record in
+        // AnnRecallSpec next to the single-structure x7/x8/x15 paths.
+        val e = vecs(s, dir)
+        val centroids = trainedCentroids(e)
+        val assigned = assignNearest(e, centroids).select("cand_id", "centroid_id")
+        val subs = pqSubs(s, dir)
+        val cb = pqCodebook(subs)
+        val codes = pqAssign(subs, cb)
+          .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+        val cn2 = cb.select(col("s"), col("cid"), roundAt(expr(
+          """aggregate(transform(cent, x -> x * x),
+            |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("cn2"))
+        val dt = subs.filter(col("vec_id") < 10).as("c")
+          .join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
+          .select(col("c.vec_id").as("query_id"), col("c.s").as("s"),
+            col("q.cid").as("cid"),
+            roundAt(expr(
+              """aggregate(zip_with(sub, cent, (a, b) -> a * b),
+                |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("ipd"))
+        val qn = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("norm").as("qnorm"))
+        val probeW = Window.partitionBy("query_id")
+          .orderBy(col("qcos").desc, col("centroid_id"))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v")).as("c")
+          .join(broadcast(centroids.as("q")))
+          .withColumn("qcos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+          .select(col("c.query_id").as("query_id"),
+            col("q.centroid_id").as("centroid_id"), col("qcos"))
+          .withColumn("prnk", row_number().over(probeW))
+          .filter(col("prnk") <= 2)
+          .select("query_id", "centroid_id")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("acos").desc, col("cand_id"))
+        probes.join(assigned, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .select("query_id", "cand_id")
+          .join(codes, Seq("cand_id"))
+          .join(broadcast(dt), Seq("query_id", "s", "cid"))
+          .join(broadcast(cn2), Seq("s", "cid"))
+          .groupBy("query_id", "cand_id")
+          .agg(sum("ipd").as("ip"), sum("cn2").as("c2"))
+          .join(broadcast(qn), Seq("query_id"))
+          .withColumn("acos", roundAt(col("ip") / (col("qnorm") * sqrt(col("c2"))), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "cand_id", "acos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $pqCtesSql,
+              |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
+              |$lloydCtesSql,
+              |$assignedCteSql,
+              |$probesCteSql,
+              |fin AS ($pqFinalAssignSql),
+              |$pqAdcCtesSql,
+              |cands AS (
+              |  SELECT p.query_id, a.cand_id
+              |  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+              |  WHERE p.query_id <> a.cand_id),
+              |agg AS (
+              |  SELECT c.query_id, c.cand_id, sum(dt.ipd) AS ip, sum(cn2.cn2) AS c2
+              |  FROM cands c
+              |  JOIN codes ON codes.cand_id = c.cand_id
+              |  JOIN dt ON dt.query_id = c.query_id AND dt.s = codes.s AND dt.cid = codes.cid
+              |  JOIN cn2 ON cn2.s = codes.s AND cn2.cid = codes.cid
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT agg.query_id, agg.cand_id,
+              |    ${roundAtSql("agg.ip / (qn.qnorm * sqrt(agg.c2))", 6)} AS acos
+              |  FROM agg JOIN qn ON qn.query_id = agg.query_id)
+              |SELECT query_id, cand_id, acos, rank FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY acos DESC, cand_id) AS rank FROM scored)
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
