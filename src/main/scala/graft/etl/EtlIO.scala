@@ -119,18 +119,25 @@ object EtlIO {
     * footer- and task-scheduling-bound instead of IO-bound. File count
     * is sized from the dataset's ACTUAL on-disk bytes (not a row
     * guess), the rewrite is one round-robin (or partition-key)
-    * repartition — no driver-side row handling — and the swap is
-    * staged-then-move so a concurrent reader sees old or new, never
-    * half. (On an object store the move becomes a manifest/pointer
-    * swap; the staging contract is the same.)
+    * repartition — no driver-side row handling — and the swap renames
+    * the old dataset aside before renaming the staged one in, so the
+    * window with no dataset at `path` is one rename, not a recursive
+    * delete, and a crash mid-swap leaves the old data recoverable at
+    * `path.compact_old`. Directory renames on one filesystem are not a
+    * transaction — a reader racing the swap can still observe a missing
+    * path for an instant; serving layers that can't tolerate that need
+    * a manifest/pointer swap (object store) or a table format on top.
     */
   def compactParquet(spark: SparkSession, path: String,
       targetBytesPerFile: Long = 128L * 1024 * 1024,
       partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
-    val bytes = Files.walk(Paths.get(path)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    val walk = Files.walk(Paths.get(path))
+    val bytes =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally walk.close()
     val nFiles = math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
     val df = spark.read.parquet(path)
     val staged = s"$path.compact_stage"
@@ -140,8 +147,11 @@ object EtlIO {
     val writer = rebucketed.write.mode("overwrite")
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .parquet(staged)
-    deleteRecursively(Paths.get(path))
+    val old = Paths.get(s"$path.compact_old")
+    deleteRecursively(old) // leftover from a previous crashed swap
+    Files.move(Paths.get(path), old)
     Files.move(Paths.get(staged), Paths.get(path))
+    deleteRecursively(old)
   }
 
   /** single-file CSV sink: the reference writes one `name.csv` per table
@@ -170,8 +180,11 @@ object EtlIO {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try ls.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally ls.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -194,7 +194,10 @@ object EventQueries {
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
           .groupBy(col("user_id"), col("seg"), col("event_type").as("state"))
           .agg(min("ts_us").as("valid_from_us"), count(lit(1)).as("n_obs"))
-        val bySeg = Window.partitionBy("user_id").orderBy("valid_from_us")
+        // order by the strictly-increasing seg, not valid_from_us: two
+        // different-state events at the same timestamp would tie on
+        // valid_from_us and make valid_to_us nondeterministic (advisor r3)
+        val bySeg = Window.partitionBy("user_id").orderBy("seg")
         runs
           .withColumn("valid_to_us", lead("valid_from_us", 1).over(bySeg))
           .select("user_id", "seg", "state", "valid_from_us", "valid_to_us", "n_obs")
@@ -218,7 +221,7 @@ object EventQueries {
              |    min(ts_us) AS valid_from_us, count(*) AS n_obs
              |  FROM r GROUP BY 1, 2, 3)
              |SELECT user_id, seg, state, valid_from_us,
-             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to_us,
              |  n_obs
              |FROM runs ORDER BY user_id, seg""".stripMargin)),
 

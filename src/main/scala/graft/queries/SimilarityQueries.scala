@@ -99,6 +99,13 @@ object SimilarityQueries {
     */
   private val LLOYD_ITERS = 2
 
+  /** x19's refine width: the top-R ADC candidates per query that get the
+    * exact-vector re-rank. ADC is a lossy rank — recall@3 was 0.267
+    * scoring ADC-only; re-scoring a 30-wide shortlist exactly recovers
+    * the trained-quantizer recall (x8's class) for queries×R extra dots.
+    */
+  private val REFINE_R = 30
+
   /** CTE chain cent0 → asg1/clf1/cent1 → … → cent{LLOYD_ITERS}: assign
     * every vector to its nearest previous-round centroid (rounded
     * cosine, ties by centroid id), re-center each (centroid, dim) on the
@@ -433,26 +440,28 @@ object SimilarityQueries {
         // the per-label centroid, and report each label's cohesion (avg
         // and min cosine of members to their centroid — low min = likely
         // mislabeled/outlier vectors). Plan shape at scale: one
-        // posexplode + (label, dim) partial-agg for the centroid (dims
-        // are fixed-width so this shuffles |labels|·d tiny rows), one
-        // re-join on (label, dim) for the member dots, then a per-label
-        // rollup. No driver-side math; the centroid table is
-        // dimension-sized and the planner broadcasts it on its own.
+        // posexplode + (label, dim) map-side-combinable partial agg for
+        // the centroid (a |labels|·d tiny shuffle), then the centroid
+        // components are rolled back into ONE array per label — a
+        // labels-sized table — broadcast-joined on `label` alone, and
+        // each member's dot is a narrow zip_with+aggregate fold. The
+        // corpus is never exploded for the scoring pass: no n·d
+        // component shuffle, one narrow map over the members.
         val unit = vecs(s, dir)
           .select(col("vec_id"), col("label"),
             expr("transform(v, x -> x / norm)").as("u"))
         val comp = unit.select(col("label"), posexplode(col("u")))
           .toDF("label", "i", "x")
-        val cent = comp.groupBy("label", "i").agg(avg("x").as("c"))
-        val centNorm = cent.groupBy("label")
-          .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
-        val dots = unit.select(col("vec_id"), col("label"), posexplode(col("u")))
-          .toDF("vec_id", "label", "i", "x")
-          .join(cent, Seq("label", "i"))
-          .groupBy("vec_id", "label")
-          .agg(sum(col("x") * col("c")).as("dot"))
-        dots.join(centNorm, Seq("label"))
-          .withColumn("cos", col("dot") / col("cnorm"))
+        val centArr = comp.groupBy("label", "i").agg(avg("x").as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+            .as("carr"))
+          .withColumn("cnorm", sqrt(expr(
+            "aggregate(transform(carr, c -> c * c), cast(0 as double), (acc, y) -> acc + y)")))
+        unit.join(broadcast(centArr), Seq("label"))
+          .withColumn("cos", expr(
+            "aggregate(zip_with(u, carr, (a, b) -> a * b), cast(0 as double), (acc, y) -> acc + y)")
+            / col("cnorm"))
           .groupBy("label")
           .agg(count(lit(1)).as("n_members"),
             roundAt(avg("cos"), 6).as("avg_cos"),
@@ -689,12 +698,18 @@ object SimilarityQueries {
         // compress every vector to M=8 4-bit codes, and a query (a)
         // probes its nprobe=2 nearest lists and (b) scores ONLY those
         // lists' members by asymmetric distance over the codes — never
-        // decoding a candidate. At scale the corpus is one code table
-        // shuffled by centroid_id; per query the work is
-        // nprobe/K of the corpus × M table lookups, and every
-        // trained artifact (centroids, codebooks, lookup tables) is a
-        // bounded broadcast. Recall@3 vs exact x6 goes on the record in
-        // AnnRecallSpec next to the single-structure x7/x8/x15 paths.
+        // decoding a candidate — then (c) RE-RANKS the top REFINE_R ADC
+        // candidates with exact vectors (the standard IVF-PQ refine
+        // step: ADC is a lossy rank, so production recovers recall by
+        // re-scoring a short ADC shortlist exactly — one extra join
+        // bounded at queries×REFINE_R rows against the corpus). At
+        // scale the corpus is one code table shuffled by centroid_id;
+        // per query the work is nprobe/K of the corpus × M table
+        // lookups + REFINE_R exact dots, and every trained artifact
+        // (centroids, codebooks, lookup tables) is a bounded broadcast.
+        // Recall@3 vs exact x6 goes on the record in AnnRecallSpec next
+        // to the single-structure x7/x8/x15 paths (refine lifted it
+        // from 0.267 ADC-only to the x8 class).
         val e = vecs(s, dir)
         val centroids = trainedCentroids(e)
         val assigned = assignNearest(e, centroids).select("cand_id", "centroid_id")
@@ -725,9 +740,9 @@ object SimilarityQueries {
           .withColumn("prnk", row_number().over(probeW))
           .filter(col("prnk") <= 2)
           .select("query_id", "centroid_id")
-        val w = Window.partitionBy("query_id")
+        val adcW = Window.partitionBy("query_id")
           .orderBy(col("acos").desc, col("cand_id"))
-        probes.join(assigned, Seq("centroid_id"))
+        val shortlist = probes.join(assigned, Seq("centroid_id"))
           .filter(col("query_id") =!= col("cand_id"))
           .select("query_id", "cand_id")
           .join(codes, Seq("cand_id"))
@@ -737,9 +752,24 @@ object SimilarityQueries {
           .agg(sum("ipd").as("ip"), sum("cn2").as("c2"))
           .join(broadcast(qn), Seq("query_id"))
           .withColumn("acos", roundAt(col("ip") / (col("qnorm") * sqrt(col("c2"))), 6))
+          .withColumn("adc_rank", row_number().over(adcW))
+          .filter(col("adc_rank") <= REFINE_R)
+          .select("query_id", "cand_id")
+        // refine: exact cosine over the ADC shortlist only — queries ×
+        // REFINE_R rows, the query vectors a bounded broadcast
+        val qv = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("q_v"),
+            col("norm").as("q_norm"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("cand_id"))
+        shortlist
+          .join(e.select(col("vec_id").as("cand_id"), col("v"), col("norm")),
+            Seq("cand_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("cosine", roundAt(expr("cosine_similarity(q_v, v)"), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
-          .select("query_id", "cand_id", "acos", "rank")
+          .select("query_id", "cand_id", "cosine", "rank")
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH $pqCtesSql,
@@ -763,10 +793,20 @@ object SimilarityQueries {
               |scored AS (
               |  SELECT agg.query_id, agg.cand_id,
               |    ${roundAtSql("agg.ip / (qn.qnorm * sqrt(agg.c2))", 6)} AS acos
-              |  FROM agg JOIN qn ON qn.query_id = agg.query_id)
-              |SELECT query_id, cand_id, acos, rank FROM (
+              |  FROM agg JOIN qn ON qn.query_id = agg.query_id),
+              |short AS (
+              |  SELECT query_id, cand_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY acos DESC, cand_id) AS adc_rank FROM scored)
+              |  WHERE adc_rank <= $REFINE_R),
+              |ref AS (
+              |  SELECT sl.query_id, sl.cand_id,
+              |    ${roundAtSql(cosSql, 6)} AS cosine
+              |  FROM short sl JOIN n q ON q.vec_id = sl.query_id
+              |  JOIN n c ON c.vec_id = sl.cand_id)
+              |SELECT query_id, cand_id, cosine, rank FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY acos DESC, cand_id) AS rank FROM scored)
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM ref)
               |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
   )
 

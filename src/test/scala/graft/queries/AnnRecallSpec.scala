@@ -41,7 +41,7 @@ class AnnRecallSpec extends SparkSpec {
     info(f"recall@3 x7 (multi-probe LSH, 4 planes, Hamming-1 probes): $rLsh%.3f")
     info(f"recall@3 x8 (IVF, K=8 Lloyd-trained, nprobe=2):           $rIvf%.3f")
     info(f"recall@3 x15 (PQ-ADC over 4-byte codes):                  $rPq%.3f")
-    info(f"recall@3 x19 (IVF-PQ: nprobe=2 lists, ADC scoring):       $rIvfPq%.3f")
+    info(f"recall@3 x19 (IVF-PQ: ADC shortlist + exact refine):      $rIvfPq%.3f")
     println(f"ANN RECALL@3: lsh=$rLsh%.3f ivf=$rIvf%.3f pq=$rPq%.3f ivfpq=$rIvfPq%.3f")
     // floors: the structures must beat random bucketing by a wide margin
     // (16 buckets ⇒ random recall ~1/16; 8 lists × nprobe 2 ⇒ ~1/4).
@@ -52,8 +52,10 @@ class AnnRecallSpec extends SparkSpec {
     assert(rLsh >= 0.3, f"LSH recall collapsed: $rLsh%.3f")
     assert(rIvf >= 0.6, f"IVF recall collapsed: $rIvf%.3f")
     assert(rPq >= 0.15, f"PQ-ADC recall collapsed: $rPq%.3f")
-    // IVF-PQ composes both approximations, so it is bounded above by
-    // x15 (same scoring, fewer candidates) — the floor reflects that.
-    assert(rIvfPq >= 0.1, f"IVF-PQ recall collapsed: $rIvfPq%.3f")
+    // with the exact-vector refine over the 30-wide ADC shortlist,
+    // IVF-PQ's recall ceiling is x8's (same probed lists, exact scores
+    // for anything ADC ranks into the shortlist): 0.267 ADC-only →
+    // refined into the x8 class.
+    assert(rIvfPq >= 0.6, f"IVF-PQ refined recall collapsed: $rIvfPq%.3f")
   }
 }

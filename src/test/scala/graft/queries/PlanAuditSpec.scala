@@ -88,10 +88,12 @@ class PlanAuditSpec extends SparkSpec {
     // degrades to a shuffle join at scale — so the invariant to enforce
     // is "no ResolvedHint in the logical plan", not "no broadcast ever".
     // (y3_tfidf_topk is excluded: its one hint broadcasts a single-row
-    // global-count aggregate — bounded by construction, not O(corpus))
+    // global-count aggregate — bounded by construction, not O(corpus);
+    // x12_embedding_centroids is excluded: its one hint broadcasts the
+    // per-label centroid-array table — |labels| rows by construction)
     Seq("x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x5_dedup_cosine",
         "x9_minhash_sketch_agg", "x10_dedup_incremental_lsh",
-        "x12_embedding_centroids", "x13_embedding_quantization",
+        "x13_embedding_quantization",
         "x16_sketch_source_overlap", "y5_contamination_check",
         "t7_unigram_logprob").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
@@ -111,6 +113,23 @@ class PlanAuditSpec extends SparkSpec {
       assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
         s"$q has extra shuffles:\n$p")
     }
+  }
+
+  test("x12 scores members narrowly: corpus is exploded once (centroid build), never for the dots") {
+    // The r3 plan exploded the corpus to n·64 (vec, dim, x) rows TWICE and
+    // hash-joined the second explosion against the centroid components —
+    // two full shuffles of a 64×-inflated table at 100 TB. The fixed plan
+    // rolls centroid components into one array per label (labels-sized),
+    // broadcasts it on `label` alone, and computes each member's dot as a
+    // narrow zip_with+aggregate fold. Visible invariants: exactly ONE
+    // Generate (the centroid-build posexplode), the scoring join is a
+    // broadcast join, and the fold appears in the plan.
+    val p = plan("x12_embedding_centroids")
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1,
+      s"corpus re-exploded for the scoring pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("zip_with"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("salted aggregation keeps two aggregation phases") {

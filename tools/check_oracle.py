@@ -43,15 +43,20 @@ for name in names:
         print(f"{name}: SCHEMA MISMATCH {list(s.columns)} vs {list(o.columns)}"); fails += 1; continue
     if len(s) != len(o):
         print(f"{name}: ROWS {len(s)} vs {len(o)}"); fails += 1; continue
-    # value compare with float tolerance-free string render (driver hashes);
-    # use exact compare on rounded reprs
+    # value compare mirroring the driver's repr-hash, but 1-ulp tolerant on
+    # floats: the two engines may differ in the last ulp of round(x, 6)
+    # results, which the exact-bit compare used to flag as a spurious
+    # VALUE MISMATCH (advisor r3). Bit-equal OR |a-b| <= ulp spacing passes.
     eq = True
     for c in s.columns:
         a, b = s[c], o[c]
         try:
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 import numpy as np
-                if not np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True):
+                av, bv = a.astype(float).values, b.astype(float).values
+                both_nan = np.isnan(av) & np.isnan(bv)
+                close = np.abs(av - bv) <= np.spacing(np.maximum(np.abs(av), np.abs(bv)))
+                if not np.all(both_nan | close):
                     eq = False; break
             else:
                 if not (a.astype(str).values == b.astype(str).values).all():
