@@ -23,6 +23,8 @@ package graft
   * a crashing query must never masquerade as a fast passing one.
   */
 object Bench {
+  import org.apache.spark.sql.functions.col
+
   /** queries worth tracking round-over-round in the short line: the
     * corpus-scale heavies, the TPC-H-ish join benchmarks, and the
     * end-to-end pipeline closes.
@@ -31,7 +33,7 @@ object Bench {
     "x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x9_minhash_sketch_agg",
     "x10_dedup_incremental_lsh", "x11_dedup_clusters", "x12_embedding_centroids",
     "x18_semantic_dedup", "y3_tfidf_topk", "h1_shipping_priority", "h2_local_supplier_volume",
-    "corpus_curate", "etl_close_scale100", "etl_close_scale1000")
+    "corpus_curate", "curate_incremental", "etl_close_scale100", "etl_close_scale1000")
 
   private def fmt(v: Double): String =
     if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -49,14 +51,32 @@ object Bench {
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    /** min/max of `reps` timed runs; -1/-1 and an `errors` entry on the
-      * first failure (later reps are skipped — the timing is meaningless).
+    /** per-phase timings (min across reps) for the composed pipeline
+      * entries, keyed "entry.phase" — so the official record shows WHERE
+      * a composed number's time goes instead of one opaque total (the
+      * r3 corpus_curate record was unexplainable). Integer facts (cc
+      * round count) live in the same map.
+      */
+    val phaseMin = scala.collection.mutable.Map.empty[String, Double]
+    def phaseTimed(key: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      phaseMin(key) = math.min(phaseMin.getOrElse(key, Double.MaxValue), sec)
+    }
+
+    /** min/max of `reps` timed runs (headline entries get ≥3 reps — on
+      * this noisy box two reps can BOTH land on a stall and poison the
+      * official min; r3's corpus_curate record was 52.9s for a ~10s
+      * pipeline); -1/-1 and an `errors` entry on the first failure
+      * (later reps are skipped — the timing is meaningless).
       */
     def timed(name: String)(body: => Unit): (Double, Double) = {
+      val n = if (headline.contains(name)) math.max(reps, 3) else reps
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
-      while (i < reps && !failed) {
+      while (i < n && !failed) {
         val t0 = System.nanoTime()
         try { body; times += (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => failed = true; errors += name }
@@ -73,12 +93,41 @@ object Bench {
     } ++ Seq(
       // the composed curation library surface (normalize → LSH near-dup
       // dedup keep-one → deterministic split) on the sf corpus — the
-      // training-data-pipeline throughput headline
+      // training-data-pipeline throughput headline. The body is
+      // Corpus.curate's exact composition (gate off), phase-timed so
+      // the record shows where the time goes: `cluster` (shingle →
+      // LSH → verify → pointer-jumped CC, with its round count) vs
+      // `split` (normalize + keeper join + deterministic split).
       "corpus_curate" -> timed("corpus_curate") {
-        graft.corpus.Corpus.curate(
-          graft.core.Tables.documents(spark, sfDir)).count(); ()
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        var clusters: org.apache.spark.sql.DataFrame = null
+        phaseTimed("corpus_curate.cluster") {
+          val (c, rounds) = graft.corpus.Corpus.dupClustersWithStats(docs)
+          clusters = c
+          phaseMin("corpus_curate.cc_rounds") = rounds.toDouble
+        }
+        phaseTimed("corpus_curate.split") {
+          graft.corpus.Corpus.withSplit(graft.corpus.Corpus.normalize(docs)
+            .join(clusters.filter(col("keep")).select("doc_id", "cluster_id"),
+              Seq("doc_id"))).count(); ()
+        }
       }
-    ) ++ Seq(100, 1000).map { scale =>
+    ) ++ locally {
+      // incremental batch curation — the DAILY 100 TB operation: a 10%
+      // batch curated against the persisted index of the other 90%
+      // (index-dedup → in-batch dedup → split → append segment). The
+      // index build is write-once setup, outside the timer; each rep
+      // overwrites the same appended segment so reps are identical.
+      val base = java.nio.file.Files.createTempDirectory("bench_curate_inc").toString
+      val docs = graft.core.Tables.documents(spark, sfDir)
+      graft.corpus.Corpus.writeLshIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), s"$base/seg0")
+      Seq("curate_incremental" -> timed("curate_incremental") {
+        graft.corpus.Corpus.curateIncremental(
+          docs.filter(col("doc_id") % 10 === 0),
+          Seq(s"$base/seg0"), s"$base/seg1").count(); ()
+      })
+    } ++ Seq(100, 1000).map { scale =>
       // end-to-end monthly close (scan→validate→gate→fact→kpi→sinks) at
       // 100× / 1000× the reference generator's volume — the
       // pipeline-throughput headline (the reference's own close is
@@ -103,12 +152,14 @@ object Bench {
     // the raw string if the dir is not sf-suffixed
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
-    val common = s""""unit":"sec","reps":$reps,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    val common = s""""unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    val phasesJson = phaseMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},$common,"queries":${qmap(results, _._1)},"spread":${qmap(results, _._2)}}"""
+      s"""{"metric":"total","value":${fmt(total)},$common,"phases":$phasesJson,"queries":${qmap(results, _._1)},"spread":${qmap(results, _._2)}}"""
     val short0 = results.filter(r => headline.contains(r._1))
     val short =
-      s"""{"metric":"total","value":${fmt(total)},$common,"queries":${qmap(short0, _._1)},"queries_full":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},$common,"phases":$phasesJson,"queries":${qmap(short0, _._1)},"queries_full":"BENCH_LOCAL.json"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     spark.stop()
     // full record first (head may be clipped by the driver's tail

@@ -125,7 +125,16 @@ object Corpus {
     * final round's checkpoint blocks, which the ContextCleaner frees once
     * the returned frame is unreferenced.
     */
-  def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    dupClustersWithStats(docs, threshold)._1
+
+  /** [[dupClusters]] plus the number of label-propagation rounds it took
+    * to converge — the figure that tells an operator whether a corpus's
+    * duplicate graph is shallow (2–3 rounds: mostly pairs/triangles) or
+    * pathological (boilerplate chains). Bench reports it per run.
+    */
+  def dupClustersWithStats(docs: DataFrame,
+      threshold: Double = 0.5): (DataFrame, Int) = {
     val (pairsDf, backing) = nearDupPairsCached(docs, threshold)
     val pairs = pairsDf.select("doc_a", "doc_b")
     val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
@@ -133,7 +142,9 @@ object Corpus {
     var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
@@ -161,8 +172,42 @@ object Corpus {
     }
     sym.unpersist()
     backing.foreach(_.unpersist())
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    (labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id")), rounds)
+  }
+
+  /** Which member of each duplicate cluster survives. */
+  sealed trait KeeperStrategy
+  object KeeperStrategy {
+    /** keep the smallest doc_id — the [[dupClusters]] `keep` default. */
+    case object MinId extends KeeperStrategy
+    /** keep the longest text, ties by smallest id — the production
+      * default (the longest duplicate is usually the most complete).
+      */
+    case object LongestText extends KeeperStrategy
+  }
+
+  /** Keeper policy over an EXISTING cluster table: re-decide `keep` per
+    * cluster without re-running the cluster build. `clusters` is any
+    * (doc_id, cluster_id) frame — [[dupClusters]]' output, a parquet
+    * table from a previous run, or a hand-built one. One window over the
+    * cluster key; at 100 TB this is a single shuffle of (id, len, cluster)
+    * triples — the cluster build it composes with costs orders of
+    * magnitude more, which is exactly why it must be reusable as input
+    * here rather than rebuilt per policy change.
+    */
+  def keeperPolicy(docs: DataFrame, clusters: DataFrame,
+      strategy: KeeperStrategy = KeeperStrategy.LongestText): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = strategy match {
+      case KeeperStrategy.LongestText => Seq(col("text_len").desc, col("doc_id").asc)
+      case KeeperStrategy.MinId => Seq(col("doc_id").asc)
+    }
+    val w = Window.partitionBy("cluster_id").orderBy(order: _*)
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "text_len", "keep")
   }
 
   // ---- persisted LSH index (incremental ingest) --------------------------
@@ -191,13 +236,29 @@ object Corpus {
     * exactly one definition.
     */
   private[graft] def readIndexSignatures(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame =
-    spark.read.parquet(s"$indexPath/signatures")
-      .select("doc_id", "band_id", "band_key")
+      indexPath: String): DataFrame = readIndexSignatures(spark, Seq(indexPath))
+
+  /** multi-segment read: an index is a SET of immutable segments (one
+    * per ingested batch — [[writeLshIndex]] or [[curateIncremental]]'s
+    * append), unioned at read time. Signatures are per-doc, so segments
+    * compose by file-listing union — no merge job, the object-store-
+    * friendly layout (segments are write-once; no dataset is mutated).
+    */
+  private[graft] def readIndexSignatures(spark: org.apache.spark.sql.SparkSession,
+      indexPaths: Seq[String]): DataFrame =
+    // one read per segment, unioned: segments are independent Hive-
+    // partitioned roots, and a single multi-path read would try (and
+    // refuse) to infer one partition scheme across them
+    indexPaths.map(p => spark.read.parquet(s"$p/signatures")
+      .select("doc_id", "band_id", "band_key")).reduce(_.unionByName(_))
 
   private[graft] def readIndexShingles(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame =
-    spark.read.parquet(s"$indexPath/shingles")
+      indexPath: String): DataFrame = readIndexShingles(spark, Seq(indexPath))
+
+  private[graft] def readIndexShingles(spark: org.apache.spark.sql.SparkSession,
+      indexPaths: Seq[String]): DataFrame =
+    indexPaths.map(p => spark.read.parquet(s"$p/shingles"))
+      .reduce(_.unionByName(_))
 
   /** exact-verify tail shared by the batch and streaming incremental
     * paths: candidates (new_id, sha, index_id) join the index shingle
@@ -229,11 +290,19 @@ object Corpus {
     * session.
     */
   def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    dedupAgainstIndex(newDocs, Seq(indexPath), threshold)
+
+  /** [[dedupAgainstIndex]] against a multi-segment index (see
+    * [[readIndexSignatures]]): the rolling-ingest shape, where every
+    * prior batch contributed one immutable segment.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, indexPaths: Seq[String],
+      threshold: Double): DataFrame = {
     val spark = newDocs.sparkSession
     val sh = withShingles(newDocs).select("doc_id", "sh").cache()
     val cand = bandSignatures(sh).as("a")
-      .join(readIndexSignatures(spark, indexPath).as("b"),
+      .join(readIndexSignatures(spark, indexPaths).as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
@@ -241,7 +310,7 @@ object Corpus {
     verifyAgainstIndex(
       cand.join(sh.select(col("doc_id").as("new_id"), col("sh").as("sha")),
         Seq("new_id")),
-      readIndexShingles(spark, indexPath), threshold)
+      readIndexShingles(spark, indexPaths), threshold)
   }
 
   // ---- text canonicalization + splits ------------------------------------
@@ -343,5 +412,72 @@ object Corpus {
     val clusters = dupClusters(base, threshold)
     withSplit(normalize(base)
       .join(clusters.filter(col("keep")).select("doc_id", "cluster_id"), Seq("doc_id")))
+  }
+
+  /** The DAILY operation of a 100 TB corpus: curate a NEW batch against
+    * the already-curated corpus without touching it. Pipeline:
+    * (optional) quality gate → dedup against the persisted index
+    * segments (`indexPaths` — batch×index candidates only, the indexed
+    * corpus's text is never rescanned) → drop in-batch near-dup losers
+    * (the higher id of any verified pair, the x18 keeper rule — a full
+    * in-batch transitive cluster build is [[curate]]'s job when batches
+    * self-duplicate heavily) → normalize + deterministic split → write
+    * the SURVIVORS' signatures + shingles as a new immutable index
+    * segment under `appendSegmentPath`, so the next batch's `indexPaths`
+    * is simply this one plus that path. One shingle/signature build
+    * feeds the index probe, the in-batch check AND the appended segment.
+    *
+    * The segment write runs eagerly (it is the call's side effect); the
+    * returned curated batch is lazy on the same cached shingle build —
+    * release with `spark.catalog.clearCache()` between ingests.
+    */
+  def curateIncremental(newDocs: DataFrame, indexPaths: Seq[String],
+      appendSegmentPath: String, threshold: Double = 0.5,
+      qualityGate: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    val base =
+      if (qualityGate) qualitySignals(newDocs).filter(col("keep"))
+        .select(newDocs.columns.map(col): _*)
+      else newDocs
+    val sh = withShingles(base).select("doc_id", "sh").cache()
+    val sig = bandSignatures(sh).cache()
+    // vs the existing corpus: band-join candidates, exact verify
+    val idxCand = sig.as("a")
+      .join(readIndexSignatures(spark, indexPaths).as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("index_id"))
+      .dropDuplicates("new_id", "index_id")
+    val idxMatches = verifyAgainstIndex(
+      idxCand.join(sh.select(col("doc_id").as("new_id"), col("sh").as("sha")),
+        Seq("new_id")),
+      readIndexShingles(spark, indexPaths), threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    // within the batch: same band equi-join on the batch's own
+    // signatures, drop the higher id of each verified pair (min id of
+    // every in-batch dup group always survives)
+    val batchCand = sig.as("a").join(sig.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("keep_id"), col("b.doc_id").as("new_id"))
+      .dropDuplicates("keep_id", "new_id")
+    val batchLosers = batchCand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
+      .join(sh.select(col("doc_id").as("keep_id"), col("sh").as("shb")), Seq("keep_id"))
+      .withColumn("jaccard",
+        graft.functions.MoneyFunctions.roundAt(
+          JaccardSimilarity(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    val dropIds = idxMatches.union(batchLosers).distinct()
+    val survivors = base.join(dropIds, Seq("doc_id"), "left_anti")
+    val survivorIds = survivors.select("doc_id")
+    graft.etl.EtlIO.writePartitionedParquet(
+      sig.join(survivorIds, Seq("doc_id")),
+      s"$appendSegmentPath/signatures", Seq("band_id"))
+    graft.etl.EtlIO.writeParquet(
+      sh.join(survivorIds, Seq("doc_id")), s"$appendSegmentPath/shingles")
+    withSplit(normalize(survivors))
   }
 }

@@ -13,6 +13,59 @@ import graft.functions.MoneyFunctions._
 object ScaleQueries {
   import RelationalQueries.{Q, QFn}
 
+  /** z6's hash construction, shared with the parameterized measurement
+    * below: two positions per key from the two md5 hex halves.
+    */
+  private def bloomFoldHex(a: Int, b: Int): String =
+    s"""aggregate(transform(sequence($a, $b),
+       |  i -> instr('0123456789abcdef', substring(hex, i, 1)) - 1),
+       |  cast(0 as bigint), (x, c) -> x * 16 + c)""".stripMargin
+
+  private def bloomPositions(df: DataFrame, mBits: Int): DataFrame = df
+    .withColumn("p1", expr(s"${bloomFoldHex(1, 8)} % $mBits"))
+    .withColumn("p2", expr(s"${bloomFoldHex(9, 16)} % $mBits"))
+
+  /** Measured false-positive rate of the z6 bloom construction at an
+    * arbitrary filter size `mBits` (k = 2 hashes), over the DISTINCT
+    * non-member probe keys, plus (inserted key count, probe count) —
+    * ScaleBoundSpec checks the rate against the textbook
+    * (1 − e^{−kn/m})^k prediction at several m, which is how an
+    * operator sizes the filter for a 100 TB key cardinality before
+    * running anything.
+    */
+  private[queries] def bloomFpMeasured(s: org.apache.spark.sql.SparkSession,
+      dir: String, mBits: Int): (Long, Long, Double) = {
+    val urgentKeys = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = bloomPositions(urgentKeys
+        .withColumn("hex", md5(col("o_orderkey").cast("string"))), mBits)
+      .select(explode(array(col("p1"), col("p2"))).as("p"))
+      .select(expr("p div 32").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+    val nonMembers = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      .join(urgentKeys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val probed = bloomPositions(nonMembers
+        .withColumn("hex", md5(col("l_orderkey").cast("string"))), mBits)
+      .withColumn("w1", expr("p1 div 32"))
+      .withColumn("m1", expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))"))
+      .withColumn("w2", expr("p2 div 32"))
+      .withColumn("m2", expr("shiftleft(cast(1 as bigint), cast(p2 % 32 as int))"))
+      .join(broadcast(bloom.withColumnRenamed("w", "w1")
+        .withColumnRenamed("word", "word1")), Seq("w1"), "left")
+      .join(broadcast(bloom.withColumnRenamed("w", "w2")
+        .withColumnRenamed("word", "word2")), Seq("w2"), "left")
+      .withColumn("fp",
+        coalesce(col("word1"), lit(0L)).bitwiseAND(col("m1")) =!= 0 &&
+          coalesce(col("word2"), lit(0L)).bitwiseAND(col("m2")) =!= 0)
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("fp"), 1L).otherwise(0L)).as("n_fp"))
+      .first()
+    val n = urgentKeys.count()
+    (n, probed.getLong(0), probed.getLong(1).toDouble / probed.getLong(0))
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("z1_salted_skew_agg",
@@ -97,13 +150,7 @@ object ScaleQueries {
         // count and the measured false-positive rate — the number that
         // sizes m and k for a target corpus. Words stay below the
         // BIGINT sign bit (shift ≤ 31) so both engines' shifts agree.
-        val foldHex = (a: Int, b: Int) =>
-          s"""aggregate(transform(sequence($a, $b),
-             |  i -> instr('0123456789abcdef', substring(hex, i, 1)) - 1),
-             |  cast(0 as bigint), (x, c) -> x * 16 + c)""".stripMargin
-        def positions(df: DataFrame): DataFrame = df
-          .withColumn("p1", expr(s"${foldHex(1, 8)} % 65536"))
-          .withColumn("p2", expr(s"${foldHex(9, 16)} % 65536"))
+        def positions(df: DataFrame): DataFrame = bloomPositions(df, 65536)
         val urgentKeys = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_orderkey"))

@@ -138,7 +138,8 @@ object SimilarityQueries {
     * rows, consumed by every downstream assignment — training must not
     * re-run per consumer. Released by clearCache().
     */
-  private def trainedCentroids(e: DataFrame): DataFrame = {
+  private def trainedCentroids(e: DataFrame,
+      iters: Int = LLOYD_ITERS): DataFrame = {
     val seed = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("v"))
     def lloydStep(cents: DataFrame): DataFrame = {
@@ -157,7 +158,41 @@ object SimilarityQueries {
         .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
           .as("v"))
     }
-    (1 to LLOYD_ITERS).foldLeft(seed)((c, _) => lloydStep(c)).cache()
+    (1 to iters).foldLeft(seed)((c, _) => lloydStep(c)).cache()
+  }
+
+  /** x8's IVF search at an arbitrary Lloyd-round count — AnnRecallSpec
+    * sweeps this to put recall@3 vs training depth on the record (the
+    * knee justifies LLOYD_ITERS; the oracle CTE chain is parameterized
+    * by the same constant).
+    */
+  private[queries] def ivfSearch(s: SparkSession, dir: String,
+      lloydIters: Int): DataFrame = {
+    val e = vecs(s, dir)
+    val centroids = trainedCentroids(e, lloydIters)
+    val assigned = assignNearest(e, centroids)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("centroid_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v"), col("norm"))
+      .as("c").join(broadcast(centroids.as("q")))
+      .withColumn("qcos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+      .select(col("c.query_id").as("query_id"), col("c.v").as("v"),
+        col("c.norm").as("norm"), col("q.centroid_id").as("centroid_id"), col("qcos"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= 2)
+      .drop("qcos", "prnk")
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    assigned.as("c").join(broadcast(probes.as("q")),
+        col("q.centroid_id") === col("c.centroid_id") &&
+          col("q.query_id") =!= col("c.cand_id"))
+      .withColumn("cosine", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+      .select(col("q.query_id").as("query_id"), col("c.cand_id").as("cand_id"), col("cosine"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
   }
 
   /** corpus → nearest trained centroid (rank 1 by rounded cosine desc,
@@ -315,34 +350,9 @@ object SimilarityQueries {
         // same contract x12's centroid oracle relies on. Training is
         // K·N narrow work per round (broadcast of 8 centroids, one
         // corpus pass, (centroid, dim) partial agg) — nothing all-pairs.
-        // AnnRecallSpec puts the trained recall@3 on the record.
-        val e = vecs(s, dir)
-        val centroids = trainedCentroids(e)
-        val assigned = assignNearest(e, centroids)
-        // queries → their nprobe=2 nearest centroids
-        val probeW = Window.partitionBy("query_id")
-          .orderBy(col("qcos").desc, col("centroid_id"))
-        val probes = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v"), col("norm"))
-          .as("c").join(broadcast(centroids.as("q")))
-          .withColumn("qcos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
-          .select(col("c.query_id").as("query_id"), col("c.v").as("v"),
-            col("c.norm").as("norm"), col("q.centroid_id").as("centroid_id"), col("qcos"))
-          .withColumn("prnk", row_number().over(probeW))
-          .filter(col("prnk") <= 2)
-          .drop("qcos", "prnk")
-        // rerank within the probed lists
-        val rankW = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("cand_id"))
-        assigned.as("c").join(broadcast(probes.as("q")),
-            col("q.centroid_id") === col("c.centroid_id") &&
-              col("q.query_id") =!= col("c.cand_id"))
-          .withColumn("cosine", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
-          .select(col("q.query_id").as("query_id"), col("c.cand_id").as("cand_id"), col("cosine"))
-          .dropDuplicates("query_id", "cand_id")
-          .withColumn("rank", row_number().over(rankW))
-          .filter(col("rank") <= 3)
-          .orderBy("query_id", "rank")
+        // AnnRecallSpec puts the trained recall@3 on the record, and
+        // sweeps the round count via ivfSearch to justify LLOYD_ITERS.
+        ivfSearch(s, dir, LLOYD_ITERS)
       },
       Some(s"""WITH n AS ($vecsSql),
               |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),

@@ -124,6 +124,92 @@ class CorpusSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("keeperPolicy applies a strategy to a hand-built cluster frame without rebuilding clusters") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb"),            // cluster 1
+      (3L, "zz yy xx"), (4L, "qq rr ss tt uu vv"),   // cluster 3
+      (5L, "solo")                                    // singleton
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    def keepers(strategy: Corpus.KeeperStrategy): Set[Long] =
+      Corpus.keeperPolicy(d, clusters, strategy)
+        .filter(col("keep")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // longest: doc 1 (11 chars) beats 2; doc 4 (18) beats 3
+    assert(keepers(Corpus.KeeperStrategy.LongestText) == Set(1L, 4L, 5L))
+    // min id: doc 3 beats 4
+    assert(keepers(Corpus.KeeperStrategy.MinId) == Set(1L, 3L, 5L))
+    // exactly one keeper per cluster either way
+    val kp = Corpus.keeperPolicy(d, clusters)
+    assert(kp.filter(col("keep")).groupBy("cluster_id").count()
+      .filter(col("count") =!= 1).isEmpty)
+    assert(kp.count() == 5)
+  }
+
+  test("curateIncremental: immutable segments compose and prior batches are never rescanned") {
+    val base = tmpDir("curate_inc_spec")
+    // the full-corpus verified pair set is ground truth; batch-restricted
+    // LSH gives exactly its restriction (candidates don't depend on
+    // out-of-batch docs)
+    val pairs = Corpus.nearDupPairs(docs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // doc_a < doc_b
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    def paired(id: Long, others: Set[Long]): Boolean =
+      pairs.exists { case (a, b) => (a == id && others(b)) || (b == id && others(a)) }
+    val b1 = ids.filter(_ % 3 == 0)
+    val b2 = ids.filter(_ % 3 == 1)
+    val b3 = ids.filter(_ % 3 == 2)
+
+    // batch 1 → segment 0; delete its source before anything reads it back
+    val b1Path = s"$base/b1"
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(b1Path)
+    Corpus.writeLshIndex(spark.read.parquet(b1Path), s"$base/seg0")
+    deleteTree(b1Path)
+
+    // batch 2 curated against seg0 (batch 1's text is GONE)
+    val b2Path = s"$base/b2"
+    docs.filter(col("doc_id") % 3 === 1).write.parquet(b2Path)
+    val c2 = Corpus.curateIncremental(spark.read.parquet(b2Path),
+      Seq(s"$base/seg0"), s"$base/seg1")
+    val got2 = c2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val drop2 = b2.filter(id => paired(id, b1) ||
+      pairs.exists { case (a, b) => b == id && a % 3 == 1 })
+    assert(got2 == b2 -- drop2)
+    // splits assigned and normalization applied on the survivors
+    assert(c2.filter(col("norm").rlike("[0-9]|  ")).isEmpty)
+    assert(c2.select("split").distinct().count() >= 2)
+
+    // batch 3 curated against BOTH segments; batch 2's text also gone
+    spark.catalog.clearCache()
+    deleteTree(b2Path)
+    val b3Path = s"$base/b3"
+    docs.filter(col("doc_id") % 3 === 2).write.parquet(b3Path)
+    val c3 = Corpus.curateIncremental(spark.read.parquet(b3Path),
+      Seq(s"$base/seg0", s"$base/seg1"), s"$base/seg2")
+    val got3 = c3.select("doc_id").collect().map(_.getLong(0)).toSet
+    val surv2 = b2 -- drop2
+    val drop3 = b3.filter(id => paired(id, b1 ++ surv2) ||
+      pairs.exists { case (a, b) => b == id && a % 3 == 2 })
+    assert(got3 == b3 -- drop3)
+    // the appended segments exist and only hold survivors' signatures
+    val seg1Ids = spark.read.parquet(s"$base/seg1/signatures")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(seg1Ids.subsetOf(surv2))
+    assert((drop2 ++ drop3).nonEmpty,
+      "no cross-batch or in-batch dups at this sf — spec is vacuous")
+    spark.catalog.clearCache()
+  }
+
+  private def deleteTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.delete)
+    finally walk.close()
+  }
+
   test("packShards respects contiguity: shard ids are non-decreasing in doc order per group") {
     val packed = Corpus.packShards(docs, "source", 2000)
       .select("source", "doc_id", "shard_id").collect()

@@ -13,8 +13,10 @@ class AnnRecallSpec extends SparkSpec {
 
   /** query_id → top-k cand_ids (rank ≤ k). */
   private def topk(name: String, k: Int): Map[Long, Set[Long]] =
-    SparkEntry.queries(name)(spark, dir)
-      .select("query_id", "cand_id", "rank").collect()
+    topkOf(SparkEntry.queries(name)(spark, dir), k)
+
+  private def topkOf(df: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Set[Long]] =
+    df.select("query_id", "cand_id", "rank").collect()
       .filter(_.getInt(2) <= k)
       .groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -57,5 +59,28 @@ class AnnRecallSpec extends SparkSpec {
     // for anything ADC ranks into the shortlist): 0.267 ADC-only →
     // refined into the x8 class.
     assert(rIvfPq >= 0.6, f"IVF-PQ refined recall collapsed: $rIvfPq%.3f")
+  }
+
+  test("IVF recall@3 vs Lloyd training depth: LLOYD_ITERS sits at the knee") {
+    // the training-honesty record: recall per unrolled Lloyd round
+    // (0 = raw first-8-vectors seed). The production setting (2, the
+    // constant behind x8/x18/x19 and their oracle CTE chains) must be
+    // at or past the knee — more rounds must not buy meaningfully more
+    // recall, or the constant is undertrained.
+    val exact = topk("x6_ann_bruteforce_topk", 3)
+    val byDepth = Seq(0, 1, 2, 3).map { it =>
+      val r = recallAt3(topkOf(SimilarityQueries.ivfSearch(spark, dir, it), 3), exact)
+      spark.catalog.clearCache()
+      it -> r
+    }
+    byDepth.foreach { case (it, r) =>
+      info(f"recall@3 IVF at LLOYD_ITERS=$it: $r%.3f")
+    }
+    println("IVF RECALL@3 BY LLOYD_ITERS: " +
+      byDepth.map { case (it, r) => f"$it=$r%.3f" }.mkString(" "))
+    val m = byDepth.toMap
+    assert(m(2) >= 0.6, f"trained IVF recall collapsed: ${m(2)}%.3f")
+    assert(m(3) <= m(2) + 0.1,
+      f"a third Lloyd round buys ${m(3) - m(2)}%.3f recall — LLOYD_ITERS=2 is undertrained")
   }
 }

@@ -54,6 +54,78 @@ class DedupSaltSpec extends SparkSpec {
       s"hot key not spread: max per-(key, salt) posting volume $maxPer")
   }
 
+  test("an artificially hot shingle cannot overload one reducer: measured task balance under boilerplate") {
+    // The 100× -data claim behind x4's salting, proven on a measured run
+    // instead of asserted in a comment: 512 docs share one boilerplate
+    // bigram (df = 512 — the pathological posting list), so the pair
+    // stage must emit ~131k pairs for ONE join key. Unsalted, one
+    // reducer task writes all of them; salted (chunk=8 ⇒ nsalt=64 on
+    // the hot key), the volume spreads across (key, salt) buckets. A
+    // SparkListener records per-task shuffle WRITE records; the
+    // heaviest stage (the pair join) must stay within ~2× of its mean
+    // task volume when salted, while the unsalted run shows the
+    // pile-up the fan-out exists to prevent. AQE and auto-broadcast
+    // are pinned off so the join really shuffles on the key and
+    // partitions aren't coalesced away under test-sized data.
+    import spark.implicits._
+    val hotDocs = (0 until 512)
+      .map(i => (i.toLong, s"common boilerplate u$i v$i")).toDF("doc_id", "text")
+    val shingled = graft.corpus.Corpus.withShingles(hotDocs)
+      .select(col("doc_id"), lit("en").as("lang"), col("sh"),
+        size(col("sh")).as("n"))
+
+    def pairStageImbalance(chunk: Long): Double = {
+      val stageWrites = new scala.collection.concurrent.TrieMap[
+        Int, scala.collection.mutable.ArrayBuffer[Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            stageWrites.getOrElseUpdate(te.stageId,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+              m.shuffleWriteMetrics.recordsWritten
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        DedupQueries.ngramJaccardCommon(shingled, chunk).count()
+        // listener delivery is async — wait until totals go stable
+        val deadline = System.nanoTime() + 15000000000L
+        var prev = -1L
+        var stable = 0
+        while (System.nanoTime() < deadline && stable < 3) {
+          Thread.sleep(150)
+          val cur = stageWrites.values.map(_.sum).sum
+          if (cur == prev && cur > 0) stable += 1 else { stable = 0; prev = cur }
+        }
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.catalog.clearCache()
+      }
+      val writes = stageWrites.values.maxBy(_.sum)
+      writes.max / (writes.sum.toDouble / writes.size)
+    }
+
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = pairStageImbalance(8L)
+      val unsalted = pairStageImbalance(1L << 40)
+      info(f"pair-stage max/mean task shuffle-write records: salted $salted%.2f, unsalted $unsalted%.2f")
+      assert(salted <= 2.0,
+        f"salted pair stage still skewed: max/mean $salted%.2f")
+      assert(unsalted > salted,
+        f"unsalted run shows no pile-up ($unsalted%.2f vs $salted%.2f) — the scenario stopped exercising the hazard")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("the tiny chunk really engages the fan-out (corpus has df > 2 keys)") {
     val maxDf = shingled
       .select(col("lang"), explode(col("sh")).as("shingle"))

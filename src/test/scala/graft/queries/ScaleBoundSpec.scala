@@ -35,6 +35,24 @@ class ScaleBoundSpec extends SparkSpec {
       f"approx_percentile error exceeded 1%%: max ${errs.max}%.5f")
   }
 
+  test("z6: bloom fp rate tracks (1 - e^{-kn/m})^k across filter sizes") {
+    // the sizing law an operator uses BEFORE running anything at 100 TB
+    // key counts: measured fp on non-member probes must match the
+    // textbook prediction at each m, within binomial noise (4σ on the
+    // probe count) plus 35% model slack (the k=2 md5-half hashes are
+    // only approximately independent/uniform).
+    val k = 2.0
+    Seq(16384, 65536, 262144).foreach { m =>
+      val (n, nProbe, fp) = ScaleQueries.bloomFpMeasured(spark, dir, m)
+      val pred = math.pow(1.0 - math.exp(-k * n / m), k)
+      val tol = math.max(0.35 * pred, 4.0 * math.sqrt(pred / nProbe))
+      info(f"m=$m%7d n=$n nProbe=$nProbe fp=$fp%.6f predicted=$pred%.6f tol=$tol%.6f")
+      assert(math.abs(fp - pred) <= tol,
+        f"bloom fp at m=$m diverges from prediction: fp=$fp%.6f pred=$pred%.6f")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("z3: approx_count_distinct within 5% of exact per l_returnflag group") {
     val rows = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
