@@ -149,6 +149,25 @@ object DedupQueries {
   private val x10IndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** x21's appended-segment target, one temp dir per sf dir (overwritten
+    * per invocation; removed on JVM exit).
+    */
+  private val x21SegDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def x21SegmentPath(dir: String): String =
+    x21SegDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("x21_segment")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      p.toString
+    })
+
   private def x10IndexPath(s: SparkSession, dir: String): String = {
     // double-checked outside computeIfAbsent: the index build is a
     // multi-second Spark job, and holding the map's bin lock for it
@@ -611,6 +630,99 @@ object DedupQueries {
                      " / (a.norm * b.norm)", 6)} AS cosine
               |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
               |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    Q("x21_curate_incremental",
+      (s, dir) => {
+        // the incremental DAILY curation pipeline end-to-end under the
+        // oracle gate: the x10 batch (doc_id % 10 == 0) is curated
+        // against the persisted index of the other 90% (x10's memoized
+        // write-once segment): index-dedup (batch×index candidates,
+        // indexed text never rescanned) → in-batch pair dedup (the
+        // higher id of any verified pair drops) → normalize →
+        // deterministic content-addressed split; the survivors'
+        // signatures are appended as a new immutable segment
+        // (overwritten per invocation here — write-once in production).
+        // Library surface: Corpus.curateIncremental.
+        graft.corpus.Corpus.curateIncremental(
+            Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+            Seq(x10IndexPath(s, dir)), x21SegmentPath(dir))
+          .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+            col("bucket"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $lshSigCtesSql,
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+              |  FROM sig a JOIN sig b
+              |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+              |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+              |idxm AS (
+              |  SELECT DISTINCT new_id FROM (
+              |    SELECT new_id, ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS j
+              |    FROM cand JOIN d x ON cand.new_id = x.doc_id
+              |    JOIN d y ON cand.index_id = y.doc_id)
+              |  WHERE j >= 0.5),
+              |bcand AS (
+              |  SELECT DISTINCT a.doc_id AS keep_id, b.doc_id AS new_id
+              |  FROM sig a JOIN sig b
+              |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+              |      AND a.doc_id < b.doc_id
+              |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+              |blos AS (
+              |  SELECT DISTINCT new_id FROM (
+              |    SELECT new_id, ${roundAtSql(jaccardSql("x.sh", "y.sh"), 6)} AS j
+              |    FROM bcand JOIN d x ON bcand.keep_id = x.doc_id
+              |    JOIN d y ON bcand.new_id = y.doc_id)
+              |  WHERE j >= 0.5),
+              |surv AS (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE doc_id % 10 = 0
+              |    AND doc_id NOT IN (SELECT new_id FROM idxm)
+              |    AND doc_id NOT IN (SELECT new_id FROM blos))
+              |SELECT doc_id, md5(norm) AS norm_md5, bucket,
+              |  CASE WHEN bucket < 80 THEN 'train'
+              |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+              |FROM (
+              |  SELECT doc_id,
+              |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS norm,
+              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+              |      for i in range(1, 9)], (b, c) -> b * 16 + c) % 100 AS bucket
+              |  FROM surv)
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("x22_cluster_size_profile",
+      (s, dir) => {
+        // dedup REPORTING: the duplicate-cluster size distribution —
+        // the figure an operator watches for boilerplate explosions (a
+        // fat tail of big clusters eating the corpus) and the direct
+        // measure of how much dedup will remove. Consumes the
+        // materialized cluster table (clustersFor — the x17 pattern):
+        // two tiny (cluster, count) shuffles on top of it.
+        clustersFor(s, dir)
+          .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            (col("cluster_size") * count(lit(1))).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $lshSigCtesSql,
+              |$lshPairsCteSql,
+              |sym AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM sym
+              |  UNION
+              |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+              |cl AS (
+              |  SELECT dd.doc_id,
+              |    least(dd.doc_id, coalesce(min(r.dst), dd.doc_id)) AS cluster_id
+              |  FROM documents dd LEFT JOIN reach r ON dd.doc_id = r.src
+              |  GROUP BY dd.doc_id),
+              |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+              |SELECT cluster_size, count(*) AS n_clusters,
+              |  cluster_size * count(*) AS n_docs
+              |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

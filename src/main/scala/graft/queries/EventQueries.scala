@@ -225,6 +225,48 @@ object EventQueries {
              |  n_obs
              |FROM runs ORDER BY user_id, seg""".stripMargin)),
 
+    Q("e8_attribution",
+      (s, dir) => {
+        // first-/last-touch attribution per user — the event-stream
+        // rollup behind marketing/source attribution: which event type
+        // opened the user's history and which closed it, plus volume
+        // and value. One map-side-combinable groupBy on the user key:
+        // first/last are min/max over a (ts, event_id, type) struct
+        // (lexicographic struct ordering; event_id breaks ts ties), so
+        // there is NO window, no sort, no second shuffle — the shape
+        // that survives a 100 TB event log.
+        Tables.eventsTs(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+          .groupBy("user_id")
+          .agg(
+            min(struct(col("ts_us"), col("event_id"), col("event_type")))
+              .getField("event_type").as("first_touch"),
+            max(struct(col("ts_us"), col("event_id"), col("event_type")))
+              .getField("event_type").as("last_touch"),
+            count(lit(1)).as("n_events"),
+            roundAt(sum("value"), 6).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, event_type,
+              |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+              |f AS (
+              |  SELECT user_id, event_type, ROW_NUMBER() OVER (
+              |    PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM e),
+              |l AS (
+              |  SELECT user_id, event_type, ROW_NUMBER() OVER (
+              |    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
+              |a AS (
+              |  SELECT user_id, count(*) AS n_events,
+              |    ${roundAtSql("sum(value)", 6)} AS total_value
+              |  FROM e GROUP BY 1)
+              |SELECT a.user_id, f.event_type AS first_touch,
+              |  l.event_type AS last_touch, a.n_events, a.total_value
+              |FROM a JOIN f ON f.user_id = a.user_id AND f.rn = 1
+              |JOIN l ON l.user_id = a.user_id AND l.rn = 1
+              |ORDER BY a.user_id""".stripMargin)),
+
     Q("m1_binary_plumbing",
       (s, dir) => {
         // multimodal plumbing shape: opaque binary payload + typed

@@ -247,6 +247,64 @@ object SamplingQueries {
               |                   for i in range(1, 7)], (b, c) -> b * 16 + c)
               |      < CAST(floor(rate * 16777216) AS BIGINT)
               |ORDER BY source, doc_id""".stripMargin)),
+
+    Q("y7_curriculum_buckets",
+      (s, dir) => {
+        // quality-curriculum assembly: tier every doc by its measured
+        // quality signals (the t6 Gopher-style battery via
+        // Corpus.qualitySignals), then apply a per-tier deterministic
+        // sampling rate — high-quality text kept fully, mid down to
+        // 50%, low to 10% (the quality-weighted mixture used to tilt a
+        // pretraining corpus without discarding the tail outright). The
+        // gate is the same content-addressed bucket as y1/y2: join-free,
+        // reproducible, incremental. Plan shape: one narrow signal pass
+        // + gate; the only aggregation is the tier-level report.
+        val tiered = graft.corpus.Corpus.qualitySignals(
+            Tables.documents(s, dir))
+          .withColumn("tier",
+            when(col("n_words").between(5, 5000) &&
+              col("dup_word_fraction") <= 0.2 &&
+              col("symbol_word_fraction") <= 0.3, "high")
+            .when(col("n_words").between(5, 5000) &&
+              col("dup_word_fraction") <= 0.4 &&
+              col("symbol_word_fraction") <= 0.3, "mid")
+            .otherwise("low"))
+          .withColumn("rate",
+            when(col("tier") === "high", 100L)
+              .when(col("tier") === "mid", 50L).otherwise(10L))
+        graft.corpus.Corpus.withBucket(tiered)
+          .withColumn("kept", col("bucket") < col("rate"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            roundAt(avg("dup_word_fraction"), 6).as("avg_dup_frac"))
+          .orderBy("tier")
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id,
+              |    CAST(len(w) AS BIGINT) AS n_words,
+              |    floor((1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 1000000 + 0.5) / 1000000 AS dup_word_fraction,
+              |    floor((CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w)) * 1000000 + 0.5) / 1000000 AS symbol_word_fraction
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+              |tiered AS (
+              |  SELECT doc_id, dup_word_fraction,
+              |    CASE WHEN n_words BETWEEN 5 AND 5000 AND dup_word_fraction <= 0.2
+              |              AND symbol_word_fraction <= 0.3 THEN 'high'
+              |         WHEN n_words BETWEEN 5 AND 5000 AND dup_word_fraction <= 0.4
+              |              AND symbol_word_fraction <= 0.3 THEN 'mid'
+              |         ELSE 'low' END AS tier
+              |  FROM sig),
+              |gated AS (
+              |  SELECT tier, dup_word_fraction,
+              |    $bucketDuckSql AS bucket,
+              |    CASE WHEN tier = 'high' THEN 100
+              |         WHEN tier = 'mid' THEN 50 ELSE 10 END AS rate
+              |  FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+              |        FROM tiered))
+              |SELECT tier, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  ${roundAtSql("avg(dup_word_fraction)", 6)} AS avg_dup_frac
+              |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -294,6 +294,30 @@ object TextQueries {
               |    base.dup_trigram_fraction
               |  FROM base LEFT JOIN stats ON stats.doc_id = base.doc_id)
               |ORDER BY doc_id""".stripMargin)),
+
+    Q("t10_length_histogram",
+      (s, dir) => {
+        // corpus length profiling per source: a digit-count histogram
+        // (decimal order of magnitude of n_chars — an exact integer op
+        // on both engines, unlike float log2 at exact powers) with
+        // min/max/avg length per (source, magnitude) cell. The
+        // length-distribution report every intake pipeline prints
+        // before choosing truncation/packing parameters; one map-side-
+        // combinable groupBy on a tiny key space.
+        Tables.documents(s, dir)
+          .withColumn("magnitude",
+            length(col("n_chars").cast("string")).cast("long"))
+          .groupBy("source", "magnitude")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+            roundAt(avg("n_chars"), 2).as("avg_chars"))
+          .orderBy("source", "magnitude")
+      },
+      Some(s"""SELECT source, CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT) AS magnitude,
+              |  count(*) AS n_docs, min(n_chars) AS min_chars,
+              |  max(n_chars) AS max_chars,
+              |  ${roundAtSql("avg(n_chars)", 2)} AS avg_chars
+              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -95,7 +95,8 @@ class PlanAuditSpec extends SparkSpec {
         "x9_minhash_sketch_agg", "x10_dedup_incremental_lsh",
         "x13_embedding_quantization",
         "x16_sketch_source_overlap", "y5_contamination_check",
-        "t7_unigram_logprob").foreach { q =>
+        "t7_unigram_logprob", "x21_curate_incremental",
+        "x22_cluster_size_profile").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
         s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
