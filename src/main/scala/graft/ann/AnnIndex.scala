@@ -1,0 +1,130 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MoneyFunctions._
+import graft.queries.SimilarityQueries
+
+/** Persisted IVF-PQ index — the "train once, persist, serve" shape that
+  * actually runs at 100 TB: training (the x8 Lloyd coarse quantizer and
+  * the x14 PQ codebooks, both oracle-pinned constructions) happens in
+  * ONE batch job whose artifacts land on disk, and every later search
+  * touches only parquet — no retraining, no rescan of the corpus scan
+  * that produced the index (AnnIndexSpec proves it by deleting the
+  * source before searching). The on-disk layout is the on-cluster
+  * layout:
+  *
+  *  - `centroids/`   8 coarse centroids (broadcast-sized)
+  *  - `codebooks/`   M=8 × K=16 PQ codebooks (broadcast-sized)
+  *  - `postings/`    (cand_id, s, cid) PQ codes Hive-partitioned by
+  *                   centroid_id — a query probing nprobe lists READS
+  *                   nprobe directories (partition pruning is the IVF
+  *                   posting-list seek)
+  *  - `vectors/`     exact vectors + norms, partitioned by centroid_id —
+  *                   the refine stage reads only probed partitions
+  *
+  * Search = [[graft.queries.SimilarityQueries]]'s x19 composition
+  * (probe → ADC over codes → exact refine of the REFINE_R shortlist)
+  * against the files; AnnIndexSpec pins search-from-disk == x19's
+  * oracle-checked output row for row.
+  */
+object AnnIndex {
+
+  /** Train the coarse quantizer + PQ codebooks on `embeddings`
+    * (vec_id, label, embedding Array[Float]) and persist the full
+    * serving index under `path`. One pass trains, assigns, encodes;
+    * the caches it leaves behind follow the library's
+    * `spark.catalog.clearCache()` contract.
+    */
+  def write(embeddings: DataFrame, path: String): Unit = {
+    val e = SimilarityQueries.toVecs(embeddings).cache()
+    val centroids = SimilarityQueries.trainedCentroids(e)
+    val assigned = SimilarityQueries.assignNearest(e, centroids)
+      .select(col("cand_id"), col("centroid_id"))
+    val subs = SimilarityQueries.pqSubsOf(e)
+    val cb = SimilarityQueries.pqCodebook(subs)
+    val codes = SimilarityQueries.pqAssign(subs, cb)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+    graft.etl.EtlIO.writeParquet(centroids, s"$path/centroids")
+    graft.etl.EtlIO.writeParquet(cb, s"$path/codebooks")
+    graft.etl.EtlIO.writePartitionedParquet(
+      codes.join(assigned, Seq("cand_id")), s"$path/postings", Seq("centroid_id"))
+    graft.etl.EtlIO.writePartitionedParquet(
+      e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
+        .join(assigned, Seq("cand_id")),
+      s"$path/vectors", Seq("centroid_id"))
+    e.unpersist()
+  }
+
+  /** IVF-PQ search over a persisted index: `queries` is any
+    * (query_id, v double array, norm) frame — typically a handful of
+    * vectors, broadcast throughout. Probes `nprobe` lists, ADC-scores
+    * their codes, exact-refines the top REFINE_R, returns the top `k`
+    * per query as (query_id, cand_id, cosine, rank). Reads ONLY the
+    * index files; every per-query artifact is bounded.
+    */
+  def searchIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val postings = spark.read.parquet(s"$path/postings")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val q = queries.select(col("query_id"), col("v"), col("norm"))
+
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("centroid_id"))
+    val probes = q.select(col("query_id"), col("v")).as("c")
+      .join(broadcast(centroids.as("q")))
+      .withColumn("qcos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+      .select(col("c.query_id").as("query_id"),
+        col("q.centroid_id").as("centroid_id"), col("qcos"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select("query_id", "centroid_id")
+
+    // per-query M×K inner-product tables + per-code norms (x15's ADC)
+    val qsubs = SimilarityQueries.pqSubsOf(
+      q.select(col("query_id").as("vec_id"), lit("").as("label"),
+        col("v"), col("norm")))
+    val dt = qsubs.as("c")
+      .join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
+      .select(col("c.vec_id").as("query_id"), col("c.s").as("s"),
+        col("q.cid").as("cid"),
+        roundAt(expr(
+          """aggregate(zip_with(sub, cent, (a, b) -> a * b),
+            |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("ipd"))
+    val cn2 = cb.select(col("s"), col("cid"), roundAt(expr(
+      """aggregate(transform(cent, x -> x * x),
+        |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("cn2"))
+    val qn = q.select(col("query_id"), col("norm").as("qnorm"))
+
+    val adcW = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("cand_id"))
+    val shortlist = probes.join(postings, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id", "s", "cid")
+      .join(broadcast(dt), Seq("query_id", "s", "cid"))
+      .join(broadcast(cn2), Seq("s", "cid"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("ipd").as("ip"), sum("cn2").as("c2"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("acos", roundAt(col("ip") / (col("qnorm") * sqrt(col("c2"))), 6))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= SimilarityQueries.REFINE_R)
+      .select("query_id", "cand_id")
+
+    val qv = q.select(col("query_id"), col("v").as("q_v"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    shortlist
+      .join(vectors.select(col("cand_id"), col("v"), col("norm")), Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", roundAt(expr("cosine_similarity(q_v, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

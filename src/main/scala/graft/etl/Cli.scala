@@ -18,6 +18,11 @@ import graft.core.Sessions
   *       # by split. Pass --quality-gate true to drop low-quality docs
   *       # before dedup (off by default).
   *   index --documents D --out D  # persist the LSH dedup index
+  *   curate-inc --documents D --index seg0[,seg1,…] --append-segment D
+  *       --out D [--threshold 0.5] [--quality-gate false]
+  *       # incremental batch curation against persisted index segments;
+  *       # survivors' signatures land as a new segment for the next run
+  *   ann-index --embeddings D --out D  # train + persist the IVF-PQ index
   *   version
   */
 object Cli {
@@ -88,6 +93,27 @@ object Cli {
           spark.read.parquet(opts("documents")), opts("out"))
         println(s"index=${opts("out")}")
       } finally spark.stop()
+    case Some("curate-inc") =>
+      val opts = parse(args.tail)
+      val spark = Sessions.local(name)
+      try {
+        val curated = graft.corpus.Corpus.curateIncremental(
+          spark.read.parquet(opts("documents")),
+          opts("index").split(",").toSeq,
+          opts("append-segment"),
+          opts.getOrElse("threshold", "0.5").toDouble,
+          opts.getOrElse("quality-gate", "false").toBoolean)
+        EtlIO.writePartitionedParquet(curated, opts("out"), Seq("split"))
+        println(s"curated=${opts("out")} segment=${opts("append-segment")}")
+      } finally spark.stop()
+    case Some("ann-index") =>
+      val opts = parse(args.tail)
+      val spark = Sessions.local(name)
+      try {
+        graft.ann.AnnIndex.write(
+          spark.read.parquet(opts("embeddings")), opts("out"))
+        println(s"ann-index=${opts("out")}")
+      } finally spark.stop()
     case Some("stream-demo") =>
       val opts = parse(args.tail)
       val spark = Sessions.local(name)
@@ -104,7 +130,7 @@ object Cli {
       } finally spark.stop()
     case _ =>
       System.err.println(
-        "usage: run|generate|curate|index|stream-demo|version (see Scaladoc)")
+        "usage: run|generate|curate|curate-inc|index|ann-index|stream-demo|version (see Scaladoc)")
       sys.exit(2)
   }
 

@@ -29,13 +29,20 @@ import graft.functions.MoneyFunctions._
 object SimilarityQueries {
   import RelationalQueries.{Q, QFn}
 
-  /** embeddings as double vectors with precomputed L2 norm. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(
+  /** raw (vec_id, label, embedding Array[Float]) → double vectors with
+    * precomputed L2 norm — the standard vector prep, shared with the
+    * persisted-index surface ([[graft.ann.AnnIndex]]).
+    */
+  private[graft] def toVecs(raw: DataFrame): DataFrame =
+    raw.select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", sqrt(expr(
         "aggregate(transform(v, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")))
+
+  /** embeddings as double vectors with precomputed L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    toVecs(Tables.embeddings(s, dir))
 
   private val vecsSql =
     """SELECT vec_id, label, v,
@@ -104,7 +111,7 @@ object SimilarityQueries {
     * scoring ADC-only; re-scoring a 30-wide shortlist exactly recovers
     * the trained-quantizer recall (x8's class) for queries×R extra dots.
     */
-  private val REFINE_R = 30
+  private[graft] val REFINE_R = 30
 
   /** CTE chain cent0 → asg1/clf1/cent1 → … → cent{LLOYD_ITERS}: assign
     * every vector to its nearest previous-round centroid (rounded
@@ -138,7 +145,7 @@ object SimilarityQueries {
     * rows, consumed by every downstream assignment — training must not
     * re-run per consumer. Released by clearCache().
     */
-  private def trainedCentroids(e: DataFrame,
+  private[graft] def trainedCentroids(e: DataFrame,
       iters: Int = LLOYD_ITERS): DataFrame = {
     val seed = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("v"))
@@ -198,7 +205,7 @@ object SimilarityQueries {
   /** corpus → nearest trained centroid (rank 1 by rounded cosine desc,
     * centroid id asc) — one narrow pass against the 8-row broadcast.
     */
-  private def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
     val assignW = Window.partitionBy("cand_id")
       .orderBy(col("ccos").desc, col("centroid_id"))
     e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
@@ -241,7 +248,14 @@ object SimilarityQueries {
     * 8 dims each.
     */
   private def pqSubs(s: SparkSession, dir: String): DataFrame =
-    vecs(s, dir).select(col("vec_id"), col("label"),
+    pqSubsOf(vecs(s, dir))
+
+  /** (vec_id, label, v) → per-subspace rows, shared with
+    * [[graft.ann.AnnIndex]] (query-side lookup tables need the same
+    * subvector slicing the training used).
+    */
+  private[graft] def pqSubsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
         posexplode(expr("transform(sequence(0, 7), s -> slice(v, s * 8 + 1, 8))")))
       .toDF("vec_id", "label", "s", "sub")
 
@@ -249,7 +263,7 @@ object SimilarityQueries {
     * sequential zip_with fold, rounded at 6 dp BEFORE ranking (the
     * cross-engine tie contract), ties by centroid id.
     */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("cid"))
     subs.as("c").join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
       .withColumn("dist", roundAt(expr(
@@ -268,7 +282,7 @@ object SimilarityQueries {
     */
   private val PQ_K = 16
 
-  private def pqCodebook(subs: DataFrame): DataFrame = {
+  private[graft] def pqCodebook(subs: DataFrame): DataFrame = {
     val cb0 = subs.filter(col("vec_id") < PQ_K)
       .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
     // cached: M·K = 128 rows, and every consumer (final assignment, the

@@ -199,6 +199,49 @@ object StreamingOps {
       Corpus.readIndexShingles(spark, indexPath), threshold)
   }
 
+  /** Incremental curation as a STREAM — the rolling-ingest production
+    * loop: each micro-batch is curated against the seed index plus
+    * every segment written by the batches before it
+    * ([[graft.corpus.Corpus.curateIncremental]] inside foreachBatch),
+    * its survivors land under `outputPath/batch_id=N`, and its
+    * signatures become segment `seg_N` for the NEXT batch to dedup
+    * against. Idempotent under micro-batch replay: both the segment
+    * and the output partition are keyed by batchId and written with
+    * overwrite, so a recovered batch rewrites its own artifacts
+    * instead of duplicating them (the foreachBatch exactly-once
+    * recipe). Per-batch state lives entirely in the persisted
+    * segments — the query itself is stateless, which is what lets the
+    * ingest run forever.
+    */
+  def curateStreamIncremental(newDocs: DataFrame, seedIndexPaths: Seq[String],
+      segmentBasePath: String, outputPath: String, checkpointPath: String,
+      threshold: Double = 0.5,
+      qualityGate: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val base = java.nio.file.Paths.get(segmentBasePath)
+        java.nio.file.Files.createDirectories(base)
+        val priorSegs = {
+          import scala.jdk.CollectionConverters._
+          val ls = java.nio.file.Files.list(base)
+          try ls.iterator().asScala.toSeq
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("seg_"))
+            .filter(_.stripPrefix("seg_").toLong < batchId) // replay: ignore own/future
+            .sorted
+            .map(n => s"$segmentBasePath/$n")
+          finally ls.close()
+        }
+        val curated = graft.corpus.Corpus.curateIncremental(
+          batch.toDF(), seedIndexPaths ++ priorSegs,
+          s"$segmentBasePath/seg_$batchId", threshold, qualityGate)
+        curated.write.mode("overwrite")
+          .parquet(s"$outputPath/batch_id=$batchId")
+        batch.sparkSession.catalog.clearCache()
+      }
+      .start()
+
   /** per-source MinHash(H=16) sketches maintained INCREMENTALLY as
     * documents stream in: one Array[Long] of mins per source key, updated
     * via mapGroupsWithState — the streaming twin of the batch

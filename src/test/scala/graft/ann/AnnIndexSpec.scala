@@ -1,0 +1,55 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** The persisted-index contract: training artifacts on disk serve
+  * searches with NO retraining and NO access to the corpus scan that
+  * built them — proven by deleting the index's source before searching —
+  * and search-from-disk reproduces the oracle-checked in-memory x19
+  * composition row for row.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("IVF-PQ search from the persisted index equals x19 after the source is deleted") {
+    val base = tmpDir("ann_index_spec")
+    val srcPath = s"$base/emb_copy"
+    // build the index from a COPY of the embeddings so the source can die
+    spark.read.parquet(s"$dir/embeddings.parquet").write.parquet(srcPath)
+    AnnIndex.write(spark.read.parquet(srcPath), s"$base/index")
+    spark.catalog.clearCache()
+    // delete the source: any retraining / rescan now fails loudly
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(srcPath))
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.delete)
+    finally walk.close()
+
+    // the x19 query set (vec_id < 10), read back from the index itself
+    val queries = spark.read.parquet(s"$base/index/vectors")
+      .filter(col("cand_id") < 10)
+      .select(col("cand_id").as("query_id"), col("v"), col("norm"))
+    val got = AnnIndex.searchIvfPq(spark, s"$base/index", queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val expected = SparkEntry.queries("x19_ann_ivf_pq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the posting layout really is list-per-directory (partition pruning
+    // = the IVF seek)
+    val segs = {
+      val ls = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$base/index/postings"))
+      try ls.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.startsWith("centroid_id="))
+      finally ls.close()
+    }
+    assert(segs.size >= 2, s"postings not partitioned by list: $segs")
+    spark.catalog.clearCache()
+  }
+}
