@@ -53,6 +53,37 @@ class ScaleBoundSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x16: sketch-estimated source overlap within MinHash sampling error of the exact jaccard") {
+    // x16's 16-position MinHash estimate vs the EXACT jaccard of each
+    // source pair's bigram-shingle sets. The estimator is a 16-trial
+    // binomial with p = J, so |est − J| should stay within ~4σ =
+    // 4·sqrt(J(1−J)/16) (+1/16 quantization): the bound that says how
+    // many positions a 100 TB triage sketch needs for a target
+    // resolution. (H = 16 is a coarse triage sketch by design —
+    // source pairs near the same J are NOT distinguishable; pairs an
+    // order apart are, which is what the triage decision needs.)
+    val est = graft.SparkEntry.queries("x16_sketch_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val shingleSets = graft.corpus.Corpus.withShingles(
+        Tables.documents(spark, dir))
+      .select(col("source"), explode(col("sh")).as("t"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, ts) => s -> ts.map(_._2).toSet }
+    spark.catalog.clearCache()
+    val errs = est.map { case ((a, b), e) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val tol = 4.0 * math.sqrt(j * (1 - j) / 16.0) + 1.0 / 16
+      info(f"$a~$b: est=$e%.3f exact=$j%.3f tol=$tol%.3f")
+      (math.abs(e - j), tol)
+    }
+    assert(errs.nonEmpty)
+    errs.foreach { case (err, tol) =>
+      assert(err <= tol, f"sketch estimate off by $err%.3f (tol $tol%.3f)")
+    }
+  }
+
   test("z3: approx_count_distinct within 5% of exact per l_returnflag group") {
     val rows = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
