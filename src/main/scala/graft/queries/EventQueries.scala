@@ -267,6 +267,46 @@ object EventQueries {
               |JOIN l ON l.user_id = a.user_id AND l.rn = 1
               |ORDER BY a.user_id""".stripMargin)),
 
+    Q("e9_daily_anomaly",
+      (s, dir) => {
+        // pipeline monitoring: per-(event_type, day) volumes scored as
+        // z-scores against the type's own daily history; |z| ≥ 2 rows
+        // are the anomaly report. The shape every ingest pipeline runs
+        // nightly over its ops metastore: two tiny aggregations (daily
+        // counts → per-type moments), one broadcast-sized join back.
+        // Cross-engine float contract: mu and sigma are rounded at 6 dp
+        // BEFORE z is computed (the two engines' variance accumulation
+        // orders differ below that), and sigma = 0 series are excluded
+        // (z undefined).
+        val daily = Tables.eventsTs(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        val stats = daily.groupBy("event_type")
+          .agg(roundAt(avg("n"), 6).as("mu"),
+            roundAt(stddev_samp(col("n").cast("double")), 6).as("sigma"),
+            count(lit(1)).as("n_days"))
+          .filter(col("sigma") > 0)
+        daily.join(stats, Seq("event_type"))
+          .withColumn("z", roundAt((col("n") - col("mu")) / col("sigma"), 6))
+          .filter(abs(col("z")) >= 2.0)
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            col("n"), col("mu"), col("sigma"), col("z"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+              |  FROM events GROUP BY 1, 2),
+              |stats AS (
+              |  SELECT event_type, ${roundAtSql("avg(n)", 6)} AS mu,
+              |    ${roundAtSql("stddev_samp(CAST(n AS DOUBLE))", 6)} AS sigma
+              |  FROM daily GROUP BY 1
+              |  HAVING ${roundAtSql("stddev_samp(CAST(n AS DOUBLE))", 6)} > 0)
+              |SELECT daily.event_type, CAST(day AS VARCHAR) AS day, n, mu, sigma,
+              |  ${roundAtSql("(n - mu) / sigma", 6)} AS z
+              |FROM daily JOIN stats ON stats.event_type = daily.event_type
+              |WHERE abs(${roundAtSql("(n - mu) / sigma", 6)}) >= 2.0
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("m1_binary_plumbing",
       (s, dir) => {
         // multimodal plumbing shape: opaque binary payload + typed

@@ -248,6 +248,42 @@ object SamplingQueries {
               |      < CAST(floor(rate * 16777216) AS BIGINT)
               |ORDER BY source, doc_id""".stripMargin)),
 
+    Q("y8_epoch_shuffle",
+      (s, dir) => {
+        // deterministic epoch shuffle: the training-order assignment —
+        // per epoch, docs reorder by md5(epoch:doc_id) WITHIN their
+        // token-packed shard (y4's assignment), so every epoch sees a
+        // different but fully reproducible "random" order with no RNG
+        // state, and new data never perturbs other shards' orders. At
+        // scale this is one narrow key map + a per-shard window — the
+        // sort is shard-local, never global.
+        val epoch = 3
+        val packed = graft.corpus.Corpus.packShards(
+            Tables.documents(s, dir), "source", 2000L)
+          .withColumn("okey",
+            md5(concat(lit(s"$epoch:"), col("doc_id").cast("string"))))
+        val w = Window.partitionBy("source", "shard_id")
+          .orderBy("okey", "doc_id")
+        packed
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "source", "shard_id", "pos")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, shard_id,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY source, shard_id
+             |    ORDER BY okey, doc_id) AS BIGINT) AS pos
+             |FROM (
+             |  SELECT source, doc_id,
+             |    CAST(floor(tokens_before / 2000) AS BIGINT) AS shard_id,
+             |    md5('3:' || CAST(doc_id AS VARCHAR)) AS okey
+             |  FROM (
+             |    SELECT source, doc_id, n_tokens,
+             |      coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+             |    FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents)))
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("y7_curriculum_buckets",
       (s, dir) => {
         // quality-curriculum assembly: tier every doc by its measured
@@ -308,6 +344,7 @@ object SamplingQueries {
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
+
   val oracles: Map[String, String] =
     all.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -109,6 +109,30 @@ object WindowGroupingQueries {
               |  ${roundAtSql("sum(o_totalprice)", 2)} AS total, count(*) AS n
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
+
+    Q("a19_grouping_sets",
+      (s, dir) => {
+        // explicit GROUPING SETS — the multi-grain report rollup/cube
+        // can't express (an arbitrary set list: per (flag, status), per
+        // flag, and the grand total, but NOT per status). grouping_id
+        // disambiguates "NULL because aggregated away" from a NULL key
+        // value — the standard relational idiom, one pass over the
+        // fact (Spark expands sets with a single Expand node, keeping
+        // the aggregation partial+final).
+        s.sql(
+          s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM parquet.`$dir/lineitem.parquet`
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+             |  sum(l_quantity) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
