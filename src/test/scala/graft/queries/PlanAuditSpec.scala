@@ -133,6 +133,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("e8 attribution aggregates without a window: struct min/max, one shuffle") {
+    // the design claim: first/last touch come from min/max over
+    // (ts, id, type) structs inside the SAME grouped aggregation — a
+    // Window(row_number) formulation would add a per-user sort + a
+    // second shuffle that a 100 TB event log cannot afford
+    val p = plan("e8_attribution")
+    assert(!p.contains("(Window"), s"e8 regressed to a window:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, // group-agg + output sort
+      s"e8 shuffles more than groupBy + orderBy:\n$p")
+  }
+
+  test("y8 epoch shuffle sorts shard-locally: the only global sort is the output contract") {
+    // the epoch reorder must be a per-(source, shard) window, never a
+    // single-partition global sort of the corpus
+    val p = plan("y8_epoch_shuffle")
+    assert(p.contains("partial_sum") || p.contains("Window"), p)
+    assert(!p.contains("SinglePartition") ||
+      p.indexOf("SinglePartition") > p.indexOf("Window"),
+      s"y8 funnels the corpus through one partition before the window:\n$p")
+  }
+
   test("salted aggregation keeps two aggregation phases") {
     val p = plan("z1_salted_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 3, p) // partial+final ×2 phases (AQE may fuse one)
