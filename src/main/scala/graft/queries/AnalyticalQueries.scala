@@ -50,6 +50,46 @@ object AnalyticalQueries {
               |GROUP BY 1, 2, 3
               |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    Q("h4_returned_item_ranking",
+      (s, dir) => {
+        // TPC-H Q10 shape: the returned-item customer ranking — fact
+        // scan filtered on the return flag, one date-window order
+        // filter, customer + nation broadcast dims, revenue top-20.
+        // The l_returnflag predicate is pushed to the parquet scan;
+        // the only big shuffle is orders⨝lineitem on the order key.
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val orders = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_orderkey", "o_custkey")
+        val cust = Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        val nation = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+            roundAt(col("c_acctbal"), 2).as("c_acctbal"))
+          .agg(roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              |  ${roundAtSql("c_acctbal", 2)} AS c_acctbal,
+              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     Q("h2_local_supplier_volume",
       (s, dir) => {
         // TPC-H Q5 shape: a 6-way join — 4 broadcast dims + the
