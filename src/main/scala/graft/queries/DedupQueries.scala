@@ -79,6 +79,14 @@ object DedupQueries {
     * Every co-occurrence matches exactly once for ANY saltChunk, so the
     * output is saltChunk-invariant (DedupSaltSpec pins a tiny-chunk run
     * against the default).
+    *
+    * Output carries each side's shingle-set size and the lang block
+    * (`n_a`/`n_b`/`lang`, constant per pair, folded into the same
+    * partial agg) so callers never re-join a doc-sizes table — on a real
+    * corpus that join re-runs the whole shingling subtree per side.
+    * Postings on df = 1 keys are dropped before the self-join: a shingle
+    * seen in one doc can produce no pair, and on a Zipfian vocabulary
+    * that tail is most of the index.
     */
   private[queries] def ngramJaccardCommon(docs: DataFrame,
       saltChunk: Long = 1024L, lengthFilter: Boolean = true): DataFrame = {
@@ -87,6 +95,7 @@ object DedupQueries {
     val dfCounts = postings.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("df"))
     val p = postings.join(dfCounts, Seq("lang", "shingle"))
+      .filter(col("df") >= 2)
       .withColumn("nsalt",
         least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
     // one physical build feeds both sides: the replicated (right) side is
@@ -109,7 +118,9 @@ object DedupQueries {
     else baseCond
     a.as("a").join(b.as("b"), cond)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
+        max(col("a.lang")).as("lang"))
   }
 
   /** one materialized cluster table per (session, sf dir) for x17: the
@@ -524,15 +535,12 @@ object DedupQueries {
         // while a pathological posting list is spread over up to 256
         // reducer chunks. Salt-invariance of the output is spec-pinned
         // (DedupSaltSpec compares a tiny-chunk run against this one).
-        val common = ngramJaccardCommon(docs)
-        val sizes = docs.select(col("doc_id"), col("lang"), col("n"))
-        common
-          .join(sizes.select(col("doc_id").as("doc_a"),
-            col("lang"), col("n").as("na")), Seq("doc_a"))
-          .join(sizes.select(col("doc_id").as("doc_b"),
-            col("n").as("nb")), Seq("doc_b"))
+        // sizes and lang ride through the pair agg (ngramJaccardCommon
+        // carries n_a/n_b/lang), so no doc-sizes re-join — each such join
+        // would re-run the shingling subtree over the corpus
+        ngramJaccardCommon(docs)
           .withColumn("jaccard", roundAt(
-            col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+            col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "lang", "jaccard")
           .orderBy("doc_a", "doc_b")
@@ -560,10 +568,7 @@ object DedupQueries {
         // drop exactly the asymmetric pairs this op exists to find.
         val docs = withShingles(Tables.documents(s, dir))
           .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
-        val sizes = docs.select(col("doc_id"), col("n"))
         ngramJaccardCommon(docs, lengthFilter = false)
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
           .withColumn("cont_a_in_b", roundAt(col("common").cast("double") / col("n_a"), 6))
           .withColumn("cont_b_in_a", roundAt(col("common").cast("double") / col("n_b"), 6))
           .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.4)
