@@ -341,6 +341,37 @@ object SamplingQueries {
               |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
               |  ${roundAtSql("avg(dup_word_fraction)", 6)} AS avg_dup_frac
               |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("y9_source_cap",
+      (s, dir) => {
+        // per-source document cap — the "no domain dominates" intake
+        // rule (cap every crawl domain / source at N docs before
+        // mixing): docs rank within their source by a content-addressed
+        // hash (md5 of the doc id — reproducible across runs and
+        // clusters, no RNG state), and only the first CAP survive. The
+        // hash order makes the kept subset a uniform draw rather than
+        // "first N by id" (which would bias toward old data). Plan
+        // shape at 100 TB: one window per source key — a single shuffle
+        // of (id, hash) pairs; a skewed mega-source is ONE partition's
+        // sort, which is why production caps run after a per-source
+        // count pre-filter (sources under the cap skip the window;
+        // expressed here as the unconditional window since every source
+        // is over cap at bench scale).
+        val cap = 10
+        val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("sample_rank", row_number().over(w).cast("long"))
+          .filter(col("sample_rank") <= cap)
+          .select("doc_id", "source", "sample_rank")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, sample_rank FROM (
+             |  SELECT doc_id, source,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+             |  FROM documents)
+             |WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -25,6 +25,36 @@ object ScaleQueries {
     .withColumn("p1", expr(s"${bloomFoldHex(1, 8)} % $mBits"))
     .withColumn("p2", expr(s"${bloomFoldHex(9, 16)} % $mBits"))
 
+  /** z7's count-min sketch over the event stream, returning EVERY key's
+    * (user_id, cms_n, exact_n): K=4 rows × W=64 buckets, md5-fold base +
+    * the MinHashFamily universal hashes (oracle-reproducible cells).
+    * ScaleBoundSpec bounds the full overcount distribution against the
+    * e·N/W Markov tail; the z7 query windows this down to the top-10.
+    */
+  private[queries] def cmsUserCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.MinHashFamily.{P => p}
+    val W = 64
+    val ev = Tables.events(s, dir).select(col("user_id"))
+      .withColumn("hhex", md5(col("user_id").cast("string")))
+      .withColumn("base", expr(
+        s"""aggregate(transform(sequence(1, 12),
+           |  i -> instr('0123456789abcdef', substring(hhex, i, 1)) - 1),
+           |  cast(0 as bigint), (b, c) -> b * 16 + c) % $p""".stripMargin))
+    val hashed = ev.select(col("user_id"), col("base"),
+      posexplode(array((0 until 4).map(k =>
+        expr(s"(${graft.functions.MinHashFamily.a(k)} * base + " +
+          s"${graft.functions.MinHashFamily.b(k)}) % $p % $W")): _*)))
+      .toDF("user_id", "base", "k", "bucket")
+    val cells = hashed.groupBy("k", "bucket").agg(count(lit(1)).as("c"))
+    val est = hashed.dropDuplicates("user_id", "k")
+      .join(broadcast(cells), Seq("k", "bucket"))
+      .groupBy("user_id").agg(min("c").as("cms_n"))
+    val exact = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("user_id"))
+  }
+
   /** Measured false-positive rate of the z6 bloom construction at an
     * arbitrary filter size `mBits` (k = 2 hashes), over the DISTINCT
     * non-member probe keys, plus (inserted key count, probe count) —
@@ -219,6 +249,59 @@ object ScaleQueries {
            |  n_bloom_pass - n_exact AS n_false_pos,
            |  ${roundAtSql("CAST(n_bloom_pass - n_exact AS DOUBLE) / greatest(n_lineitem - n_exact, 1)", 6)} AS fp_rate
            |FROM ag CROSS JOIN ex""".stripMargin
+      }),
+
+    // z7's sketch build + per-key estimates, exposed so ScaleBoundSpec
+    // can bound ALL keys' overcounts (the query reports only the top-10)
+    Q("z7_cms_heavy_hitters",
+      (s, dir) => {
+        // count-min-sketch heavy hitters over the event stream — the
+        // constant-memory frequency sketch (Cormode & Muthukrishnan
+        // 2005) a 100 TB pipeline uses to find hot keys (for salting
+        // decisions, abuse detection, cache sizing) without a full
+        // per-key aggregation: K=4 rows × W=64 buckets of counts; each
+        // event increments one cell per row (narrow hash maps + ONE
+        // (row, bucket) map-side-combinable agg → a 256-cell table);
+        // estimate(key) = min over rows of its cell — an overestimate,
+        // never an under. The same md5-fold base + universal-hash
+        // family as the MinHash surface (MinHashFamily), so the DuckDB
+        // oracle reproduces every cell exactly. Report: top-10 users by
+        // estimate, with the exact count alongside and the collision
+        // overcount — the number that tells an operator whether W is
+        // sized right (ScaleBoundSpec pins it against the e/W bound).
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cms_n").desc, col("user_id"))
+        cmsUserCounts(s, dir)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .withColumn("overcount", col("cms_n") - col("exact_n"))
+          .select("rank", "user_id", "exact_n", "cms_n", "overcount")
+          .orderBy("rank")
+      },
+      Some {
+        import graft.functions.MinHashFamily.{P => p, aSql => minhashASql, bSql => minhashBSql}
+        s"""WITH e AS (
+           |  SELECT user_id,
+           |    list_reduce([CAST(strpos('0123456789abcdef',
+           |        substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+           |      for i in range(1, 13)], (b, c) -> b * 16 + c) % $p AS base
+           |  FROM events),
+           |hashed AS (
+           |  SELECT user_id, t.k AS k,
+           |    ($minhashASql[t.k + 1] * base + $minhashBSql[t.k + 1]) % $p % 64 AS bucket
+           |  FROM e, unnest(range(0, 4)) t(k)),
+           |cells AS (SELECT k, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+           |est AS (
+           |  SELECT q.user_id, min(cells.c) AS cms_n
+           |  FROM (SELECT DISTINCT user_id, k, bucket FROM hashed) q
+           |  JOIN cells ON cells.k = q.k AND cells.bucket = q.bucket
+           |  GROUP BY 1),
+           |ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+           |SELECT rank, user_id, exact_n, cms_n, cms_n - exact_n AS overcount FROM (
+           |  SELECT est.user_id, ex.exact_n, est.cms_n,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY est.cms_n DESC, est.user_id) AS BIGINT) AS rank
+           |  FROM est JOIN ex ON ex.user_id = est.user_id)
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin
       }),
 
     // approximate grouped quantiles (KLL-style sketch): rows-only —

@@ -295,6 +295,48 @@ object TextQueries {
               |  FROM base LEFT JOIN stats ON stats.doc_id = base.doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("t9_boilerplate_ngrams",
+      (s, dir) => {
+        // corpus-level boilerplate profiling: the bigrams present in an
+        // outsized share of a language's documents — headers, footers,
+        // cookie banners, license blurbs — are what a strip-before-dedup
+        // policy removes (and what inflates x4/x20's posting lists).
+        // Report the top-5 bigrams per lang by DOCUMENT frequency with
+        // their share of the lang's docs. Plan shape at 100 TB: distinct
+        // shingles per doc (narrow), one (lang, shingle) map-side-
+        // combinable count, a |langs|-sized totals table the planner
+        // broadcasts, and a window over |langs| partitions of the
+        // surviving counts — nothing scales with pairs.
+        val docs = Tables.documents(s, dir)
+        val dfc = graft.corpus.Corpus.withShingles(docs)
+          .select(col("lang"), explode(col("sh")).as("shingle"))
+          .groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+        val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("lang").orderBy(col("df").desc, col("shingle"))
+        dfc.join(totals, Seq("lang"))
+          .withColumn("doc_share",
+            roundAt(col("df").cast("double") / col("n_docs"), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("lang", "rank", "shingle", "df", "doc_share")
+          .orderBy("lang", "rank")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang,
+              |    list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+              |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+              |c AS (
+              |  SELECT lang, shingle, count(*) AS df
+              |  FROM (SELECT lang, unnest(sh) AS shingle FROM d) GROUP BY 1, 2),
+              |t AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+              |SELECT lang, rank, shingle, df, doc_share FROM (
+              |  SELECT c.lang, c.shingle, c.df,
+              |    ${roundAtSql("CAST(c.df AS DOUBLE) / t.n_docs", 6)} AS doc_share,
+              |    ROW_NUMBER() OVER (PARTITION BY c.lang
+              |      ORDER BY c.df DESC, c.shingle) AS rank
+              |  FROM c JOIN t ON t.lang = c.lang)
+              |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
     Q("t10_length_histogram",
       (s, dir) => {
         // corpus length profiling per source: a digit-count histogram

@@ -96,7 +96,7 @@ class PlanAuditSpec extends SparkSpec {
         "x13_embedding_quantization",
         "x16_sketch_source_overlap", "y5_contamination_check",
         "t7_unigram_logprob", "x21_curate_incremental",
-        "x22_cluster_size_profile").foreach { q =>
+        "x22_cluster_size_profile", "t9_boilerplate_ngrams").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
         s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
@@ -152,6 +152,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition") ||
       p.indexOf("SinglePartition") > p.indexOf("Window"),
       s"y8 funnels the corpus through one partition before the window:\n$p")
+  }
+
+  test("y9 source cap is one window pass: no joins, no aggregates") {
+    // the cap must stay a single per-source window over (id, hash) —
+    // a join-based formulation would shuffle the corpus twice
+    val p = plan("y9_source_cap")
+    assert(!p.contains("Join"), s"y9 unexpectedly joins:\n$p")
+    assert(!p.contains("HashAggregate"), s"y9 unexpectedly aggregates:\n$p")
+  }
+
+  test("z7's sketch cells are a broadcast, never a corpus shuffle") {
+    // the 256-cell CMS table is bounded by construction (K×W), so the
+    // estimate lookup must be a broadcast join; the only corpus-keyed
+    // shuffles are the two map-side-combinable aggs (cells, exact)
+    val p = plan("z7_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }
 
   test("salted aggregation keeps two aggregation phases") {

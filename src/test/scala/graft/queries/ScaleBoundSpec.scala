@@ -84,6 +84,31 @@ class ScaleBoundSpec extends SparkSpec {
     }
   }
 
+  test("z7: count-min estimates are one-sided and overcounts respect the e·N/W tail") {
+    // the CMS contract at any scale: (a) estimate ≥ exact for EVERY key
+    // — deterministic, no tolerance; (b) per key, P[overcount ≥ e·N/W]
+    // ≤ e^{-K} (Markov per row, min over K=4 independent rows), so
+    // across all keys at most a small fraction may exceed the bound —
+    // the law that sizes W for a 100 TB key stream.
+    val rows = ScaleQueries.cmsUserCounts(spark, dir)
+      .select("user_id", "cms_n", "exact_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._3).sum
+    val bound = math.E * n / 64.0
+    val overs = rows.map { case (_, cms, exact) => (cms - exact).toDouble }
+    assert(overs.forall(_ >= 0.0),
+      "CMS undercounted a key — the sketch's one guarantee is broken")
+    val violators = overs.count(_ > bound)
+    val meanOver = overs.sum / overs.size
+    info(f"keys=${rows.size} N=$n bound=e·N/W=$bound%.1f mean_overcount=$meanOver%.1f violators=$violators")
+    // e^{-4} ≈ 1.8% expected violators; allow 10% before calling W mis-sized
+    assert(violators <= math.max(1, rows.size / 10),
+      s"$violators of ${rows.size} keys exceed the e·N/W tail bound")
+    assert(meanOver <= 2.0 * n / 64.0,
+      f"mean overcount $meanOver%.1f exceeds 2·N/W — collisions are not averaging out")
+  }
+
   test("z3: approx_count_distinct within 5% of exact per l_returnflag group") {
     val rows = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
