@@ -218,6 +218,64 @@ object AnalyticalQueries {
               |FROM events e JOIN bands b ON e.value >= b.low AND e.value < b.high
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("v9_column_profile",
+      (s, dir) => {
+        // single-pass data profiling — the ANALYZE-style report every
+        // intake pipeline prints before writing validation rules: per
+        // column, null count, distinct count, and min/max (rendered as
+        // strings so one report row shape covers every type; the
+        // timestamp column renders at date grain, the cross-engine-
+        // stable form). ONE aggregation over the table: the multiple
+        // exact count-distincts expand the scan once per profiled
+        // column (Spark's Expand) — the standard profiling tradeoff;
+        // at 100 TB swap them for approx_count_distinct (z3's HLL
+        // sketch) and the whole report is a single narrow pass with a
+        // 6-row output. The unpivot to rows is a stack() generator
+        // over the one aggregated row — no second scan.
+        val dateCols = Set("o_orderdate")
+        val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderpriority", "o_orderstatus", "o_totalprice")
+        def rendered(c: String, agg: org.apache.spark.sql.Column) =
+          if (dateCols(c)) agg.cast("date").cast("string") else agg.cast("string")
+        val aggs = cols.flatMap { c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          rendered(c, min(col(c))).as(s"${c}__min"),
+          rendered(c, max(col(c))).as(s"${c}__max")) }
+        val stacked = cols.map(c =>
+          s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+        Tables.orders(s, dir)
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .selectExpr("n_rows", s"stack(${cols.size}, $stacked) AS " +
+            "(col_name, null_count, n_distinct, min_value, max_value)")
+          .select("col_name", "n_rows", "null_count", "n_distinct",
+            "min_value", "max_value")
+          .orderBy("col_name")
+      },
+      Some {
+        val dateCols = Set("o_orderdate")
+        val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderpriority", "o_orderstatus", "o_totalprice")
+        def r(c: String, f: String) =
+          if (dateCols(c)) s"CAST(CAST($f($c) AS DATE) AS VARCHAR)"
+          else s"CAST($f($c) AS VARCHAR)"
+        val aggSql = cols.map { c =>
+          s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls,
+             |    count(DISTINCT $c) AS ${c}__nd,
+             |    ${r(c, "min")} AS ${c}__min, ${r(c, "max")} AS ${c}__max""".stripMargin
+        }.mkString(",\n    ")
+        val rows = cols.map(c =>
+          s"""SELECT '$c' AS col_name, n_rows, ${c}__nulls AS null_count,
+             |  ${c}__nd AS n_distinct, ${c}__min AS min_value, ${c}__max AS max_value
+             |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH a AS (
+           |  SELECT count(*) AS n_rows,
+           |    $aggSql
+           |  FROM orders)
+           |$rows
+           |ORDER BY col_name""".stripMargin
+      }),
+
     Q("g1_array_kit",
       (s, dir) => Tables.documents(s, dir)
         .withColumn("w", split(col("text"), " "))

@@ -242,6 +242,40 @@ object StreamingOps {
       }
       .start()
 
+  final case class CmsEvent(user_id: Long)
+  final case class CmsCell(k: Int, bucket: Long, c: Long)
+
+  /** count-min sketch cells maintained INCREMENTALLY as events stream in
+    * — the streaming twin of the batch z7 CMS (oracle-checked as
+    * `z7_cms_heavy_hitters`): each event increments K=4 (row, bucket)
+    * cells; state is ONE count per cell, bounded at K×W = 256 longs no
+    * matter how long the stream runs — the property that makes
+    * frequency sketching viable on an unbounded 100 TB event firehose
+    * where a per-key aggregation's state grows with the key space. The
+    * hash chain (md5 base fold + universal hash family, mod W = 64) is
+    * the shared [[graft.functions.MinHashFamily]], so a stream that has
+    * seen the same events holds cell-for-cell the batch sketch (the
+    * spec asserts that equality). Heavy-hitter estimates read min over
+    * a key's K cells from the emitted update-mode table.
+    */
+  def cmsCellsStream(events: Dataset[CmsEvent]): Dataset[CmsCell] = {
+    import events.sparkSession.implicits._
+    import graft.functions.MinHashFamily
+    val W = 64L
+    events
+      .flatMap { e =>
+        val base = MinHashFamily.base(e.user_id.toString)
+        (0 until 4).map(k => (k, MinHashFamily.hash(k, base) % W))
+      }
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout) {
+        (cell: (Int, Long), rows: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          CmsCell(cell._1, cell._2, c)
+      }
+  }
+
   /** per-source MinHash(H=16) sketches maintained INCREMENTALLY as
     * documents stream in: one Array[Long] of mins per source key, updated
     * via mapGroupsWithState — the streaming twin of the batch

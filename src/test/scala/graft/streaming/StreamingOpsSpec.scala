@@ -307,6 +307,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(again == want)
   }
 
+  test("streaming count-min cells equal the batch sketch, and the z7 estimates read off them") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.MinHashFamily
+    val users = Tables.events(spark, sfDir).select($"user_id").as[Long].collect().toSeq
+    val input = MemoryStream[StreamingOps.CmsEvent]
+    val query = StreamingOps.cmsCellsStream(input.toDS())
+      .writeStream.format("memory").queryName("cmsstream").outputMode("update").start()
+    // two micro-batches exercise cross-batch cell-state accumulation
+    val (b1, b2) = users.zipWithIndex.partition(_._2 % 2 == 0)
+    input.addData(b1.map(t => StreamingOps.CmsEvent(t._1))); query.processAllAvailable()
+    input.addData(b2.map(t => StreamingOps.CmsEvent(t._1))); query.processAllAvailable()
+    val emissions = spark.table("cmsstream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).zipWithIndex
+    query.stop()
+    // last emission per cell = the final sketch state
+    val got = emissions.groupBy(t => (t._1._1, t._1._2))
+      .map { case (cell, rows) => cell -> rows.maxBy(_._2)._1._3 }
+    // batch truth, recomputed independently with the shared hash family
+    val expected = users.flatMap { u =>
+      val base = MinHashFamily.base(u.toString)
+      (0 until 4).map(k => (k, MinHashFamily.hash(k, base) % 64L))
+    }.groupBy(identity).map { case (cell, hits) => cell -> hits.size.toLong }
+    assert(got == expected)
+    // the oracle-checked z7 top-10 estimates must read straight off the
+    // streamed cells (min over the key's K cells)
+    val top = graft.SparkEntry.queries("z7_cms_heavy_hitters")(spark, sfDir).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (uid, cms) = (r.getLong(1), r.getLong(3))
+      val base = MinHashFamily.base(uid.toString)
+      val est = (0 until 4).map(k => got((k, MinHashFamily.hash(k, base) % 64L))).min
+      assert(est == cms, s"user $uid: streamed-cell estimate $est != batch z7 $cms")
+    }
+  }
+
   test("json props parse on the streaming path") {
     val streamed = runStream("props")(
       df => StreamingOps.withParsedProps(
