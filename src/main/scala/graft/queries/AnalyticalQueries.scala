@@ -128,6 +128,44 @@ object AnalyticalQueries {
               |  AND o_orderdate < TIMESTAMP '1995-01-01'
               |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    Q("h5_large_order_customers",
+      (s, dir) => {
+        // TPC-H Q18 shape: the big-buyer scan — the fact table
+        // semi-joined against its OWN aggregate (orders whose summed
+        // quantity clears a threshold). The aggregate-then-filter runs
+        // first as one map-side-combinable groupBy; the HAVING filter
+        // makes its output selective (a few % of orders), so the
+        // orders⨝big join shuffles only the filtered key set and AQE is
+        // free to demote it to a broadcast at runtime. total_qty rides
+        // the aggregate — lineitem is scanned exactly once.
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 150)
+        val orders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+        big.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("order_date"),
+            roundAt(col("o_totalprice"), 2).as("total_price"),
+            roundAt(col("total_qty"), 2).as("total_qty"))
+          .orderBy(col("total_price").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""WITH big AS (
+              |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+              |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+              |SELECT c_name, c_custkey, o_orderkey,
+              |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+              |  ${roundAtSql("o_totalprice", 2)} AS total_price,
+              |  ${roundAtSql("total_qty", 2)} AS total_qty
+              |FROM big
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN customer ON c_custkey = o_custkey
+              |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     Q("h3_sql_entrypoint",
       (s, dir) => {
         // the spark.sql(...) surface: same engine, SQL text in — register

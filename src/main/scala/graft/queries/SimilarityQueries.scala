@@ -832,7 +832,109 @@ object SimilarityQueries {
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               |    ORDER BY cosine DESC, cand_id) AS rank FROM ref)
               |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+
+    Q("x23_random_projection",
+      (s, dir) => {
+        // Johnson–Lindenstrauss random projection 64 → 16: every vector
+        // is folded through 16 fixed ±1 hyperplanes (md5-derived, ids
+        // 16..31 — disjoint from x7's 4 bucket planes) and similarity is
+        // computed in the projected space at a quarter of the FLOPs and
+        // memory traffic. The report is the fidelity number that decides
+        // whether the 4× cheaper space is usable as an ANN prefilter:
+        // per label, avg and worst |cos_projected − cos_exact| over the
+        // bounded query set × corpus. Plan shape: the projection is a
+        // narrow per-row map (16 codegen'd folds over constant sign
+        // arrays — no shuffle), the query side is a 10-row broadcast,
+        // and the scoring pass never explodes components. Contrast with
+        // x24: JL works for ANY embedding; prefix truncation only works
+        // for matryoshka-trained ones — the two reports quantify that.
+        errReport(projectJl(vecs(s, dir)))
+      },
+      Some(projErrOracleSql(
+        s"""[list_reduce([CASE WHEN (strpos('0123456789abcdef',
+           |    substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+           |  THEN v[d] ELSE -v[d] END for d in range(1, len(v) + 1)],
+           |  (x, y) -> x + y) for j in range(16, 32)]""".stripMargin))),
+
+    Q("x24_matryoshka_truncation",
+      (s, dir) => {
+        // matryoshka-style prefix truncation 64 → 16: keep the first 16
+        // dims verbatim (the deployment shortcut for matryoshka-trained
+        // embeddings — no projection pass at all, the truncated store is
+        // a byte-range read of the full one). Same fidelity report as
+        // x23 over the same pairs; on non-matryoshka-trained embeddings
+        // like these the prefix discards unordered information, and the
+        // gap between this report and x23's is the measured case for
+        // spending the JL projection pass before cutting dimensions.
+        errReport(vecs(s, dir).withColumn("p", expr("slice(v, 1, 16)"))
+          .withColumn("pnorm", sqrt(expr(
+            "aggregate(transform(p, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))))
+      },
+      Some(projErrOracleSql("v[1:16]"))),
   )
+
+  /** corpus with a reduced-dimension twin `p` (+ `pnorm`) of each
+    * vector, via 16 constant ±1 hyperplane folds (plane ids 16..31).
+    */
+  private def projectJl(e: DataFrame): DataFrame = {
+    val withSigns = (0 until 16).foldLeft(e)((d, j) =>
+      d.withColumn(s"__rp$j",
+        array((0 until 64).map(dd => lit(planeSign(16 + j, dd))): _*)))
+    val withComps = (0 until 16).foldLeft(withSigns)((d, j) =>
+      d.withColumn(s"__pc$j", expr(
+        s"aggregate(zip_with(v, __rp$j, (x, s) -> x * s), " +
+          "cast(0 as double), (acc, x) -> acc + x)")))
+    withComps
+      .withColumn("p", array((0 until 16).map(j => col(s"__pc$j")): _*))
+      .withColumn("pnorm", sqrt(expr(
+        "aggregate(transform(p, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")))
+      .drop((0 until 16).flatMap(j => Seq(s"__rp$j", s"__pc$j")): _*)
+  }
+
+  /** per-label avg/max |cos in reduced space − exact cos| over the
+    * 10-query × corpus pairs; both cosines rounded at 6 dp BEFORE the
+    * diff so the engines subtract identical doubles (the x12 contract
+    * covers the remaining avg-order noise).
+    */
+  private def errReport(pe: DataFrame): DataFrame = {
+    val queries = pe.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("p").as("qp"), col("pnorm").as("qpnorm"))
+    pe.select(col("vec_id").as("cand_id"), col("label"),
+        col("v"), col("p"), col("pnorm"))
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", roundAt(expr("cosine_similarity(qv, v)"), 6))
+      .withColumn("cos_p", roundAt(expr(
+        "aggregate(zip_with(qp, p, (a, b) -> a * b), cast(0 as double), (acc, x) -> acc + x)")
+        / (col("qpnorm") * col("pnorm")), 6))
+      .withColumn("err", abs(col("cos_p") - col("cos")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        roundAt(avg("err"), 6).as("avg_abs_err"),
+        roundAt(max("err"), 6).as("max_abs_err"))
+      .orderBy("label")
+  }
+
+  /** oracle twin of [[errReport]] for a reduced-space expression `pSql`
+    * (a DuckDB list expression over `v`).
+    */
+  private def projErrOracleSql(pSql: String): String =
+    s"""WITH n AS ($vecsSql),
+       |proj AS (SELECT vec_id, label, v, norm, $pSql AS p FROM n),
+       |pn AS (
+       |  SELECT *, sqrt(list_reduce([p[i] * p[i] for i in range(1, len(p) + 1)],
+       |    (x, y) -> x + y)) AS pnorm
+       |  FROM proj),
+       |pairs AS (
+       |  SELECT c.label AS label,
+       |    ${roundAtSql(cosSql, 6)} AS cos,
+       |    ${roundAtSql("list_reduce([q.p[i] * c.p[i] for i in range(1, len(q.p) + 1)], (x, y) -> x + y) / (q.pnorm * c.pnorm)", 6)} AS cos_p
+       |  FROM pn q JOIN pn c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |SELECT label, count(*) AS n_pairs,
+       |  ${roundAtSql("avg(abs(cos_p - cos))", 6)} AS avg_abs_err,
+       |  ${roundAtSql("max(abs(cos_p - cos))", 6)} AS max_abs_err
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
   val oracles: Map[String, String] =

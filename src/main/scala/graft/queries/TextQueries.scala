@@ -360,6 +360,121 @@ object TextQueries {
               |  max(n_chars) AS max_chars,
               |  ${roundAtSql("avg(n_chars)", 2)} AS avg_chars
               |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("t11_ngram_decontaminate",
+      (s, dir) => {
+        // exact n-gram collision decontamination (the GPT-3 appendix-C
+        // method, 13-grams there, 5-grams here for these ~40-word docs):
+        // any eval-set n-gram that literally appears in the training set
+        // flags the eval doc as contaminated. Unlike y5's MinHash-band
+        // screen (probabilistic, whole-doc), this is the exact,
+        // substring-level check run before publishing a benchmark
+        // number. Plan shape at 100 TB: both sides reduce to DISTINCT
+        // (doc, gram) pairs, the join is a pure equi-join keyed on the
+        // gram — shuffled by gram hash, never all-pairs — and the eval
+        // side is benchmark-sized (a few thousand docs), so every
+        // shuffled partition carries a sliver of eval grams against its
+        // share of train grams. Gram df skew (boilerplate) is bounded
+        // because eval-side df, not train-side df, multiplies the pairs.
+        val N = 5
+        val grams = Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= N)
+          .select(col("doc_id"), explode(expr(
+            s"array_distinct(transform(sequence(1, size(w) - ${N - 1}), " +
+              s"i -> concat_ws(' ', slice(w, i, $N))))")).as("g"))
+        val evalG = grams.filter(col("doc_id") % 20 === 0)
+        val trainG = grams.filter(col("doc_id") % 20 =!= 0)
+        evalG.as("e").join(trainG.as("t"), col("e.g") === col("t.g"))
+          .groupBy(col("e.doc_id").as("eval_doc_id"))
+          .agg(countDistinct(col("e.g")).as("n_contaminated_ngrams"),
+            countDistinct(col("t.doc_id")).as("n_train_docs"))
+          .orderBy("eval_doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+             |                          for i in range(1, len(w) - 3)])) AS g
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |  WHERE len(w) >= 5)
+             |SELECT e.doc_id AS eval_doc_id,
+             |  count(DISTINCT e.g) AS n_contaminated_ngrams,
+             |  count(DISTINCT t.doc_id) AS n_train_docs
+             |FROM g e JOIN g t ON e.g = t.g
+             |WHERE e.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t12_bpe_pair_counts",
+      (s, dir) => {
+        // one BPE merge round — the inner loop of tokenizer training:
+        // count every adjacent symbol pair inside each whitespace token
+        // and surface the top candidates (the highest-count pair is the
+        // pair BPE would merge next). At 100 TB this is the canonical
+        // two-phase count: a narrow explode over the corpus feeding a
+        // map-side-combinable groupBy whose key space is bounded by
+        // alphabet² — the shuffle carries partial counts, never text.
+        // The global ranking window runs over that tiny aggregate.
+        val pairs = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+        // single-partition window is over the alphabet²-sized aggregate,
+        // not the corpus
+        val w = Window.orderBy(col("n").desc, col("pair"))
+        pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 20)
+          .select("rank", "pair", "n")
+          .orderBy("rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |p AS (
+             |  SELECT unnest([substr(tok, i, 2) for i in range(1, length(tok))]) AS pair
+             |  FROM toks WHERE length(tok) >= 2),
+             |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1)
+             |SELECT rank, pair, n FROM (
+             |  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+             |  FROM c)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    Q("t13_zipf_slope",
+      (s, dir) => {
+        // corpus-health check: the Zipf exponent per source — the
+        // least-squares slope of ln(frequency) on ln(rank) over each
+        // source's top-20 words. Natural text sits near -1; word-soup,
+        // boilerplate or template spam shows up as a flat (near-0)
+        // slope, making this a cheap per-source anomaly screen. One
+        // (source, word) partial-agg shuffle, a top-20 window per
+        // source, then slope = covar_pop/var_pop — the closed-form
+        // regression both engines compute from the same 20 points
+        // (rounded at 6 dp to absorb partial-merge order).
+        val freq = Tables.documents(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("source").orderBy(col("n").desc, col("word"))
+        freq.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .withColumn("lr", log(col("rank").cast("double")))
+          .withColumn("lf", log(col("n").cast("double")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            roundAt(covar_pop("lr", "lf") / var_pop("lr"), 6).as("zipf_slope"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+              |c AS (SELECT source, word, count(*) AS n FROM f GROUP BY 1, 2),
+              |r AS (
+              |  SELECT source, ln(CAST(rank AS DOUBLE)) AS lr, ln(CAST(n AS DOUBLE)) AS lf
+              |  FROM (SELECT source, word, n, ROW_NUMBER() OVER (PARTITION BY source
+              |          ORDER BY n DESC, word) AS rank FROM c)
+              |  WHERE rank <= 20)
+              |SELECT source, count(*) AS n_words,
+              |  ${roundAtSql("regr_slope(lf, lr)", 6)} AS zipf_slope
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -133,6 +133,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x23/x24 reduced-space scoring is narrow: no explode, query side broadcast") {
+    // the projection (16 constant-sign folds) and the truncation (slice)
+    // are per-row maps — neither may explode the corpus to component
+    // rows (the x12 r3 mistake), and the 10-query side must be the
+    // broadcast side of the scoring join
+    Seq("x23_random_projection", "x24_matryoshka_truncation").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Generate"), s"$q explodes the corpus:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q does not broadcast the query side:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q shuffles or cross-joins the corpus:\n$p")
+    }
+  }
+
+  test("t11 decontamination joins on the gram key only: equi-join, no hints, no cartesian") {
+    // the eval×train check must stay a pure equi-join keyed on the
+    // n-gram (shuffle-by-gram at scale) — never a theta/cross join, and
+    // never a hard-coded broadcast of the train side (O(corpus))
+    val q = "t11_ngram_decontaminate"
+    val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint"), s"$q hints a corpus-sized side:\n$lp")
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"$q degraded to a non-equi join:\n$p")
+  }
+
   test("e8 attribution aggregates without a window: struct min/max, one shuffle") {
     // the design claim: first/last touch come from min/max over
     // (ts, id, type) structs inside the SAME grouped aggregation — a
