@@ -276,6 +276,60 @@ object StreamingOps {
       }
   }
 
+  // ---- streaming daily-volume anomaly detection --------------------------
+
+  final case class DayObs(event_type: String, epoch_day: Int)
+  final case class DayCounts(counts: Map[Int, Long])
+  final case class AnomalyOut(event_type: String, day: String, n: Long,
+      mu: Double, sigma: Double, z: Double, flagged: Boolean)
+
+  /** streaming twin of the batch e9 daily-volume anomaly report: per
+    * event type, maintain the per-day count map as events arrive and
+    * re-score every completed-so-far day against the type's own running
+    * history (|z| ≥ 2 flags). State per key is one (day → count) map —
+    * bounded by the day span, not the event volume, which is what an
+    * unbounded ops firehose needs (at true unbounded horizons, evict
+    * days older than the scoring window on the same state update).
+    *
+    * Cross-engine/stream-batch float contract: day counts are exact
+    * longs in state, so Σn and Σn² are exact integer sums — mu and the
+    * two-pass sample variance are pure functions of those integers,
+    * independent of arrival order and micro-batch slicing. mu and sigma
+    * round at 6 dp BEFORE z (the e9 contract). Re-emits the full
+    * per-type report each update; the latest row per (type, day) is the
+    * current report.
+    */
+  def dailyAnomalyStream(obs: Dataset[DayObs]): Dataset[AnomalyOut] = {
+    import obs.sparkSession.implicits._
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    obs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[DayCounts, AnomalyOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[DayObs], state: GroupState[DayCounts]) =>
+          val merged = rows.foldLeft(
+            state.getOption.getOrElse(DayCounts(Map.empty)).counts) { (acc, r) =>
+            acc.updated(r.epoch_day, acc.getOrElse(r.epoch_day, 0L) + 1L)
+          }
+          state.update(DayCounts(merged))
+          val nDays = merged.size
+          if (nDays < 2) Iterator.empty
+          else {
+            val s1 = merged.values.sum
+            val s2 = merged.values.map(v => v * v).sum
+            val mu = r6(s1.toDouble / nDays)
+            val variance =
+              (s2.toDouble - s1.toDouble * s1.toDouble / nDays) / (nDays - 1)
+            val sigma = r6(math.sqrt(math.max(variance, 0.0)))
+            if (sigma <= 0) Iterator.empty
+            else merged.toSeq.sortBy(_._1).iterator.map { case (d, c) =>
+              val z = r6((c - mu) / sigma)
+              AnomalyOut(tpe, java.time.LocalDate.ofEpochDay(d.toLong).toString,
+                c, mu, sigma, z, math.abs(z) >= 2.0)
+            }
+          }
+      }
+  }
+
   /** per-source MinHash(H=16) sketches maintained INCREMENTALLY as
     * documents stream in: one Array[Long] of mins per source key, updated
     * via mapGroupsWithState — the streaming twin of the batch

@@ -342,6 +342,56 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming daily anomaly report equals the batch moments and e9's flag set") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.DayObs]
+    val query = StreamingOps.dailyAnomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom").outputMode("update").start()
+    val obs = eventsBatch.toDF()
+      .selectExpr("event_type", "cast(unix_micros(ts) div 86400000000 as int) as epoch_day")
+      .as[StreamingOps.DayObs].collect()
+    // 3 uneven chunks: the report must be micro-batch-slicing-invariant
+    Seq(obs.take(1000), obs.slice(1000, 1500), obs.drop(1500)).foreach { b =>
+      input.addData(b.toSeq); query.processAllAvailable()
+    }
+    query.stop()
+    // latest emitted row per (type, day) — memory sink appends in batch order
+    val last = spark.table("anom").collect().zipWithIndex
+      .groupBy(r => (r._1.getString(0), r._1.getString(1)))
+      .map { case (_, g) => g.maxBy(_._2)._1 }.toSet
+    // batch truth with the SAME exact-integer two-pass formula
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val daily = eventsBatch.toDF()
+      .select($"event_type", to_date($"ts").cast("string").as("day"))
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    type Out = (String, String, Long, Double, Double, Double, Boolean)
+    val expected = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val ns = rows.map(_._3)
+      val (n, s1, s2) = (ns.size, ns.sum, ns.map(v => v * v).sum)
+      if (n < 2) Seq.empty[Out]
+      else {
+        val mu = r6(s1.toDouble / n)
+        val sigma = r6(math.sqrt(math.max(
+          (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1), 0.0)))
+        if (sigma <= 0) Seq.empty[Out]
+        else rows.toSeq.map { case (_, day, c) =>
+          val z = r6((c - mu) / sigma)
+          (tpe, day, c, mu, sigma, z, math.abs(z) >= 2.0)
+        }
+      }
+    }.toSet
+    val streamedTuples = last.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(streamedTuples == expected)
+    // the flagged subset is exactly the oracle-checked e9 report's rows
+    val e9 = graft.SparkEntry.queries("e9_daily_anomaly")(spark, sfDir)
+      .select("event_type", "day").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val streamedFlags = streamedTuples.filter(_._7).map(t => (t._1, t._2))
+    assert(streamedFlags == e9)
+  }
+
   test("json props parse on the streaming path") {
     val streamed = runStream("props")(
       df => StreamingOps.withParsedProps(
