@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, RollingHashWindows}
 
 /** Session extension point: registers this library's native Catalyst
   * functions so they're available as SQL (`cosine_similarity(a, b)`,
@@ -27,6 +27,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"jaccard_similarity expects 2 arguments, got ${children.length}")
         JaccardSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash_windows"),
+      RollingHashWindows.info,
+      children => {
+        require(children.length == 2,
+          s"rolling_hash_windows expects 2 arguments, got ${children.length}")
+        import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
+        val width = children(1) match {
+          case e if e.foldable &&
+              Seq(IntegerType, LongType, ShortType, ByteType).contains(e.dataType) =>
+            e.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"rolling_hash_windows width must be an integer literal, got $other")
+        }
+        RollingHashWindows(children.head, width)
       }))
   }
 }

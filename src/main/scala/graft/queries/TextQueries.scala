@@ -475,6 +475,47 @@ object TextQueries {
               |SELECT source, count(*) AS n_words,
               |  ${roundAtSql("regr_slope(lf, lr)", 6)} AS zipf_slope
               |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t14_substring_dedup",
+      (s, dir) => {
+        // exact substring-overlap dedup at character grain (the Lee et
+        // al. "Deduplicating Training Data" shape, suffix-array result
+        // approximated by hashed fixed-width windows): two docs sharing
+        // ≥ 8 distinct 32-char windows share long verbatim runs that
+        // word-grain shingles (x2/x4) and whole-doc digests (x1) can
+        // miss. Window hashes come from the native O(n)-per-row
+        // rolling_hash_windows expression (one fused codegen loop, no
+        // per-window lambda); the pair stage is x4's inverted-index
+        // shape — df=1 postings (the overwhelming majority: windows are
+        // near-unique) drop before the self-join, so pair volume scales
+        // with Σ df² over genuinely repeated runs, never with the
+        // corpus; x4's salt fan-out applies as-is if a boilerplate run
+        // ever makes a window's df hot.
+        val W = 32
+        val wins = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(expr(s"rolling_hash_windows(text, $W)"))).as("h"))
+        val shared = wins.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 1)
+        val posting = wins.join(shared.select("h"), Seq("h"))
+        posting.as("a").join(posting.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .filter(col("n_shared_windows") >= 8)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH wins AS (
+             |  SELECT doc_id, unnest(list_distinct([
+             |    list_reduce([CAST(ascii(substr(text, i + j, 1)) AS BIGINT) for j in range(0, 32)],
+             |                (acc, c) -> (acc * 31 + c) % 1000000007)
+             |    for i in range(1, length(text) - 30)])) AS h
+             |  FROM documents),
+             |shared AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+             |p AS (SELECT doc_id, h FROM wins JOIN shared USING (h))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
+             |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY 1, 2""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

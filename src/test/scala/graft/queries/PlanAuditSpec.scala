@@ -96,7 +96,8 @@ class PlanAuditSpec extends SparkSpec {
         "x13_embedding_quantization",
         "x16_sketch_source_overlap", "y5_contamination_check",
         "t7_unigram_logprob", "x21_curate_incremental",
-        "x22_cluster_size_profile", "t9_boilerplate_ngrams").foreach { q =>
+        "x22_cluster_size_profile", "t9_boilerplate_ngrams",
+        "t14_substring_dedup").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
         s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
