@@ -166,6 +166,91 @@ object AnalyticalQueries {
               |JOIN customer ON c_custkey = o_custkey
               |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    Q("h6_parts_supplier_counts",
+      (s, dir) => {
+        // TPC-H Q16 shape: distinct-supplier counts per part attribute
+        // with a NOT-IN exclusion subquery. The exclusion set (suppliers
+        // in bad standing) is dimension-sized → broadcast LEFT ANTI join,
+        // the cheapest possible NOT IN at any scale (never a shuffle of
+        // the fact side). part is a broadcast dim; the only fact shuffle
+        // is the two-phase distinct aggregation on (attrs, suppkey) —
+        // Spark plans count(DISTINCT) as partial-distinct then count,
+        // which is exactly the map-side-combinable shape a 100 TB scan
+        // needs.
+        val excluded = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val partDim = Tables.part(s, dir)
+          .filter(col("p_size") <= 20 && !col("p_type").startsWith("STANDARD"))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        Tables.lineitem(s, dir)
+          .select("l_partkey", "l_suppkey")
+          .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+          .limit(20)
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size <= 20 AND p_type NOT LIKE 'STANDARD%'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin)),
+
+    Q("h7_sole_fault_suppliers",
+      (s, dir) => {
+        // TPC-H Q21 shape: the EXISTS + NOT-EXISTS self-join pair on the
+        // same fact — suppliers with a returned line in a finalized
+        // multi-supplier order where NO other supplier had a returned
+        // line (the "sole party at fault" scan). Both correlated
+        // subqueries compile to one LEFT SEMI and one LEFT ANTI join
+        // against (orderkey, suppkey)-distinct projections of lineitem,
+        // all shuffled on l_orderkey — three scans of the same fact
+        // co-partition on one key, so AQE can reuse the exchange; no
+        // row-at-a-time correlated execution anywhere.
+        val finalized = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        val base = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey").distinct()
+          .join(finalized, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey")
+        val anyOther = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_sk")).distinct()
+        val otherReturned = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk")).distinct()
+        base
+          .join(anyOther,
+            col("l_orderkey") === col("o_ok") && col("l_suppkey") =!= col("o_sk"),
+            "left_semi")
+          .join(otherReturned,
+            col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH base AS (
+             |  SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_returnflag = 'R' AND o_orderstatus = 'F')
+             |SELECT s_name, count(*) AS numwait
+             |FROM base b JOIN supplier ON b.l_suppkey = s_suppkey
+             |WHERE EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = b.l_orderkey AND l2.l_suppkey <> b.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = b.l_orderkey AND l3.l_suppkey <> b.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
     Q("h3_sql_entrypoint",
       (s, dir) => {
         // the spark.sql(...) surface: same engine, SQL text in — register

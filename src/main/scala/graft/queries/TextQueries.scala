@@ -516,6 +516,64 @@ object TextQueries {
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
              |FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY 1, 2""".stripMargin)),
+
+    Q("t15_segment_dedup",
+      (s, dir) => {
+        // C4-style line-level dedup, REWRITTEN not REMOVED: instead of
+        // dropping whole near-dup documents, drop each duplicated
+        // SEGMENT everywhere except its globally-first occurrence and
+        // re-stitch the survivors (the C4 "three-sentence span" /
+        // line-dedup operator). The synthetic corpus is single-line, so
+        // segments are fixed 10-word windows standing in for
+        // '\n'-split lines — identical plumbing, swap the splitter in
+        // production.
+        //
+        // Keeper selection is a groupBy(seg).agg(min(struct(doc_id,
+        // seg_no))) — a map-side-combinable argmin, NOT a window over
+        // PARTITION BY seg: a boilerplate segment repeated 10M times
+        // would hot-spot one window sort partition, while the partial
+        // agg collapses it to one row per mapper before the shuffle.
+        // The keeper join back is on the same seg key the agg just
+        // shuffled on, so the exchange is reused; re-stitching is one
+        // groupBy(doc_id) with an in-group array_sort — no global sort.
+        val segW = 10
+        val segs = Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), posexplode(expr(
+            s"""transform(sequence(0, cast(ceil(size(w) / $segW.0) as int) - 1),
+               |          k -> concat_ws(' ', slice(w, k * $segW + 1, $segW)))"""
+              .stripMargin)).as(Seq("seg_no", "seg")))
+        val keeper = segs.groupBy("seg")
+          .agg(min(struct(col("doc_id"), col("seg_no"))).as("k"))
+        segs.join(keeper, "seg")
+          .withColumn("keep",
+            col("k.doc_id") === col("doc_id") && col("k.seg_no") === col("seg_no"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segs"),
+            count(when(col("keep"), 1)).as("n_kept"),
+            concat_ws(" ", expr(
+              """transform(array_sort(collect_list(
+                |  CASE WHEN keep THEN struct(seg_no, seg) END)), x -> x.seg)"""
+                .stripMargin)).as("text_dedup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |seg AS (
+             |  SELECT doc_id, s['seg_no'] AS seg_no, s['seg'] AS seg
+             |  FROM (SELECT doc_id, unnest([{'seg_no': k,
+             |      'seg': array_to_string(list_slice(w, k * 10 + 1, k * 10 + 10), ' ')}
+             |      for k in range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))]) AS s
+             |    FROM w)),
+             |marked AS (
+             |  SELECT doc_id, seg_no, seg,
+             |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+             |  FROM seg)
+             |SELECT doc_id,
+             |  count(*) AS n_segs,
+             |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+             |  coalesce(string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1), '')
+             |    AS text_dedup
+             |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
