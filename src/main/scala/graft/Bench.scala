@@ -88,9 +88,16 @@ object Bench {
       if (failed || times.isEmpty) (-1.0, -1.0) else (times.min, times.max)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (SPARK_GRAFT_BENCH_ONLY=q1,q2): iterate on one
+    // query's timing without paying the full battery. The driver never sets
+    // it, so official records always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => wanted(q._1)).map { case (name, fn) =>
       name -> timed(name) { fn(spark, sfDir).count(); () }
-    } ++ Seq(
+    } ++ (if (!wanted("corpus_curate")) Nil else Seq(
       // the composed curation library surface (normalize → LSH near-dup
       // dedup keep-one → deterministic split) on the sf corpus — the
       // training-data-pipeline throughput headline. The body is
@@ -112,7 +119,7 @@ object Bench {
               Seq("doc_id"))).count(); ()
         }
       }
-    ) ++ locally {
+    )) ++ (if (!wanted("curate_incremental")) Nil else locally {
       // incremental batch curation — the DAILY 100 TB operation: a 10%
       // batch curated against the persisted index of the other 90%
       // (index-dedup → in-batch dedup → split → append segment). The
@@ -127,7 +134,7 @@ object Bench {
           docs.filter(col("doc_id") % 10 === 0),
           Seq(s"$base/seg0"), s"$base/seg1").count(); ()
       })
-    } ++ Seq(100, 1000).map { scale =>
+    }) ++ Seq(100, 1000).filter(sc => wanted(s"etl_close_scale$sc")).map { scale =>
       // end-to-end monthly close (scan→validate→gate→fact→kpi→sinks) at
       // 100× / 1000× the reference generator's volume — the
       // pipeline-throughput headline (the reference's own close is

@@ -50,6 +50,62 @@ object RelationalQueries {
       (s, dir) => Tables.nation(s, dir).orderBy("n_nationkey"),
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
 
+    Q("s8_jsonl_roundtrip",
+      (s, dir) => {
+        // JSON-lines source/sink roundtrip — the interchange format every
+        // crawl/annotation feed arrives in. parquet → JSONL → schema'd
+        // read-back (never inferSchema: an inference pass is a second
+        // full scan at 100 TB, and type drift between files becomes
+        // silent corruption) → aggregate. Timestamps are written as
+        // unix_micros longs: JSON has no timestamp type, so the schema
+        // pins the encoding instead of trusting a string format.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"))
+          .write.mode("overwrite").json(tmp)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType), StructField("o_date_us", LongType)))
+        s.read.schema(schema).json(tmp)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+            roundAt(sum("o_totalprice"), 2).as("sum_price"),
+            min("o_date_us").as("min_date_us"), max("o_date_us").as("max_date_us"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_cust,
+              |  ${roundAtSql("sum(o_totalprice)", 2)} AS sum_price,
+              |  min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS min_date_us,
+              |  max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("s9_orc_roundtrip",
+      (s, dir) => {
+        // ORC source/sink roundtrip — the other columnar format a Spark
+        // lakehouse must read natively (Hive estates hand over ORC).
+        // parquet → ORC → read-back → aggregate; ORC keeps real types,
+        // so no re-encoding games: the roundtrip must be value-lossless
+        // for longs/doubles/strings, and the oracle aggregates the
+        // original parquet to prove it.
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "A")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_orderkey")).as("sum_ok"),
+            roundAt(sum("l_quantity"), 2).as("sum_qty"),
+            roundAt(sum("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some(s"""SELECT count(*) AS n, sum(l_orderkey) AS sum_ok,
+              |  ${roundAtSql("sum(l_quantity)", 2)} AS sum_qty,
+              |  ${roundAtSql("sum(l_extendedprice)", 2)} AS sum_price
+              |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin)),
+
     // ── §2.2 projections / filters ──────────────────────────────────────
     Q("p1_project_prune",
       (s, dir) => Tables.customer(s, dir)
