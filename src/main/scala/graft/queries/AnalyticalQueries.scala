@@ -420,6 +420,66 @@ object AnalyticalQueries {
              |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
              |ORDER BY 1""".stripMargin)),
 
+    Q("a20_grouped_regression",
+      (s, dir) => {
+        // per-group closed-form linear regression (price ~ quantity) via
+        // the SQL regr_* aggregates — the feature-engineering fit that
+        // runs as ONE partial+final shuffle over a 100 TB fact (each
+        // partial carries only the five sufficient statistics n, Σx, Σy,
+        // Σxy, Σx²; no per-row state, no iterative solver). Slope and
+        // intercept rounded at 6/4 dp to absorb the engines' different
+        // partial-merge orders; r² ∈ [0,1] rounds at 6 dp.
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+            roundAt(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+            roundAt(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+            roundAt(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+              |  regr_count(l_extendedprice, l_quantity) AS n,
+              |  ${roundAtSql("regr_slope(l_extendedprice, l_quantity)", 6)} AS slope,
+              |  ${roundAtSql("regr_intercept(l_extendedprice, l_quantity)", 4)} AS intercept,
+              |  ${roundAtSql("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a21_winsorized_mean",
+      (s, dir) => {
+        // winsorized aggregation — outlier-robust feature cleaning: clamp
+        // each value to its group's exact [p05, p95] band, then average.
+        // Two passes: pass 1 computes group quantiles (group-count-sized
+        // output → broadcast), pass 2 clamps and re-aggregates narrowly.
+        // At 100 TB swap pass 1 for approx_percentile (z5's sketch) and
+        // the whole thing is one narrow pass + one map-side-combined agg;
+        // this exact twin pins the semantics the sketch approximates.
+        val q = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("rf"))
+          .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("q"))
+          .select(col("rf"), col("q")(0).as("lo"), col("q")(1).as("hi"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(q), col("l_returnflag") === col("rf"))
+          .withColumn("clamped", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            roundAt(avg("l_extendedprice"), 4).as("raw_mean"),
+            roundAt(avg("clamped"), 4).as("wins_mean"),
+            roundAt(max("lo"), 4).as("p05"), roundAt(max("hi"), 4).as("p95"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT l_returnflag AS rf,
+              |    quantile_cont(l_extendedprice, 0.05) AS lo,
+              |    quantile_cont(l_extendedprice, 0.95) AS hi
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, count(*) AS n,
+              |  ${roundAtSql("avg(l_extendedprice)", 4)} AS raw_mean,
+              |  ${roundAtSql("avg(least(greatest(l_extendedprice, lo), hi))", 4)} AS wins_mean,
+              |  ${roundAtSql("max(lo)", 4)} AS p05, ${roundAtSql("max(hi)", 4)} AS p95
+              |FROM lineitem JOIN q ON l_returnflag = rf
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("a17_conditional_agg",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy("l_returnflag")

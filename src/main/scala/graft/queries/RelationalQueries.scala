@@ -270,6 +270,36 @@ object RelationalQueries {
              |  WHERE p_partkey = l_partkey AND p_size <= 10)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("j9_full_outer_reconcile",
+      (s, dir) => {
+        // FULL OUTER dim reconciliation — the SCD / snapshot-diff shape:
+        // two independent aggregates of different tables merged on a
+        // shared key, with COALESCE filling the one-sided rows. Both
+        // inputs aggregate BEFORE the join (nation-sized frames), so the
+        // full-outer join is dimension×dimension however large the base
+        // tables are — the order that survives a 100 TB pair of fact
+        // tables. Nulls from the outer sides are filled to 0 so the diff
+        // column is total everywhere.
+        val sup = Tables.supplier(s, dir)
+          .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_sup"))
+        val cus = Tables.customer(s, dir)
+          .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cus"))
+        sup.join(cus, col("nk_s") === col("nk_c"), "full_outer")
+          .select(
+            coalesce(col("nk_s"), col("nk_c")).as("nationkey"),
+            coalesce(col("n_sup"), lit(0L)).as("n_sup"),
+            coalesce(col("n_cus"), lit(0L)).as("n_cus"),
+            (coalesce(col("n_cus"), lit(0L)) - coalesce(col("n_sup"), lit(0L))).as("gap"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH sup AS (SELECT s_nationkey AS nk, count(*) AS n_sup FROM supplier GROUP BY 1),
+             |cus AS (SELECT c_nationkey AS nk, count(*) AS n_cus FROM customer GROUP BY 1)
+             |SELECT coalesce(sup.nk, cus.nk) AS nationkey,
+             |  coalesce(n_sup, 0) AS n_sup, coalesce(n_cus, 0) AS n_cus,
+             |  coalesce(n_cus, 0) - coalesce(n_sup, 0) AS gap
+             |FROM sup FULL OUTER JOIN cus ON sup.nk = cus.nk
+             |ORDER BY nationkey""".stripMargin)),
+
     // ── §2.4 aggregations ───────────────────────────────────────────────
     Q("a1_grouped_sum_pricing",
       (s, dir) => {
