@@ -88,6 +88,32 @@ object EventQueries {
              |  count(CASE WHEN k IS NULL THEN 1 END) AS null_k
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("e10_variant_extract",
+      (s, dir) => Tables.eventsTs(s, dir)
+        // the Spark-4-native semi-structured path: props parsed ONCE into
+        // a binary VariantType value (shredded, no re-tokenizing per
+        // field), then typed variant_get extractions. Same answers as
+        // e3's per-field get_json_object, but at 100 TB the parse
+        // happens once per row instead of once per extracted field, and
+        // a variant column can be stored shredded in parquet so the scan
+        // prunes into the semi-structured payload itself.
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("schema_of_variant(v)").as("vschema"))
+        .groupBy("event_type", "vschema")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          count(when(col("k") % 2 === 1, 1)).as("n_odd"))
+        .orderBy("event_type", "vschema"),
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events)
+             |SELECT event_type, 'OBJECT<k: BIGINT>' AS vschema, count(*) AS n,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  count(CASE WHEN k % 2 = 1 THEN 1 END) AS n_odd
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("e5_funnel_stages",
       (s, dir) => {
         // ordered funnel (view → click → purchase): each stage's
