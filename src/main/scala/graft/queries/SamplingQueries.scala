@@ -372,6 +372,53 @@ object SamplingQueries {
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
              |  FROM documents)
              |WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin)),
+
+    Q("y10_sequence_spans",
+      (s, dir) => {
+        // fixed-length training-example assembly — the step AFTER y4's
+        // shard assignment: concatenate each source's token stream in
+        // doc_id order and slice it into exact 64-token training
+        // sequences, emitting one (sequence, doc, token-range) span per
+        // overlap. Docs crossing a boundary are SPLIT (their tail
+        // carries into the next sequence) — the standard pretraining
+        // packing semantics, not padding per doc. Plan: one per-source
+        // window prefix sum (each source's stream is an independent
+        // partition — no global sort), then a narrow sequence() explode
+        // bounded by ceil(n/64)+1 spans per doc. Token offsets are
+        // absolute within the source stream, so a trainer can rebuild
+        // sequence k as the concatenation of its spans with zero other
+        // state.
+        val L = 64
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .withColumn("cend", sum("n").over(w))
+          .withColumn("cstart", col("cend") - col("n"))
+          .withColumn("seq_no",
+            explode(expr(s"sequence(cstart div $L, (cend - 1) div $L)")))
+          .select(col("source"), col("seq_no"), col("doc_id"),
+            greatest(col("cstart"), col("seq_no") * L).as("tok_from"),
+            least(col("cend"), (col("seq_no") + 1) * L).as("tok_to"))
+          .orderBy("source", "seq_no", "doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, doc_id, n,
+             |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cend
+             |  FROM t),
+             |spans AS (SELECT source, doc_id, cend - n AS cstart, cend FROM c),
+             |x AS (
+             |  SELECT source, doc_id, cstart, cend,
+             |    unnest(range(cstart // 64, (cend - 1) // 64 + 1)) AS seq_no
+             |  FROM spans)
+             |SELECT source, CAST(seq_no AS BIGINT) AS seq_no, doc_id,
+             |  greatest(cstart, seq_no * 64) AS tok_from,
+             |  least(cend, (seq_no + 1) * 64) AS tok_to
+             |FROM x ORDER BY source, seq_no, doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

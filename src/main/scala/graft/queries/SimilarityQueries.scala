@@ -714,6 +714,48 @@ object SimilarityQueries {
               |FROM pairs WHERE cosine >= 0.35
               |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin)),
 
+    Q("x25_knn_graph",
+      (s, dir) => {
+        // cluster-blocked KNN graph — each vector's 3 nearest in-corpus
+        // neighbors, the adjacency layer under agglomerative semantic
+        // clustering, label propagation, and graph-based dedup review.
+        // Same Σ cluster_size² blocking as x18 (never n²): pairs exist
+        // only within a trained-quantizer cluster, so recall tracks the
+        // quantizer quality (x8's 0.900), and the per-node top-k is a
+        // window over each node's OWN candidate list — partitioned by
+        // vec_id, so a mega-cluster never serializes one sort. Directed
+        // edges: both (a→b) and (b→a) come from the one equi-join.
+        val e = vecs(s, dir)
+        val assigned = assignNearest(e, trainedCentroids(e)).cache()
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))
+        assigned.as("a").join(assigned.as("b"),
+            col("a.centroid_id") === col("b.centroid_id") &&
+              col("a.cand_id") =!= col("b.cand_id"))
+          .select(col("a.cand_id").as("vec_id"), col("b.cand_id").as("neighbor_id"),
+            roundAt(expr("cosine_similarity(a.v, b.v)"), 6).as("cosine"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("vec_id", "rank", "neighbor_id", "cosine")
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH n AS ($vecsSql),
+              |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
+              |$lloydCtesSql,
+              |$assignedCteSql,
+              |pairs AS (
+              |  SELECT a.cand_id AS vec_id, b.cand_id AS neighbor_id,
+              |    ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} AS cosine
+              |  FROM assigned a JOIN assigned b
+              |    ON a.centroid_id = b.centroid_id AND a.cand_id <> b.cand_id),
+              |ranked AS (
+              |  SELECT vec_id, neighbor_id, cosine,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+              |  FROM pairs)
+              |SELECT vec_id, rank, neighbor_id, cosine FROM ranked
+              |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin)),
+
     Q("x19_ann_ivf_pq",
       (s, dir) => {
         // IVF-PQ — the composed billion-scale ANN index (the FAISS
