@@ -131,6 +131,31 @@ object StreamingOps {
       .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value")
   }
 
+  /** left-outer variant of [[purchaseClickJoin]]: purchases with NO click
+    * in their 30-minute lookback still emit, click columns null — the
+    * "every purchase gets an attribution row" contract a downstream
+    * join-then-aggregate needs. Outer rows can only emit once the click
+    * watermark has passed the purchase's join window (the engine must
+    * prove no matching click can still arrive), so results trail the
+    * watermark delay; state stays finite exactly as in the inner join.
+    */
+  def purchaseClickJoinLeftOuter(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value")
+  }
+
   /** streaming exact dedup on event_id with watermark-bounded state — the
     * ingest-time twin of the batch x1 content dedup: duplicates arriving
     * within the watermark horizon are dropped, state for expired windows

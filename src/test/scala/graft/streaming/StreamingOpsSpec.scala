@@ -107,6 +107,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join equals batch, incl. null rows") {
+    // outer (null-click) rows only emit once the watermark proves no
+    // matching click can still arrive, so feed in event-time order and
+    // close with a far-future flush event that advances both sides'
+    // watermarks past all real data
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Event]
+    val query = StreamingOps.purchaseClickJoinLeftOuter(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin_lo").outputMode("append").start()
+    val ordered = eventsBatch.collect().sortBy(_.ts.getTime)
+    ordered.grouped(2000).foreach { b => input.addData(b.toSeq); query.processAllAvailable() }
+    // two flush batches under a sentinel user: the flushes must be typed
+    // purchase/click — the watermark operators sit AFTER the side
+    // filters, so a foreign event type would never reach them and the
+    // watermark would stall short of the last real purchases. Batch 1
+    // advances the watermark past all real data at its batch END; batch
+    // 2 triggers the micro-batch in which the now-provably-unmatched
+    // purchases actually emit their null rows. Sentinel rows are
+    // excluded from the comparison.
+    Seq(86400000L, 172800000L).zipWithIndex.foreach { case (off, i) =>
+      input.addData(
+        StreamingOps.Event(Long.MaxValue - 2 * i,
+          new Timestamp(ordered.last.ts.getTime + off), -1L, "purchase", 0.0),
+        StreamingOps.Event(Long.MaxValue - 2 * i - 1,
+          new Timestamp(ordered.last.ts.getTime + off), -1L, "click", 0.0))
+      query.processAllAvailable()
+    }
+    query.stop()
+    val streamed = spark.table("ssjoin_lo").filter(col("user_id") >= 0)
+    val batch = StreamingOps.purchaseClickJoinLeftOuter(eventsBatch.toDF())
+    assert(canon(streamed) == canon(batch))
+    // the outer join's whole point: purchases with no prior click emit too
+    assert(streamed.filter(col("click_id").isNull).count() > 0)
+    assert(streamed.count() > StreamingOps.purchaseClickJoin(eventsBatch.toDF()).count())
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
