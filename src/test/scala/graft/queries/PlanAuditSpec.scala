@@ -203,4 +203,51 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("z1_salted_skew_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 3, p) // partial+final ×2 phases (AQE may fuse one)
   }
+
+  test("h6's NOT IN compiles to a broadcast anti join, never a fact shuffle") {
+    val p = plan("h6_parts_supplier_counts")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("h7's EXISTS/NOT EXISTS pair compiles to semi + anti self-joins") {
+    val p = plan("h7_sole_fault_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("t15 keeper selection is an aggregate, never a segment-partitioned window") {
+    // a window over PARTITION BY seg would hot-spot boilerplate segments;
+    // the min(struct) keeper must show up as partial+final aggregation
+    val p = plan("t15_segment_dedup")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("j9 aggregates both sides before the full outer join") {
+    val p = plan("j9_full_outer_reconcile")
+    assert(p.contains("FullOuter"), p)
+    // partial+final per side = ≥4 aggregates upstream of the join
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("a21's clamp bands ride a broadcast, not a fact-sized shuffle join") {
+    val p = plan("a21_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("y10 prefix sums run per-source: window exchange is hash, not single-partition") {
+    val p = plan("y10_sequence_spans")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("x25's pair stage is a centroid equi-join with a per-node top-k window") {
+    val p = plan("x25_knn_graph")
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+  }
 }
