@@ -480,6 +480,51 @@ object AnalyticalQueries {
               |FROM lineitem JOIN q ON l_returnflag = rf
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("a22_market_basket",
+      (s, dir) => {
+        // market-basket pair affinity (support + lift) — the co-occurrence
+        // mining shape: pairs exist ONLY within an order (the same
+        // Σ basket_size² blocking argument as x18's clusters — never
+        // catalog², and baskets are small by nature), counted on one
+        // l_orderkey equi-self-join. Item counts and the order total are
+        // tiny aggregates broadcast back onto the pair frame; lift =
+        // P(p1,p2) / (P(p1)·P(p2)) computed in one expression with the
+        // multiplication-then-division order pinned for cross-engine
+        // float identity.
+        val items = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey").distinct()
+        val nOrders = items.select(countDistinct("l_orderkey").as("n_orders"))
+        val itemCnt = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        items.as("a").join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .join(broadcast(itemCnt.select(col("l_partkey").as("p1"), col("cnt").as("c1"))), "p1")
+          .join(broadcast(itemCnt.select(col("l_partkey").as("p2"), col("cnt").as("c2"))), "p2")
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift", roundAt(
+            col("support").cast("double") * col("n_orders") / (col("c1") * col("c2")), 6))
+          .select("p1", "p2", "support", "c1", "c2", "lift")
+          .orderBy(col("support").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some(s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+              |ic AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+              |  FROM items a JOIN items b
+              |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT p1, p2, support, c1.cnt AS c1, c2.cnt AS c2,
+              |  ${roundAtSql("CAST(support AS DOUBLE) * n_orders / (c1.cnt * c2.cnt)", 6)} AS lift
+              |FROM pairs, n
+              |JOIN ic c1 ON c1.l_partkey = p1
+              |JOIN ic c2 ON c2.l_partkey = p2
+              |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin)),
+
     Q("a17_conditional_agg",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy("l_returnflag")

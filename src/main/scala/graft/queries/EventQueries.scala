@@ -293,6 +293,81 @@ object EventQueries {
               |JOIN l ON l.user_id = a.user_id AND l.rn = 1
               |ORDER BY a.user_id""".stripMargin)),
 
+    Q("e11_gap_fill",
+      (s, dir) => {
+        // time-series resample + linear interpolation — the gap-filling
+        // pass every per-entity daily rollup needs before modeling:
+        // densify each user's purchase series to a complete daily grid
+        // (their own [first, last] span) and fill missing days by linear
+        // interpolation between the bracketing observations. Grid
+        // generation is a per-user sequence() explode off a 2-column
+        // bounds aggregate (never a calendar × users cartesian); the
+        // bracketing values come from 4 IGNORE-NULLS running first/last
+        // windows — all partitioned by user, so a 100 TB event table
+        // fans out by entity and no partition sees more than one user's
+        // days. Interpolation arithmetic order is pinned (mul before
+        // div) for cross-engine float identity; grid edges are always
+        // observed (bounds come FROM the observations) so no
+        // extrapolation case exists.
+        val daily = Tables.eventsTs(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(roundAt(sum("value"), 4).as("v"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val wPrev = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(0, Window.unboundedFollowing)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("prev_v", last("v", ignoreNulls = true).over(wPrev))
+          .withColumn("prev_d",
+            last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+          .withColumn("next_v", first("v", ignoreNulls = true).over(wNext))
+          .withColumn("next_d",
+            first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+          .withColumn("filled", roundAt(
+            when(col("v").isNotNull, col("v")).otherwise(
+              col("prev_v") + (col("next_v") - col("prev_v")) *
+                datediff(col("day"), col("prev_d")) /
+                datediff(col("next_d"), col("prev_d"))), 4))
+          .withColumn("is_interp", col("v").isNull)
+          .select(col("user_id"), col("day").cast("string").as("day"),
+            col("filled"), col("is_interp"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day,
+              |    ${roundAtSql("sum(value)", 4)} AS v
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+              |grid AS (
+              |  SELECT user_id,
+              |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+              |  FROM bounds),
+              |j AS (
+              |  SELECT g.user_id, g.day, d.v FROM grid g
+              |  LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+              |w AS (
+              |  SELECT user_id, day, v,
+              |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+              |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY day
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+              |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+              |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              |      OVER (PARTITION BY user_id ORDER BY day
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+              |  FROM j)
+              |SELECT user_id, CAST(day AS VARCHAR) AS day,
+              |  ${roundAtSql("CASE WHEN v IS NOT NULL THEN v ELSE prev_v + (next_v - prev_v) * (day - prev_d) / (next_d - prev_d) END", 4)} AS filled,
+              |  v IS NULL AS is_interp
+              |FROM w ORDER BY 1, 2""".stripMargin)),
+
     Q("e9_daily_anomaly",
       (s, dir) => {
         // pipeline monitoring: per-(event_type, day) volumes scored as
