@@ -300,6 +300,63 @@ object RelationalQueries {
              |FROM sup FULL OUTER JOIN cus ON sup.nk = cus.nk
              |ORDER BY nationkey""".stripMargin)),
 
+    Q("j10_cdc_merge",
+      (s, dir) => {
+        // MERGE / SCD-1 upsert — apply a CDC batch (inserts, updates,
+        // deletes) to a dimension snapshot, the nightly warehouse
+        // operation Delta/Iceberg MERGE INTO performs. Expressed in pure
+        // relational algebra — the shape those engines execute under the
+        // hood: ONE full-outer join of snapshot × changes on the key
+        // (both sides shuffle-partitioned by it, so 100 TB merges scale
+        // by key range), then a row-wise CASE: delete rows drop,
+        // update/insert rows take the change image, untouched rows pass
+        // through. The change batch is derived deterministically from
+        // the snapshot itself (mod-keyed update/delete/insert sets) so
+        // the oracle replays the identical merge.
+        val snap = Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        val upd = snap
+          .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 11 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_name").as("n"),
+            lit("MERGED").as("m"), (col("c_acctbal") + 100.0).as("b"), lit("U").as("op"))
+        val del = snap.filter(col("c_custkey") % 11 === 0)
+          .select(col("c_custkey").as("k"), col("c_name").as("n"),
+            col("c_mktsegment").as("m"), col("c_acctbal").as("b"), lit("D").as("op"))
+        val ins = snap.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 100000L).as("k"),
+            concat(lit("NEW#"), col("c_custkey").cast("string")).as("n"),
+            lit("FRESH").as("m"), lit(0.0).as("b"), lit("I").as("op"))
+        val changes = upd.unionByName(del).unionByName(ins)
+        snap.as("s").join(changes.as("c"), col("c_custkey") === col("k"), "full_outer")
+          .filter(coalesce(col("op"), lit("keep")) =!= "D")
+          .select(
+            coalesce(col("k"), col("c_custkey")).as("c_custkey"),
+            coalesce(col("n"), col("c_name")).as("c_name"),
+            coalesce(col("m"), col("c_mktsegment")).as("c_mktsegment"),
+            roundAt(coalesce(col("b"), col("c_acctbal")), 2).as("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH snap AS (
+              |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+              |changes AS (
+              |  SELECT c_custkey AS k, c_name AS n, 'MERGED' AS m,
+              |    c_acctbal + 100.0 AS b, 'U' AS op
+              |  FROM snap WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+              |  UNION ALL
+              |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, 'D'
+              |  FROM snap WHERE c_custkey % 11 = 0
+              |  UNION ALL
+              |  SELECT c_custkey + 100000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+              |    'FRESH', 0.0, 'I'
+              |  FROM snap WHERE c_custkey % 13 = 0)
+              |SELECT coalesce(k, c_custkey) AS c_custkey,
+              |  coalesce(n, c_name) AS c_name,
+              |  coalesce(m, c_mktsegment) AS c_mktsegment,
+              |  ${roundAtSql("coalesce(b, c_acctbal)", 2)} AS c_acctbal
+              |FROM snap FULL OUTER JOIN changes ON c_custkey = k
+              |WHERE coalesce(op, 'keep') <> 'D'
+              |ORDER BY 1""".stripMargin)),
+
     // ── §2.4 aggregations ───────────────────────────────────────────────
     Q("a1_grouped_sum_pricing",
       (s, dir) => {

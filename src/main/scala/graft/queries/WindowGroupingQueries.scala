@@ -90,6 +90,71 @@ object WindowGroupingQueries {
               |  FROM orders WHERE o_custkey <= 200)
               |ORDER BY o_orderkey""".stripMargin)),
 
+    Q("w8_rolling_distinct_users",
+      (s, dir) => {
+        // trailing 7-day distinct actives per day — the DAU/WAU overlap
+        // metric. Distinct-within-a-sliding-frame can't be a window
+        // aggregate (count(DISTINCT) isn't frame-able); the scalable
+        // formulation CONTRIBUTES each (user, day) observation to the 7
+        // daily windows it covers — a bounded ×7 explode — then one
+        // (window_day, user)-distinct aggregate. The fan-out factor is
+        // the window length, independent of corpus size, and every
+        // stage is a map-side-combinable aggregate; at 100 TB the exact
+        // distinct swaps for z3's HLL sketch, same frame logic.
+        val perDay = Tables.eventsTs(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        perDay
+          .withColumn("window_day",
+            explode(expr("sequence(day, date_add(day, 6), interval 1 day)")))
+          .groupBy("window_day")
+          .agg(countDistinct("user_id").as("active_7d"))
+          // report only fully-covered days: drop the warm-up ramp where
+          // the trailing window reaches before the data starts, and the
+          // tail days generated past the last observation
+          .join(perDay.agg(min("day").as("min_day"), max("day").as("max_day")),
+            col("window_day") >= date_add(col("min_day"), 6) &&
+              col("window_day") <= col("max_day"))
+          .select(col("window_day").cast("string").as("day"), col("active_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH per_day AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM per_day),
+             |contrib AS (
+             |  SELECT user_id,
+             |    CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS window_day
+             |  FROM per_day)
+             |SELECT CAST(window_day AS VARCHAR) AS day,
+             |  count(DISTINCT user_id) AS active_7d
+             |FROM contrib, b
+             |WHERE window_day >= min_day + 6 AND window_day <= max_day
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a23_share_of_total",
+      (s, dir) => {
+        // percent-of-total report: each nation's revenue share. The
+        // total is a ONE-ROW aggregate broadcast onto the grouped frame
+        // (crossJoin of a scalar) — never a partition-all window (an
+        // OVER () total funnels every row through one partition at
+        // scale). Share rounded 6 dp, revenue 4 dp.
+        val byNation = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .groupBy("c_nationkey")
+          .agg(roundAt(sum("o_totalprice"), 4).as("revenue"))
+        val total = byNation.agg(roundAt(sum("revenue"), 4).as("total"))
+        byNation.crossJoin(broadcast(total))
+          .select(col("c_nationkey"), col("revenue"),
+            roundAt(col("revenue") / col("total"), 6).as("share"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH by_nation AS (
+              |  SELECT c_nationkey, ${roundAtSql("sum(o_totalprice)", 4)} AS revenue
+              |  FROM customer JOIN orders ON c_custkey = o_custkey
+              |  GROUP BY 1),
+              |t AS (SELECT ${roundAtSql("sum(revenue)", 4)} AS total FROM by_nation)
+              |SELECT c_nationkey, revenue, ${roundAtSql("revenue / total", 6)} AS share
+              |FROM by_nation, t ORDER BY 1""".stripMargin)),
+
     Q("a15_rollup",
       (s, dir) => Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
