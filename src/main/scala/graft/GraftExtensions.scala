@@ -12,6 +12,8 @@ import graft.functions.{CosineSimilarity, JaccardSimilarity, RollingHashWindows}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension (SURVEY §7.3 tier c): native top-k-per-key
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       CosineSimilarity.info,

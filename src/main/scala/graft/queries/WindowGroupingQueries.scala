@@ -90,6 +90,32 @@ object WindowGroupingQueries {
               |  FROM orders WHERE o_custkey <= 200)
               |ORDER BY o_orderkey""".stripMargin)),
 
+    Q("o4_native_topk_per_group",
+      (s, dir) => {
+        // the native TopKPerKey operator (graft.plans — custom
+        // LogicalPlan + Strategy + SparkPlan, SURVEY §7.3 tier c) on
+        // w4's exact task: 5 priciest lineitems per return flag. The
+        // window formulation sorts every partition; this operator keeps
+        // bounded per-key heaps map-side (≤ k rows per key per input
+        // partition cross the exchange) and merges them key-local —
+        // O(n log k), no sort. Total order (price desc, orderkey,
+        // linenumber) makes the survivors unique, so the oracle's
+        // row_number() formulation returns the identical row set.
+        graft.plans.TopK.perKey(
+          Tables.lineitem(s, dir)
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+          k = 5)
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             |  FROM lineitem)
+             |WHERE rn <= 5 ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
     Q("w8_rolling_distinct_users",
       (s, dir) => {
         // trailing 7-day distinct actives per day — the DAU/WAU overlap
