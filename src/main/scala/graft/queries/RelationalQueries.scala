@@ -357,6 +357,86 @@ object RelationalQueries {
               |WHERE coalesce(op, 'keep') <> 'D'
               |ORDER BY 1""".stripMargin)),
 
+    Q("u3_intersect_except",
+      (s, dir) => {
+        // set operators INTERSECT / EXCEPT (distinct semantics) — cohort
+        // overlap: customers ordering in BOTH 1995-H1 and 1995-H2, and
+        // those in H1 ONLY. Spark plans both as distinct-aggregated
+        // semi/anti joins on the full row — one key shuffle each, no
+        // driver sets. Counted per op to keep one deterministic row
+        // shape.
+        def custs(lo: String, hi: String) = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+            col("o_orderdate") < to_timestamp(lit(hi)))
+          .select("o_custkey")
+        val h1 = custs("1995-01-01", "1995-07-01")
+        val h2 = custs("1995-07-01", "1996-01-01")
+        h1.intersect(h2).agg(count(lit(1)).as("n")).select(lit("both").as("op"), col("n"))
+          .unionByName(
+            h1.except(h2).agg(count(lit(1)).as("n")).select(lit("h1_only").as("op"), col("n")))
+          .orderBy("op")
+      },
+      Some("""WITH h1 AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'),
+             |h2 AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+             |SELECT 'both' AS op, count(*) AS n FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+             |UNION ALL
+             |SELECT 'h1_only', count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+             |ORDER BY op""".stripMargin)),
+
+    Q("f21_map_kit",
+      (s, dir) => {
+        // MapType surface: build a word→count map per document (the
+        // sketch-friendly per-row feature bag), then read it back with
+        // element_at / size / sorted-keys rendering. Maps are rendered
+        // as canonical strings for the cross-engine hash — engines
+        // disagree on native map ordering by design.
+        Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("m", expr(
+            """map_from_entries(transform(array_sort(array_distinct(slice(w, 1, 8))),
+              |  x -> struct(x, size(filter(w, y -> y = x)))))""".stripMargin))
+          .select(col("doc_id"),
+            size(col("m")).cast("long").as("n_keys"),
+            coalesce(element_at(col("m"), "the"), lit(0)).cast("long").as("cnt_the"),
+            concat_ws(",", map_keys(col("m"))).as("keys_sorted"),
+            expr("cast(aggregate(map_values(m), 0, (acc, x) -> acc + x) as bigint)")
+              .as("sum_counts"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |k AS (SELECT doc_id, w, list_sort(list_distinct(w[1:8])) AS ks FROM d)
+             |SELECT doc_id,
+             |  CAST(len(ks) AS BIGINT) AS n_keys,
+             |  CAST(coalesce(CASE WHEN list_contains(ks, 'the')
+             |    THEN len(list_filter(w, y -> y = 'the')) END, 0) AS BIGINT) AS cnt_the,
+             |  array_to_string(ks, ',') AS keys_sorted,
+             |  CAST(list_reduce(list_transform(ks, x -> len(list_filter(w, y -> y = x))),
+             |    (a, b) -> a + b) AS BIGINT) AS sum_counts
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    Q("f22_regex_extract",
+      (s, dir) => {
+        // regex extraction family — regexp_extract (first group),
+        // regexp_extract_all joined, regexp_count, and a regexp_replace
+        // round: the log/URL-parsing scalar kit. Patterns use only
+        // RE2/PCRE-common syntax so both engines agree.
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            regexp_extract(col("text"), "(\\w+ing)\\b", 1).as("first_ing"),
+            concat_ws("|", expr("regexp_extract_all(text, '(ta\\\\w+)', 1)")).as("ta_words"),
+            expr("cast(regexp_count(text, 'scan') as bigint)").as("n_scan"),
+            length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("len_novowel"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  coalesce(regexp_extract(text, '(\w+ing)\b', 1), '') AS first_ing,
+             |  coalesce(array_to_string(regexp_extract_all(text, '(ta\w+)', 1), '|'), '') AS ta_words,
+             |  CAST(len(regexp_extract_all(text, 'scan')) AS BIGINT) AS n_scan,
+             |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowel
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ── §2.4 aggregations ───────────────────────────────────────────────
     Q("a1_grouped_sum_pricing",
       (s, dir) => {
