@@ -64,6 +64,22 @@ class TopKSpec extends SparkSpec {
     assert(windowed.queryExecution.executedPlan.toString.contains("Sort "))
   }
 
+  test("null order values and null keys follow SortOrder null ordering") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(3)), (Some("a"), None), (Some("a"), Some(1)),
+      (None: Option[String], Some(9)), (None: Option[String], Some(2)))
+      .toDF("k", "v")
+    // v desc → NULLS LAST: the null-v row must lose to both numbers
+    val topA = TopK.perKey(df, Seq("k"), Seq($"v".desc), k = 2)
+      .filter($"k" === "a").collect().map(_.getAs[Any]("v")).toSet
+    assert(topA == Set(3, 1), topA)
+    // a null KEY is its own group, like GROUP BY treats it
+    val topNull = TopK.perKey(df, Seq("k"), Seq($"v".desc), k = 1)
+      .filter($"k".isNull).collect().map(_.getAs[Any]("v")).toSet
+    assert(topNull == Set(9), topNull)
+  }
+
   test("native vs window timing on the record (sf0.1, best of 2)") {
     // not asserted (multi-tenant box) — the numbers go on the record so
     // SURVEY's claim about WHERE the native operator wins stays honest
