@@ -136,10 +136,36 @@ object Corpus {
   def dupClustersWithStats(docs: DataFrame,
       threshold: Double = 0.5): (DataFrame, Int) = {
     val (pairsDf, backing) = nearDupPairsCached(docs, threshold)
-    val pairs = pairsDf.select("doc_a", "doc_b")
-    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    val r = connectedComponentsWithStats(
+      docs.select("doc_id"), pairsDf.select("doc_a", "doc_b"))
+    backing.foreach(_.unpersist())
+    r
+  }
+
+  /** Generic distributed connected components — label propagation with
+    * pointer jumping over ANY undirected edge list, the graph core
+    * shared by lexical dedup clustering ([[dupClusters]]) and semantic
+    * KNN-graph clustering (x26). `nodes` is a one-column id frame,
+    * `pairs` a two-column edge frame over those ids; each node's final
+    * `cluster_id` is the smallest id reachable from it, `keep` marks
+    * the representative. Converges in O(log diameter) rounds; each
+    * round is ONE action (the convergence counter rides an Observation
+    * on the same pass), with localCheckpoint truncating the iterative
+    * lineage.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponentsWithStats(nodes, pairs)._1
+
+  /** [[connectedComponents]] plus the propagation-round count. */
+  def connectedComponentsWithStats(nodes: DataFrame,
+      pairs: DataFrame): (DataFrame, Int) = {
+    val idCol = nodes.columns.head
+    val Seq(aCol, bCol) = pairs.columns.take(2).toSeq
+    val edges = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+    val sym = edges.union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
-    var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id"))
+    var labels = nodes.select(col(idCol).as("doc_id"))
+      .withColumn("label", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -171,9 +197,8 @@ object Corpus {
       labels = next.select("doc_id", "label")
     }
     sym.unpersist()
-    backing.foreach(_.unpersist())
-    (labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .withColumn("keep", col("doc_id") === col("cluster_id")), rounds)
+    (labels.select(col("doc_id").as(idCol), col("label").as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id")), rounds)
   }
 
   /** Which member of each duplicate cluster survives. */

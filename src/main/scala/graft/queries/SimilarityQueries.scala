@@ -714,6 +714,59 @@ object SimilarityQueries {
               |FROM pairs WHERE cosine >= 0.35
               |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin)),
 
+    Q("x26_semantic_clusters",
+      (s, dir) => {
+        // semantic CLUSTER DETECTION — the step past x18's pair-drop
+        // dedup: connected components over the cluster-blocked cosine
+        // graph (edges = within-quantizer-cell pairs ≥ 0.35), labeling
+        // every vector with its semantic group and the group's size.
+        // Reuses the SAME generic distributed CC as lexical dedup
+        // ([[graft.corpus.Corpus.connectedComponents]] — pointer-jumped
+        // label propagation, one Observation-metered action per round),
+        // proving the graph core is operator-agnostic: hand it lexical
+        // near-dup pairs or embedding pairs, same O(log diameter)
+        // machinery. Oracle = DuckDB recursive-CTE closure over the
+        // identical pair set.
+        val e = vecs(s, dir)
+        val assigned = assignNearest(e, trainedCentroids(e)).cache()
+        val pairs = assigned.as("a").join(assigned.as("b"),
+            col("a.centroid_id") === col("b.centroid_id") &&
+              col("a.cand_id") < col("b.cand_id"))
+          .filter(roundAt(expr("cosine_similarity(a.v, b.v)"), 6) >= 0.35)
+          .select(col("a.cand_id").as("doc_a"), col("b.cand_id").as("doc_b"))
+        val cc = graft.corpus.Corpus.connectedComponents(
+          assigned.select(col("cand_id")), pairs)
+        val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select(col("cand_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE n AS ($vecsSql),
+              |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
+              |$lloydCtesSql,
+              |$assignedCteSql,
+              |pairs AS (
+              |  SELECT a.cand_id AS doc_a, b.cand_id AS doc_b
+              |  FROM assigned a JOIN assigned b
+              |    ON a.centroid_id = b.centroid_id AND a.cand_id < b.cand_id
+              |  WHERE ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} >= 0.35),
+              |sym AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM sym
+              |  UNION
+              |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+              |cl AS (
+              |  SELECT a.cand_id AS vec_id,
+              |    least(a.cand_id, coalesce(min(r.dst), a.cand_id)) AS cluster_id
+              |  FROM assigned a LEFT JOIN reach r ON a.cand_id = r.src
+              |  GROUP BY a.cand_id),
+              |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+              |SELECT vec_id, cl.cluster_id, cluster_size
+              |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
+              |ORDER BY vec_id""".stripMargin)),
+
     Q("x25_knn_graph",
       (s, dir) => {
         // cluster-blocked KNN graph — each vector's 3 nearest in-corpus
