@@ -90,8 +90,12 @@ object Bench {
 
     // dev-only subset filter (SPARK_GRAFT_BENCH_ONLY=q1,q2): iterate on one
     // query's timing without paying the full battery. The driver never sets
-    // it, so official records always cover everything.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // it, so official records always cover everything; subset records are
+    // MARKED as such in the JSON so a partial run can never masquerade as
+    // the full battery in BASELINE.md. Empty/blank values mean "no filter".
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -159,7 +163,9 @@ object Bench {
     // the raw string if the dir is not sf-suffixed
     val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
-    val common = s""""unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    val subsetJson = only.map(names =>
+      s""""subset":[${names.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""").getOrElse("")
+    val common = s"""$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full =

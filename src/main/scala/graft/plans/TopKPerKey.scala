@@ -23,6 +23,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * everything but k rows per (partition, key) BEFORE the exchange —
   * the same partial/final contract as hash aggregation, applied to
   * an order-statistic the aggregate functions can't express.
+  *
+  * Memory envelope (stated, not hidden): heap state is O(distinct
+  * keys per partition × k) ROWS with no spill fallback — the same
+  * class as ObjectHashAggregate before its fallback. That is the
+  * right trade when keys × k is executor-bounded (dimension-like
+  * grouping cardinality, small k — the top-k reporting shape this
+  * operator exists for). For pathological cardinality × k products
+  * prefer the window-rank formulation (w4), which sorts but spills;
+  * a sort-based fallback here is the known follow-up.
   */
 final case class TopKPerKey(
     keys: Seq[Expression],
@@ -78,7 +87,10 @@ final case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, worstFirst)
+          // initial capacity grows on demand — preallocating k slots per
+          // key would cost k references per key even for 1-row keys
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(limit, 16), worstFirst)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) heap.add(row.copy())

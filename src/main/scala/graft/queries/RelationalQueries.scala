@@ -28,6 +28,27 @@ object RelationalQueries {
   private def T(name: String)(implicit s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** one temp dir per (roundtrip query, sf dir), OVERWRITTEN per
+    * invocation — bench reps and repeated verify passes must not
+    * accumulate table copies under /tmp (the x21 segment-dir pattern).
+    * Removed on JVM exit.
+    */
+  private val roundtripDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def roundtripDir(key: String): String =
+    roundtripDirs.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$key")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+      p.toString
+    })
+
   val all: Seq[Q] = Seq(
 
     // ── §2.1 scans / sources ────────────────────────────────────────────
@@ -35,7 +56,7 @@ object RelationalQueries {
       (s, dir) => {
         // CSV source with explicit schema (never inferSchema) — SURVEY S1:
         // parquet→CSV→schema'd read-back must be lossless for flat types.
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        val tmp = s"${roundtripDir("csv")}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
         Tables.region(s, dir).write.mode("overwrite")
           .option("header", "true").csv(tmp)
         val schema = StructType(Seq(
@@ -59,7 +80,7 @@ object RelationalQueries {
         // silent corruption) → aggregate. Timestamps are written as
         // unix_micros longs: JSON has no timestamp type, so the schema
         // pins the encoding instead of trusting a string format.
-        val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+        val tmp = s"${roundtripDir("jsonl")}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"),
@@ -90,7 +111,7 @@ object RelationalQueries {
         // so no re-encoding games: the roundtrip must be value-lossless
         // for longs/doubles/strings, and the oracle aggregates the
         // original parquet to prove it.
-        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val tmp = s"${roundtripDir("orc")}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
         Tables.lineitem(s, dir)
           .filter(col("l_returnflag") === "A")
           .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
@@ -322,8 +343,13 @@ object RelationalQueries {
         val del = snap.filter(col("c_custkey") % 11 === 0)
           .select(col("c_custkey").as("k"), col("c_name").as("n"),
             col("c_mktsegment").as("m"), col("c_acctbal").as("b"), lit("D").as("op"))
+        // insert keys live in a provably disjoint domain: offset by
+        // max(key)+1 measured FROM the snapshot (a fixed +100000 would
+        // collide with real keys once the table outgrows it)
+        val off = snap.agg((max("c_custkey") + 1L).as("off"))
         val ins = snap.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 100000L).as("k"),
+          .crossJoin(broadcast(off))
+          .select((col("c_custkey") + col("off")).as("k"),
             concat(lit("NEW#"), col("c_custkey").cast("string")).as("n"),
             lit("FRESH").as("m"), lit(0.0).as("b"), lit("I").as("op"))
         val changes = upd.unionByName(del).unionByName(ins)
@@ -346,8 +372,8 @@ object RelationalQueries {
               |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, 'D'
               |  FROM snap WHERE c_custkey % 11 = 0
               |  UNION ALL
-              |  SELECT c_custkey + 100000, 'NEW#' || CAST(c_custkey AS VARCHAR),
-              |    'FRESH', 0.0, 'I'
+              |  SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM snap),
+              |    'NEW#' || CAST(c_custkey AS VARCHAR), 'FRESH', 0.0, 'I'
               |  FROM snap WHERE c_custkey % 13 = 0)
               |SELECT coalesce(k, c_custkey) AS c_custkey,
               |  coalesce(n, c_name) AS c_name,

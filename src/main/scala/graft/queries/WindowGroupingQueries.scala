@@ -129,32 +129,41 @@ object WindowGroupingQueries {
         // distinct swaps for z3's HLL sketch, same frame logic.
         val perDay = Tables.eventsTs(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        perDay
+        val counts = perDay
           .withColumn("window_day",
             explode(expr("sequence(day, date_add(day, 6), interval 1 day)")))
           .groupBy("window_day")
-          .agg(countDistinct("user_id").as("active_7d"))
-          // report only fully-covered days: drop the warm-up ramp where
-          // the trailing window reaches before the data starts, and the
-          // tail days generated past the last observation
-          .join(perDay.agg(min("day").as("min_day"), max("day").as("max_day")),
-            col("window_day") >= date_add(col("min_day"), 6) &&
-              col("window_day") <= col("max_day"))
-          .select(col("window_day").cast("string").as("day"), col("active_7d"))
+          .agg(countDistinct("user_id").as("n"))
+        // report every fully-covered day from a bounds-generated grid —
+        // a ≥ 7-day activity gap (ingestion outage) must show as
+        // active_7d = 0, which contribution rows alone can never emit;
+        // the grid also drops the warm-up ramp (trailing window reaching
+        // before the data starts) and the explode's past-the-end tail
+        val grid = perDay.agg(min("day").as("min_day"), max("day").as("max_day"))
+          .select(explode(expr(
+            "sequence(date_add(min_day, 6), max_day, interval 1 day)")).as("window_day"))
+        grid.join(counts, Seq("window_day"), "left")
+          .select(col("window_day").cast("string").as("day"),
+            coalesce(col("n"), lit(0L)).as("active_7d"))
           .orderBy("day")
       },
       Some("""WITH per_day AS (
              |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
              |b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM per_day),
-             |contrib AS (
-             |  SELECT user_id,
-             |    CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS window_day
-             |  FROM per_day)
-             |SELECT CAST(window_day AS VARCHAR) AS day,
-             |  count(DISTINCT user_id) AS active_7d
-             |FROM contrib, b
-             |WHERE window_day >= min_day + 6 AND window_day <= max_day
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |counts AS (
+             |  SELECT window_day, count(DISTINCT user_id) AS n FROM (
+             |    SELECT user_id,
+             |      CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS window_day
+             |    FROM per_day)
+             |  GROUP BY 1),
+             |grid AS (
+             |  SELECT CAST(unnest(generate_series(min_day + 6, max_day, INTERVAL 1 DAY)) AS DATE)
+             |    AS window_day
+             |  FROM b)
+             |SELECT CAST(g.window_day AS VARCHAR) AS day,
+             |  CAST(coalesce(n, 0) AS BIGINT) AS active_7d
+             |FROM grid g LEFT JOIN counts c ON g.window_day = c.window_day
+             |ORDER BY 1""".stripMargin)),
 
     Q("a23_share_of_total",
       (s, dir) => {

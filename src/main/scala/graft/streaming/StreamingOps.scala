@@ -115,21 +115,8 @@ object StreamingOps {
     * the pattern that keeps a 100 TB/day clickstream join's state finite.
     * Works identically on batch frames (the spec asserts equality).
     */
-  def purchaseClickJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"), col("value").as("purchase_value"))
-      .withWatermark("p_ts", watermark)
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", watermark)
-    purchases.join(clicks,
-      col("user_id") === col("c_user_id") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
-      .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value")
-  }
+  def purchaseClickJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    purchaseClickJoinImpl(events, watermark, "inner")
 
   /** left-outer variant of [[purchaseClickJoin]]: purchases with NO click
     * in their 30-minute lookback still emit, click columns null — the
@@ -139,7 +126,15 @@ object StreamingOps {
     * prove no matching click can still arrive), so results trail the
     * watermark delay; state stays finite exactly as in the inner join.
     */
-  def purchaseClickJoinLeftOuter(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+  def purchaseClickJoinLeftOuter(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    purchaseClickJoinImpl(events, watermark, "left_outer")
+
+  /** one join contract, two types — the sides, watermarks, interval
+    * bound and projection must never diverge between the inner and
+    * outer variants.
+    */
+  private def purchaseClickJoinImpl(events: DataFrame, watermark: String,
+      joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"), col("value").as("purchase_value"))
@@ -152,7 +147,7 @@ object StreamingOps {
       col("user_id") === col("c_user_id") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
         col("c_ts") <= col("p_ts"),
-      "left_outer")
+      joinType)
       .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value")
   }
 

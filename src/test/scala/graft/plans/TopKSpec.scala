@@ -108,12 +108,37 @@ class TopKSpec extends SparkSpec {
   test("map-side partial keeps at most k rows per key per partition") {
     import spark.implicits._
     // 4 input partitions × 1 key × 1000 rows: the exchange must carry
-    // at most 4 partitions × k rows, not 4000 — measured via the final
-    // stage's input row count under a narrow observation
+    // at most 4 partitions × k rows, not 4000 — MEASURED from the
+    // shuffle's own records-written metric, so a regression that turns
+    // the partial phase into a passthrough fails here, not just in a
+    // benchmark
     val df = spark.range(4000).repartition(4)
       .select(lit("only").as("k"), $"id".as("v"))
     val native = TopK.perKey(df, Seq("k"), Seq($"v".desc), k = 3)
     val rows = native.collect()
     assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(3997L, 3998L, 3999L))
+    // under AQE every query stage (result AND shuffle) is a LEAF
+    // wrapper holding its subtree in `.plan` — expand them recursively
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+        case q: QueryStageExec => q +: expand(q.plan)
+        case n => Seq(n)
+      }
+    val shuffleWritten = expand(native.queryExecution.executedPlan).collect {
+      case s: ShuffleQueryStageExec =>
+        s.shuffle.metrics.collectFirst {
+          case (name, m) if name.contains("RecordsWritten") ||
+              m.name.exists(_.contains("records written")) => m.value
+        }.getOrElse(-1L)
+    }
+    // two exchanges exist (repartition(4) + the top-k hash exchange);
+    // the top-k one carries ≤ 4 partitions × 3 rows. The repartition
+    // moves all 4000, so assert on the minimum.
+    assert(shuffleWritten.nonEmpty, native.queryExecution.executedPlan.toString)
+    assert(shuffleWritten.min <= 12,
+      s"partial phase leaked rows across the exchange: $shuffleWritten")
   }
 }
