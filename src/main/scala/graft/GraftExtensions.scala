@@ -40,7 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val width = children(1) match {
           case e if e.foldable &&
               Seq(IntegerType, LongType, ShortType, ByteType).contains(e.dataType) =>
-            e.eval().asInstanceOf[Number].intValue()
+            e.eval() match {
+              case null => throw new IllegalArgumentException(
+                "rolling_hash_windows width must be a non-null integer literal")
+              case n: Number =>
+                val v = n.longValue()
+                // reject out-of-Int widths instead of silently truncating
+                // (a LongType literal like 2^32+32 would intValue() to 32)
+                if (v < 1 || v > Int.MaxValue) throw new IllegalArgumentException(
+                  s"rolling_hash_windows width must be in [1, ${Int.MaxValue}], got $v")
+                v.toInt
+            }
           case other => throw new IllegalArgumentException(
             s"rolling_hash_windows width must be an integer literal, got $other")
         }

@@ -273,17 +273,39 @@ object Corpus {
       indexPaths: Seq[String]): DataFrame =
     // one read per segment, unioned: segments are independent Hive-
     // partitioned roots, and a single multi-path read would try (and
-    // refuse) to infer one partition scheme across them
-    indexPaths.map(p => spark.read.parquet(s"$p/signatures")
-      .select("doc_id", "band_id", "band_key")).reduce(_.unionByName(_))
+    // refuse) to infer one partition scheme across them. NO segments =
+    // an empty index (the day-0 bootstrap of incremental curation:
+    // nothing indexed yet, so nothing can be a duplicate) — never a
+    // reduce-on-Nil crash.
+    if (indexPaths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band_id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("band_key",
+            org.apache.spark.sql.types.StringType))))
+    else
+      indexPaths.map(p => spark.read.parquet(s"$p/signatures")
+        .select("doc_id", "band_id", "band_key")).reduce(_.unionByName(_))
 
   private[graft] def readIndexShingles(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = readIndexShingles(spark, Seq(indexPath))
 
   private[graft] def readIndexShingles(spark: org.apache.spark.sql.SparkSession,
       indexPaths: Seq[String]): DataFrame =
-    indexPaths.map(p => spark.read.parquet(s"$p/shingles"))
-      .reduce(_.unionByName(_))
+    if (indexPaths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sh",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))))
+    else
+      indexPaths.map(p => spark.read.parquet(s"$p/shingles"))
+        .reduce(_.unionByName(_))
 
   /** exact-verify tail shared by the batch and streaming incremental
     * paths: candidates (new_id, sha, index_id) join the index shingle

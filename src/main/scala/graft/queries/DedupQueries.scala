@@ -134,23 +134,31 @@ object DedupQueries {
     * propagation round's localCheckpoint blocks, which survive
     * clearCache() and die with the session.
     */
-  private val clusterTables = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+  // WeakHashMap keyed by session: a stopped/dereferenced SparkSession
+  // must not be pinned for the JVM's life by its cached cluster frames
+  // (the frame's plan references the session, so a strong session key
+  // would leak both). All access synchronized — WeakHashMap isn't
+  // thread-safe and entries can vanish at any GC. The coarse lock also
+  // serializes concurrent cluster builds; callers here (Verify/Bench)
+  // are sequential, and duplicate suppression matters more than build
+  // parallelism for a cached table.
+  private val clusterTables = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
 
-  private def clustersFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val key = (s, dir)
-    val existing = clusterTables.get(key)
-    if (existing != null) existing
-    else dir.intern.synchronized {
-      val again = clusterTables.get(key)
-      if (again != null) again
-      else {
-        val c = graft.corpus.Corpus.dupClusters(Tables.documents(s, dir))
-        clusterTables.put(key, c)
-        c
+  private def clustersFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    clusterTables.synchronized {
+      val perSession = {
+        val m = clusterTables.get(s)
+        if (m != null) m
+        else {
+          val m2 = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+          clusterTables.put(s, m2)
+          m2
+        }
       }
+      perSession.getOrElseUpdate(dir,
+        graft.corpus.Corpus.dupClusters(Tables.documents(s, dir)))
     }
-  }
 
   /** one persisted LSH index per (process, sf dir) for x10: Verify,
     * Bench (≥2 reps), and the plan audit all invoke the query fn —

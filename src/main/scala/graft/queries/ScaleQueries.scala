@@ -269,11 +269,17 @@ object ScaleQueries {
         // estimate, with the exact count alongside and the collision
         // overcount — the number that tells an operator whether W is
         // sized right (ScaleBoundSpec pins it against the e/W bound).
-        val w = org.apache.spark.sql.expressions.Window
+        // top-10 via distributed TakeOrdered (orderBy.limit), NOT an
+        // unpartitioned ranking window — a global Window.orderBy would
+        // funnel every distinct user through one partition, the exact
+        // shape the plan audits forbid. The rank window that remains
+        // runs over the 10 surviving rows only.
+        val w10 = org.apache.spark.sql.expressions.Window
           .orderBy(col("cms_n").desc, col("user_id"))
         cmsUserCounts(s, dir)
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 10)
+          .orderBy(col("cms_n").desc, col("user_id"))
+          .limit(10)
+          .withColumn("rank", row_number().over(w10).cast("long"))
           .withColumn("overcount", col("cms_n") - col("exact_n"))
           .select("rank", "user_id", "exact_n", "cms_n", "overcount")
           .orderBy("rank")

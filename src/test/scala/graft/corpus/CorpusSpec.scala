@@ -148,6 +148,25 @@ class CorpusSpec extends SparkSpec {
     assert(kp.count() == 5)
   }
 
+  test("curateIncremental bootstraps from ZERO segments: day-0 ingest with no prior corpus") {
+    // the natural first call has nothing indexed yet — an empty segment
+    // list must mean "empty index, nothing is a duplicate", not a crash
+    val base = tmpDir("curate_inc_bootstrap")
+    val batch = docs.filter(col("doc_id") < 50)
+    val out = Corpus.curateIncremental(batch, Seq.empty, s"$base/seg0")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // with an empty index, drops can only come from IN-BATCH near-dups:
+    // exactly the higher id of each verified pair
+    val losers = Corpus.nearDupPairs(batch)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val ids = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == ids -- losers)
+    // the appended segment is readable and covers exactly the survivors
+    val seg = Corpus.readIndexSignatures(spark, Seq(s"$base/seg0"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(seg == kept)
+  }
+
   test("curateIncremental: immutable segments compose and prior batches are never rescanned") {
     val base = tmpDir("curate_inc_spec")
     // the full-corpus verified pair set is ground truth; batch-restricted

@@ -15,16 +15,28 @@ class RollingHashWindowsSpec extends SparkSpec {
     * must equal exactly (same chain as t4's whole-text roll_hash).
     */
   private def hofWindows(w: Int) =
-    s"""transform(sequence(1, greatest(length(text) - ${w - 1}, 0)),
-       |  i -> aggregate(transform(sequence(i, i + ${w - 1}),
-       |         j -> cast(ascii(substring(text, j, 1)) as bigint)),
-       |       cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007))""".stripMargin
+    // the short-text guard matters: sequence(1, 0) is DESCENDING [1, 0]
+    // in Spark (default step −1), so an unguarded upper bound of
+    // greatest(len − w + 1, 0) would fabricate two bogus windows for
+    // texts shorter than w instead of the empty array the native
+    // expression correctly returns
+    s"""CASE WHEN text IS NULL THEN NULL
+       |  WHEN length(text) < $w THEN cast(array() as array<bigint>)
+       |  ELSE transform(sequence(1, length(text) - ${w - 1}),
+       |    i -> aggregate(transform(sequence(i, i + ${w - 1}),
+       |           j -> cast(ascii(substring(text, j, 1)) as bigint)),
+       |         cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007))
+       |END""".stripMargin
 
   test("rolling update is bit-identical to the per-window Horner fold, codegen and interpreted") {
+    // corpus docs plus literal shorts so the parity check exercises the
+    // sub-width branch too (every sf0.001 doc happens to exceed 31 chars)
+    val shorts = Seq((-1L, "tiny"), (-2L, ""), (-3L, "exactly-31-chars-goes-here-yes!"))
+      .toDF("doc_id", "text")
     Seq("true", "false").foreach { wholeStage =>
       spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
       try {
-        val diff = docs
+        val diff = docs.unionByName(shorts)
           .withColumn("native", expr("rolling_hash_windows(text, 32)"))
           .withColumn("hof", expr(hofWindows(32)))
           .filter(col("native") =!= col("hof"))
