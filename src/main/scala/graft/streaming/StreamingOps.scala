@@ -161,6 +161,39 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class TopKOut(user_id: Long, n_seen: Long,
+      top_values: Seq[Double], top_ids: Seq[Long])
+
+  /** streaming twin of the native batch top-k operator
+    * ([[graft.plans.TopK.perKey]]): per-user running top-k purchases by
+    * value, held as BOUNDED state (≤ k (value, id) pairs per key — the
+    * same O(keys·k) envelope as the batch operator's heaps, maintained
+    * incrementally instead of per-pass). Each micro-batch emits the
+    * group's current top-k with a monotone `n_seen` so a consumer (or
+    * the spec) can identify the latest emission per key. Order inside
+    * the state is the batch operator's total order (value desc, id asc),
+    * so after any prefix of the stream the state equals the batch
+    * answer over that prefix.
+    */
+  def topPurchasesStateful(events: Dataset[Event], k: Int): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events.filter(col("event_type") === "purchase").as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Seq[(Double, Long)]), TopKOut](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val (seen0, top0) = state.getOption.getOrElse((0L, Seq.empty[(Double, Long)]))
+          var seen = seen0
+          val merged = it.foldLeft(top0) { (acc, e) =>
+            seen += 1
+            ((e.value, e.event_id) +: acc)
+              .sortBy { case (v, id) => (-v, id) }.take(k)
+          }
+          state.update((seen, merged))
+          TopKOut(uid, seen, merged.map(_._1), merged.map(_._2))
+      }
+  }
+
   // ---- streaming MinHash sketches: ingest-time corpus fingerprinting ------
 
   final case class DocRow(doc_id: Long, source: String, text: String)

@@ -143,6 +143,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.count() > StreamingOps.purchaseClickJoin(eventsBatch.toDF()).count())
   }
 
+  test("stateful streaming top-k equals the native batch top-k operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val input = MemoryStream[StreamingOps.Event]
+    val query = StreamingOps.topPurchasesStateful(input.toDS(), k)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update").start()
+    // multiple micro-batches so per-key state actually evolves
+    eventsBatch.collect().grouped(700).foreach { b =>
+      input.addData(b.toSeq); query.processAllAvailable()
+    }
+    query.stop()
+    // latest emission per user = the row with that user's max n_seen
+    val latest = spark.table("topk_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("n_seen").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "top_ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val batch = graft.plans.TopK.perKey(
+      eventsBatch.toDF().filter(col("event_type") === "purchase"),
+      Seq("user_id"), Seq(col("value").desc, col("event_id").asc), k)
+      .select("user_id", "event_id", "value")
+      .collect().groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.map(r => (r.getDouble(2), r.getLong(1)))
+          .sortBy { case (v, id) => (-v, id) }.map(_._2).toList
+      }
+    assert(latest == batch)
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.Event]
