@@ -425,6 +425,50 @@ object EventQueries {
              |  sha256(text) AS sha256,
              |  substr(to_base64(CAST(text AS BLOB)), 1, 16) AS b64_prefix
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("m2_media_features",
+      (s, dir) => {
+        // the multimodal DECODE+FEATURIZE path under the oracle: run the
+        // real partition-wise pipeline (graft.multimodal.extractFeatures
+        // — one codec session per partition, mapPartitions, typed
+        // Dataset out) over the documents-as-media adapter, and verify
+        // every value cross-engine. The fake codec is deterministic
+        // (payload = ASCII text bytes), so byte statistics, the
+        // 8×8-resize dimensions, and the every-4th frame-sample count
+        // are all exactly reproducible in SQL: mean byte and Shannon
+        // entropy from the per-char histogram, n_frames =
+        // ceil(ceil(len/256)/4) for the 32×8 frame geometry.
+        import graft.multimodal.Multimodal
+        val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("n_bytes"),
+            roundAt(col("mean_byte"), 6).as("mean_byte"),
+            roundAt(col("byte_entropy"), 6).as("byte_entropy"),
+            col("width"), col("height"),
+            col("n_frames_sampled").cast("long").as("n_frames"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH chars AS (
+              |  SELECT doc_id,
+              |    unnest([ascii(substr(text, i, 1)) for i in range(1, length(text) + 1)]) AS b
+              |  FROM documents),
+              |hist AS (
+              |  SELECT doc_id, b, count(*) AS c FROM chars GROUP BY 1, 2),
+              |totals AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY 1),
+              |stats AS (
+              |  SELECT h.doc_id,
+              |    sum(h.b * h.c) * 1.0 / max(t.n) AS mean_b,
+              |    -sum((h.c * 1.0 / t.n) * ln(h.c * 1.0 / t.n) / ln(2)) AS ent
+              |  FROM hist h JOIN totals t ON h.doc_id = t.doc_id
+              |  GROUP BY h.doc_id)
+              |SELECT d.doc_id AS media_id,
+              |  CAST(length(d.text) AS BIGINT) AS n_bytes,
+              |  ${roundAtSql("s.mean_b", 6)} AS mean_byte,
+              |  ${roundAtSql("s.ent", 6)} AS byte_entropy,
+              |  8 AS width, 8 AS height,
+              |  CAST(ceil(ceil(length(d.text) / 256.0) / 4.0) AS BIGINT) AS n_frames
+              |FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+              |ORDER BY 1""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
