@@ -168,24 +168,11 @@ object DedupQueries {
   private val x10IndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** x21's appended-segment target, one temp dir per sf dir (overwritten
-    * per invocation; removed on JVM exit).
+  /** x21's appended-segment target, one scratch dir per sf dir
+    * (overwritten per invocation; removed on JVM exit — [[graft.core.Scratch]]).
     */
-  private val x21SegDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def x21SegmentPath(dir: String): String =
-    x21SegDirs.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("x21_segment")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-      p.toString
-    })
+    graft.core.Scratch.dir("x21_segment_" + graft.core.Scratch.sanitize(dir))
 
   private def x10IndexPath(s: SparkSession, dir: String): String = {
     // double-checked outside computeIfAbsent: the index build is a
@@ -197,18 +184,12 @@ object DedupQueries {
       val again = x10IndexDirs.get(dir)
       if (again != null) again
       else {
-        val p = java.nio.file.Files.createTempDirectory("x10_lsh_index")
-        sys.addShutdownHook {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(p)
-          try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-          finally walk.close()
-        }
+        val p = graft.core.Scratch.dir(
+          "x10_lsh_index_" + graft.core.Scratch.sanitize(dir))
         graft.corpus.Corpus.writeLshIndex(
-          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), p.toString)
-        x10IndexDirs.put(dir, p.toString)
-        p.toString
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), p)
+        x10IndexDirs.put(dir, p)
+        p
       }
     }
   }

@@ -28,26 +28,11 @@ object RelationalQueries {
   private def T(name: String)(implicit s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** one temp dir per (roundtrip query, sf dir), OVERWRITTEN per
-    * invocation — bench reps and repeated verify passes must not
-    * accumulate table copies under /tmp (the x21 segment-dir pattern).
-    * Removed on JVM exit.
+  /** one scratch dir per (roundtrip query, sf dir), OVERWRITTEN per
+    * invocation and deleted on JVM exit ([[graft.core.Scratch]]).
     */
-  private val roundtripDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def roundtripDir(key: String): String =
-    roundtripDirs.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_$key")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-      p.toString
-    })
+  private def roundtripDir(key: String, dir: String): String =
+    s"${graft.core.Scratch.dir(key)}/${graft.core.Scratch.sanitize(dir)}"
 
   val all: Seq[Q] = Seq(
 
@@ -56,7 +41,7 @@ object RelationalQueries {
       (s, dir) => {
         // CSV source with explicit schema (never inferSchema) — SURVEY S1:
         // parquet→CSV→schema'd read-back must be lossless for flat types.
-        val tmp = s"${roundtripDir("csv")}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val tmp = roundtripDir("csv", dir)
         Tables.region(s, dir).write.mode("overwrite")
           .option("header", "true").csv(tmp)
         val schema = StructType(Seq(
@@ -80,7 +65,7 @@ object RelationalQueries {
         // silent corruption) → aggregate. Timestamps are written as
         // unix_micros longs: JSON has no timestamp type, so the schema
         // pins the encoding instead of trusting a string format.
-        val tmp = s"${roundtripDir("jsonl")}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val tmp = roundtripDir("jsonl", dir)
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             col("o_totalprice"),
@@ -111,7 +96,7 @@ object RelationalQueries {
         // so no re-encoding games: the roundtrip must be value-lossless
         // for longs/doubles/strings, and the oracle aggregates the
         // original parquet to prove it.
-        val tmp = s"${roundtripDir("orc")}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val tmp = roundtripDir("orc", dir)
         Tables.lineitem(s, dir)
           .filter(col("l_returnflag") === "A")
           .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
