@@ -130,7 +130,7 @@ object Bench {
       // (index-dedup → in-batch dedup → split → append segment). The
       // index build is write-once setup, outside the timer; each rep
       // overwrites the same appended segment so reps are identical.
-      val base = java.nio.file.Files.createTempDirectory("bench_curate_inc").toString
+      val base = graft.core.Scratch.dir("bench_curate_inc")
       val docs = graft.core.Tables.documents(spark, sfDir)
       graft.corpus.Corpus.writeLshIndex(
         docs.filter(col("doc_id") % 10 =!= 0), s"$base/seg0")
@@ -145,7 +145,7 @@ object Bench {
       // pipeline-throughput headline (the reference's own close is
       // single-threaded pandas at 1×). Generation is outside the timer.
       val name = s"etl_close_scale$scale"
-      val base = java.nio.file.Files.createTempDirectory(s"bench_etl_$scale").toString
+      val base = graft.core.Scratch.dir(s"bench_etl_$scale")
       graft.etl.SampleData.write(s"$base/raw", "2025-12", scale = scale)
       graft.etl.SampleData.writeChartOfAccounts(s"$base/ref")
       name -> timed(name) {

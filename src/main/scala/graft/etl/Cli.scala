@@ -29,6 +29,20 @@ object Cli {
   private val name = "finance-etl-spark"
   private val version = "0.1.0"
 
+  /** Run `body` with a session, stopping it ONLY if this call created
+    * it: `Sessions.local` is getOrCreate, so when the CLI is invoked
+    * inside a JVM that already owns an active session (tests, notebook
+    * embedding), stopping would kill the caller's session out from
+    * under them.
+    */
+  private def withSession[T](body: org.apache.spark.sql.SparkSession => T): T = {
+    val pre = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val spark = Sessions.local(name)
+    val owned = !pre.contains(spark)
+    try body(spark) finally if (owned) spark.stop()
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("version") => println(s"$name $version")
     case Some("generate") =>
@@ -40,8 +54,7 @@ object Cli {
       println(s"generated raw month ${opts("month")} under ${opts("raw-dir")}")
     case Some("run") =>
       val opts = parse(args.tail)
-      val spark = Sessions.local(name)
-      try {
+      withSession { spark =>
         val out = Pipeline.runMonth(spark, Settings(),
           opts("month"), opts("raw-dir"), opts("curated-dir"), opts("reference-dir"),
           opts.getOrElse("fail-on", FailOn.Error))
@@ -73,30 +86,27 @@ object Cli {
           Dashboard.write(path, html)
           println(s"dashboard=$path")
         }
-      } finally spark.stop()
+      }
     case Some("curate") =>
       val opts = parse(args.tail)
-      val spark = Sessions.local(name)
-      try {
+      withSession { spark =>
         val curated = graft.corpus.Corpus.curate(
           spark.read.parquet(opts("documents")),
           opts.getOrElse("threshold", "0.5").toDouble,
           opts.getOrElse("quality-gate", "false").toBoolean)
         EtlIO.writePartitionedParquet(curated, opts("out"), Seq("split"))
         println(s"curated=${opts("out")}")
-      } finally spark.stop()
+      }
     case Some("index") =>
       val opts = parse(args.tail)
-      val spark = Sessions.local(name)
-      try {
+      withSession { spark =>
         graft.corpus.Corpus.writeLshIndex(
           spark.read.parquet(opts("documents")), opts("out"))
         println(s"index=${opts("out")}")
-      } finally spark.stop()
+      }
     case Some("curate-inc") =>
       val opts = parse(args.tail)
-      val spark = Sessions.local(name)
-      try {
+      withSession { spark =>
         val curated = graft.corpus.Corpus.curateIncremental(
           spark.read.parquet(opts("documents")),
           opts("index").split(",").toSeq,
@@ -105,19 +115,17 @@ object Cli {
           opts.getOrElse("quality-gate", "false").toBoolean)
         EtlIO.writePartitionedParquet(curated, opts("out"), Seq("split"))
         println(s"curated=${opts("out")} segment=${opts("append-segment")}")
-      } finally spark.stop()
+      }
     case Some("ann-index") =>
       val opts = parse(args.tail)
-      val spark = Sessions.local(name)
-      try {
+      withSession { spark =>
         graft.ann.AnnIndex.write(
           spark.read.parquet(opts("embeddings")), opts("out"))
         println(s"ann-index=${opts("out")}")
-      } finally spark.stop()
+      }
     case Some("stream-demo") =>
       val opts = parse(args.tail)
-      val spark = Sessions.local(name)
-      try {
+      withSession { spark =>
         val schema = spark.read.parquet(opts("events-dir")).schema
         val stream = spark.readStream.schema(schema).parquet(opts("events-dir"))
         val events = graft.core.Tables.normalizeEventTs(stream)
@@ -127,7 +135,7 @@ object Cli {
         q.processAllAvailable()
         q.stop()
         println("stream-demo=done")
-      } finally spark.stop()
+      }
     case _ =>
       System.err.println(
         "usage: run|generate|curate|curate-inc|index|ann-index|stream-demo|version (see Scaladoc)")
