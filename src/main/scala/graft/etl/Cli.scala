@@ -33,14 +33,34 @@ object Cli {
     * it: `Sessions.local` is getOrCreate, so when the CLI is invoked
     * inside a JVM that already owns an active session (tests, notebook
     * embedding), stopping would kill the caller's session out from
-    * under them.
+    * under them. Reuse also APPLIES graft's runtime SQL confs onto the
+    * caller's session (getOrCreate semantics), so on the way out we
+    * restore every runtime conf to its pre-call value — the caller's
+    * shuffle sizing/AQE settings must not silently change because a CLI
+    * subcommand ran in their JVM.
     */
   private def withSession[T](body: org.apache.spark.sql.SparkSession => T): T = {
     val pre = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val before = pre.map(_.conf.getAll)
     val spark = Sessions.local(name)
     val owned = !pre.contains(spark)
-    try body(spark) finally if (owned) spark.stop()
+    try body(spark)
+    finally {
+      if (owned) spark.stop()
+      else before.foreach { b =>
+        val now = spark.conf.getAll
+        (now.keySet ++ b.keySet).foreach { k =>
+          (b.get(k), now.get(k)) match {
+            case (Some(v), cur) if !cur.contains(v) =>
+              try spark.conf.set(k, v) catch { case _: Throwable => () }
+            case (None, Some(_)) =>
+              try spark.conf.unset(k) catch { case _: Throwable => () }
+            case _ => ()
+          }
+        }
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
