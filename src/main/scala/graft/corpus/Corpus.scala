@@ -201,6 +201,60 @@ object Corpus {
       .withColumn("keep", col(idCol) === col("cluster_id")), rounds)
   }
 
+  /** Generic distributed PageRank over a directed edge list — the
+    * quality-ranking companion to [[connectedComponents]] in the graph
+    * suite (CC → duplicate groups, KNN → adjacency, PageRank → node
+    * importance). In a corpus pipeline this ranks sources/domains by
+    * their link graph (the Common-Crawl-style quality prior that feeds
+    * sampling weights); the operator itself is graph-agnostic.
+    *
+    * `nodes` is a one-column id frame, `edges` a two-column (src, dst)
+    * frame over those ids. Returns (id, rank) after `iters` rounds of
+    *   rank' = (1−d)/N + d · Σ_{s→me} rank_s / outdeg_s
+    * with every rank ROUNDED to a 1e-10 grid per round: all remaining
+    * arithmetic (division, multiply, floor) is IEEE-identical across
+    * engines, so an unrolled SQL twin reproduces each iteration
+    * bit-for-bit — the same engine-stability idiom as the Lloyd-trained
+    * quantizer (x8). Nodes without out-edges simply leak their mass
+    * (the standard simplification); nodes without in-edges sit at
+    * (1−d)/N.
+    *
+    * Scale posture: per round ONE join of the (src, dst, outdeg) edge
+    * table against the node-sized rank table and one map-side-combinable
+    * sum by dst — the canonical iterative join-agg. No broadcast hints
+    * (AQE size-gates the rank side); `localCheckpoint` truncates the
+    * per-round lineage exactly as in [[connectedComponentsWithStats]].
+    * The only driver-side value is |V| — a scalar in the formula, not a
+    * data collect.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import graft.functions.MoneyFunctions.roundAt
+    val idCol = nodes.columns.head
+    val Seq(sCol, dCol) = edges.columns.take(2).toSeq
+    val deg = edges.groupBy(col(sCol).as("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = edges.select(col(sCol).as("src"), col(dCol).as("dst"))
+      .join(deg, "src").cache()
+    val ids = nodes.select(col(idCol).as("id"))
+    val n = ids.count()
+    val base = (1.0 - damping) / n
+    var ranks = ids.withColumn("rank", roundAt(lit(1.0 / n), 10))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val inflow = eDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("inflow"))
+      ranks = ids.join(inflow, Seq("id"), "left")
+        .select(col("id"), roundAt(
+          lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 10)
+          .as("rank"))
+        .localCheckpoint()
+    }
+    eDeg.unpersist()
+    ranks.select(col("id").as(idCol), col("rank"))
+  }
+
   /** Which member of each duplicate cluster survives. */
   sealed trait KeeperStrategy
   object KeeperStrategy {

@@ -525,6 +525,54 @@ object AnalyticalQueries {
               |JOIN ic c2 ON c2.l_partkey = p2
               |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin)),
 
+    Q("x27_pagerank",
+      (s, dir) => {
+        // PageRank over the parts co-purchase graph — the iterative
+        // join-agg rank workload that completes the graph suite (x11/x26
+        // connected components → groups, x25 KNN → adjacency, this →
+        // node importance; in a corpus pipeline the same operator ranks
+        // sources/domains by their link graph, the Common-Crawl-style
+        // quality prior behind sampling weights). Edges exist only
+        // WITHIN an order (a22's Σ basket_size² blocking — never
+        // catalog²). Delegates to the generic Corpus.pageRank: 3 rounds
+        // of one edge⨝rank join + one map-side-combinable sum per
+        // round, ranks rounded to a 1e-10 grid per round so the
+        // unrolled-CTE oracle reproduces every iteration bit-for-bit.
+        val items = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = items.as("a").join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .distinct()
+        val nodes = items.select(col("l_partkey").as("id")).distinct()
+        graft.corpus.Corpus.pageRank(nodes, edges, iters = 3, damping = 0.85)
+          .select(col("id").as("part"), col("rank"))
+          .orderBy(col("rank").desc, col("part"))
+      },
+      Some {
+        def round10(e: String) = roundAtSql(e, 10)
+        def iter(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT nodes.id, ${round10("(1.0 - 0.85)/(SELECT n FROM nn) + 0.85 * coalesce(f.inflow, 0.0)")} AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT ed.dst AS id, sum(r.rank / ed.deg) AS inflow
+             |    FROM ed JOIN $prev r ON r.id = ed.src GROUP BY 1) f USING (id))"""
+        s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |      FROM items a JOIN items b
+           |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |nodes AS (SELECT DISTINCT l_partkey AS id FROM items),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT id, ${round10("1.0/(SELECT n FROM nn)")} AS rank FROM nodes),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT id AS part, rank FROM r3 ORDER BY rank DESC, part""".stripMargin
+      }),
+
     Q("a17_conditional_agg",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
