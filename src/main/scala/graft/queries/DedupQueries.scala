@@ -89,12 +89,30 @@ object DedupQueries {
     * that tail is most of the index.
     */
   private[queries] def ngramJaccardCommon(docs: DataFrame,
-      saltChunk: Long = 1024L, lengthFilter: Boolean = true): DataFrame = {
+      saltChunk: Long = 1024L, lengthFilter: Boolean = true,
+      idfWeightDocs: Long = 0L): DataFrame = {
+    val weighted = idfWeightDocs > 0L
     val postings = docs.select(col("doc_id"), col("lang"), col("n"),
       explode(col("sh")).as("shingle"))
     val dfCounts = postings.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("df"))
-    val p = postings.join(dfCounts, Seq("lang", "shingle"))
+    // weighted mode (x28): every shingle weighs N_docs/df — one IEEE
+    // division, bit-identical across engines — and each doc's total
+    // weighted size W rides the postings as a constant column (the n_a
+    // carry-through trick), computed BEFORE the df ≥ 2 index prune
+    // because a doc's df = 1 singletons still count toward its W. The
+    // window is one extra doc-keyed shuffle of the posting table, paid
+    // only when weighting is on; doc-sized partitions, no skew beyond
+    // document length.
+    val withDf0 = postings.join(dfCounts, Seq("lang", "shingle"))
+    val withDf =
+      if (!weighted) withDf0
+      else {
+        val perDoc = Window.partitionBy("doc_id")
+        withDf0.withColumn("w", lit(idfWeightDocs.toDouble) / col("df"))
+          .withColumn("wsum", sum(col("w")).over(perDoc))
+      }
+    val p = withDf
       .filter(col("df") >= 2)
       .withColumn("nsalt",
         least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
@@ -103,8 +121,10 @@ object DedupQueries {
     // appears under exactly one salt = pmod(doc_id, nsalt)), so the
     // inverted index isn't recomputed per join input. The cache follows
     // the nearDupPairs contract (released by spark.catalog.clearCache()).
+    val bCols = Seq("doc_id", "lang", "n", "shingle", "nsalt", "salt") ++
+      (if (weighted) Seq("w", "wsum") else Nil)
     val b = p.withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
-      .select("doc_id", "lang", "n", "shingle", "nsalt", "salt").cache()
+      .select(bCols.map(col): _*).cache()
     val a = b.filter(col("salt") === pmod(col("doc_id"), col("nsalt")))
     // the ×2 length bound is jaccard-≥-0.5-specific (see x4's note) —
     // containment callers (x20) must see ALL size ratios, so it is
@@ -116,11 +136,17 @@ object DedupQueries {
     val cond = if (lengthFilter)
       baseCond && greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2
     else baseCond
+    val aggs = Seq(
+      count(lit(1)).as("common"),
+      max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
+      max(col("a.lang")).as("lang")) ++
+      (if (weighted)
+        Seq(sum(col("a.w")).as("wc"),
+          max(col("a.wsum")).as("w_a"), max(col("b.wsum")).as("w_b"))
+      else Nil)
     a.as("a").join(b.as("b"), cond)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"),
-        max(col("a.n")).as("n_a"), max(col("b.n")).as("n_b"),
-        max(col("a.lang")).as("lang"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** one materialized cluster table per (session, sf dir) for x17: the
@@ -585,6 +611,63 @@ object DedupQueries {
               |SELECT doc_a, doc_b, n_a, n_b, common, jaccard, cont_a_in_b, cont_b_in_a
               |FROM scored
               |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.4
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("x28_weighted_jaccard",
+      (s, dir) => {
+        // inverse-df-WEIGHTED jaccard: every shingle weighs N_docs/df, so
+        // ubiquitous boilerplate bigrams (high df) contribute almost
+        // nothing and RARE shared phrasing dominates — the signal that
+        // separates true near-dups from docs that merely share the
+        // corpus's stock vocabulary (TF-IDF's df argument applied to set
+        // overlap; on template-heavy web corpora the unweighted score
+        // saturates). Weighted sizes W_a/W_b include each doc's df = 1
+        // singletons (computed before the index prune) and ride the
+        // postings as constant columns — no doc-sizes re-join. Same
+        // salted (lang, shingle) inverted index as x4/x20 (×2 length
+        // prune OFF: it is unweighted-jaccard-specific); weights are one
+        // IEEE division each, bit-identical across engines. The measured
+        // sf0.01 score distribution gaps at [0.16, 0.67], so the 0.3
+        // threshold sits well inside the margin.
+        val docsDf = Tables.documents(s, dir)
+        // scalar N in the weight formula (pageRank's |V| analogue), not
+        // a data collect
+        val nDocs = docsDf.count()
+        val docs = withShingles(docsDf)
+          .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
+        ngramJaccardCommon(docs, lengthFilter = false, idfWeightDocs = nDocs)
+          .withColumn("wjaccard", roundAt(
+            col("wc") / (col("w_a") + col("w_b") - col("wc")), 6))
+          .filter(col("wjaccard") >= 0.3)
+          .withColumn("jaccard", roundAt(col("common").cast("double")
+            / (col("n_a") + col("n_b") - col("common")), 6))
+          .select("doc_a", "doc_b", "lang", "common", "jaccard", "wjaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang, list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS sh
+              |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)),
+              |p AS (SELECT doc_id, lang, unnest(sh) AS shingle FROM d),
+              |df AS (SELECT lang, shingle, count(*) AS df FROM p GROUP BY 1, 2),
+              |pw AS (
+              |  SELECT p.doc_id, p.lang, p.shingle,
+              |    CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df AS w
+              |  FROM p JOIN df USING (lang, shingle)),
+              |ws AS (SELECT doc_id, sum(w) AS wsum FROM pw GROUP BY 1),
+              |sz AS (SELECT doc_id, len(sh) AS n FROM d),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+              |    count(*) AS common, sum(a.w) AS wc
+              |  FROM pw a JOIN pw b
+              |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3)
+              |SELECT doc_a, doc_b, lang, common,
+              |  ${roundAtSql("CAST(common AS DOUBLE) / (sa.n + sb.n - common)", 6)} AS jaccard,
+              |  ${roundAtSql("wc / (wa.wsum + wb.wsum - wc)", 6)} AS wjaccard
+              |FROM pairs
+              |JOIN ws wa ON wa.doc_id = doc_a JOIN ws wb ON wb.doc_id = doc_b
+              |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+              |WHERE ${roundAtSql("wc / (wa.wsum + wb.wsum - wc)", 6)} >= 0.3
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("x5_dedup_cosine",

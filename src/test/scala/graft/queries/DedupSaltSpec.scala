@@ -35,6 +35,34 @@ class DedupSaltSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("weighted mode is salt-invariant too: wc/W carry through the fan-out unchanged") {
+    // x28's weighted aggregates ride the same salted join — the weight
+    // and wsum columns must survive the a-side/b-side split exactly
+    // like the counts do (each common shingle's weight summed once).
+    def weightedPairs(chunk: Long): Set[(Long, Long, Double, Double, Double)] = {
+      val got = DedupQueries
+        .ngramJaccardCommon(shingled, chunk, lengthFilter = false,
+          idfWeightDocs = 500L)
+        .select("doc_a", "doc_b", "wc", "w_a", "w_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      spark.catalog.clearCache()
+      got
+    }
+    val salted = weightedPairs(2L)
+    val default = weightedPairs(1024L)
+    assert(salted.map(t => (t._1, t._2)) == default.map(t => (t._1, t._2)))
+    // wc is a double SUM whose addend order legitimately differs under
+    // re-chunking; compare on a 1e-9 grid rather than bitwise
+    val dMap = default.map(t => (t._1, t._2) -> t).toMap
+    salted.foreach { t =>
+      val d = dMap((t._1, t._2))
+      assert(math.abs(t._3 - d._3) < 1e-9 &&
+        math.abs(t._4 - d._4) < 1e-9 && math.abs(t._5 - d._5) < 1e-9,
+        s"weighted aggregates drifted under salting: $t vs $d")
+    }
+  }
+
   test("salting bounds the per-(key, salt) posting volume (chunk=8)") {
     // the balance property behind the fan-out: after salting, no join
     // key carries more than ~chunk postings on the keyed side, so no
