@@ -310,15 +310,14 @@ object RelationalQueries {
       (s, dir) => {
         // MERGE / SCD-1 upsert — apply a CDC batch (inserts, updates,
         // deletes) to a dimension snapshot, the nightly warehouse
-        // operation Delta/Iceberg MERGE INTO performs. Expressed in pure
-        // relational algebra — the shape those engines execute under the
-        // hood: ONE full-outer join of snapshot × changes on the key
-        // (both sides shuffle-partitioned by it, so 100 TB merges scale
-        // by key range), then a row-wise CASE: delete rows drop,
-        // update/insert rows take the change image, untouched rows pass
-        // through. The change batch is derived deterministically from
-        // the snapshot itself (mod-keyed update/delete/insert sets) so
-        // the oracle replays the identical merge.
+        // operation Delta/Iceberg MERGE INTO performs. Delegates to the
+        // generic graft.core.Merge.scd1Upsert (one full-outer join on
+        // the key + row-wise CASE — see its scaladoc for the scale
+        // argument; StreamingOps.cdcUpsertStream runs the same merge as
+        // a continuous apply-loop). The change batch is derived
+        // deterministically from the snapshot itself (mod-keyed
+        // update/delete/insert sets) so the oracle replays the
+        // identical merge.
         val snap = Tables.customer(s, dir)
           .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
         val upd = snap
@@ -338,13 +337,9 @@ object RelationalQueries {
             concat(lit("NEW#"), col("c_custkey").cast("string")).as("n"),
             lit("FRESH").as("m"), lit(0.0).as("b"), lit("I").as("op"))
         val changes = upd.unionByName(del).unionByName(ins)
-        snap.as("s").join(changes.as("c"), col("c_custkey") === col("k"), "full_outer")
-          .filter(coalesce(col("op"), lit("keep")) =!= "D")
-          .select(
-            coalesce(col("k"), col("c_custkey")).as("c_custkey"),
-            coalesce(col("n"), col("c_name")).as("c_name"),
-            coalesce(col("m"), col("c_mktsegment")).as("c_mktsegment"),
-            roundAt(coalesce(col("b"), col("c_acctbal")), 2).as("c_acctbal"))
+          .toDF("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "op")
+        graft.core.Merge.scd1Upsert(snap, changes, "c_custkey")
+          .withColumn("c_acctbal", roundAt(col("c_acctbal"), 2))
           .orderBy("c_custkey")
       },
       Some(s"""WITH snap AS (

@@ -295,6 +295,47 @@ object StreamingOps {
       }
       .start()
 
+  /** CDC apply-loop as a STREAM — the j10 MERGE run continuously:
+    * each micro-batch of change rows (snapshot columns + op ∈ I/U/D)
+    * is applied to the persisted snapshot via
+    * [[graft.core.Merge.scd1Upsert]] and written as snapshot version
+    * `v_N`. Version N derives ONLY from the latest version < N (or the
+    * seed) plus batch N's own rows, written with overwrite — so a
+    * replayed micro-batch rewrites its version instead of
+    * double-applying (the foreachBatch exactly-once recipe, same as
+    * [[curateStreamIncremental]]'s segments). The query itself is
+    * stateless: history lives in the versioned snapshots, so the
+    * stream runs forever, readers pin any version (time travel for
+    * free), and a retention sweep reclaims old ones.
+    */
+  def cdcUpsertStream(changes: DataFrame, seedSnapshotPath: String,
+      snapshotBasePath: String, checkpointPath: String,
+      key: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = java.nio.file.Paths.get(snapshotBasePath)
+        java.nio.file.Files.createDirectories(base)
+        val prior = {
+          import scala.jdk.CollectionConverters._
+          val ls = java.nio.file.Files.list(base)
+          try ls.iterator().asScala.toSeq
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("v_"))
+            .map(_.stripPrefix("v_").toLong)
+            .filter(_ < batchId) // replay: ignore own/future versions
+            .sorted.lastOption
+            .map(n => s"$snapshotBasePath/v_$n")
+            .getOrElse(seedSnapshotPath)
+          finally ls.close()
+        }
+        val snap = spark.read.parquet(prior)
+        graft.core.Merge.scd1Upsert(snap, batch.toDF(), key)
+          .write.mode("overwrite").parquet(s"$snapshotBasePath/v_$batchId")
+      }
+      .start()
+
   final case class CmsEvent(user_id: Long)
   final case class CmsCell(k: Int, bucket: Long, c: Long)
 

@@ -15,6 +15,10 @@ import graft.core.Tables
   * [[graft.queries.EventQueries]], so equality transfers correctness to
   * the streams.
   */
+/** change-row shape for the CDC stream test — snapshot columns + op. */
+final case class CdcRow(c_custkey: Long, c_name: String,
+    c_mktsegment: String, c_acctbal: Double, op: String)
+
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -458,6 +462,48 @@ class StreamingOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     val streamedFlags = streamedTuples.filter(_._7).map(t => (t._1, t._2))
     assert(streamedFlags == e9)
+  }
+
+  test("streaming CDC upsert maintains versioned snapshots equal to sequential batch merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("stream_cdc")
+    val snap0 = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_acctbal")
+    snap0.write.parquet(s"$base/seed")
+    // batch 2 updates a key batch 1 INSERTED and deletes a key batch 1
+    // UPDATED — the cross-batch dependencies that only hold if each
+    // version really derives from the previous one
+    val b1 = Seq(
+      CdcRow(1L, "upd-1", "MERGED", 111.0, "U"),
+      CdcRow(2L, "gone", "X", 0.0, "D"),
+      CdcRow(900001L, "new-1", "FRESH", 0.0, "I"))
+    val b2 = Seq(
+      CdcRow(900001L, "new-1b", "MERGED", 5.0, "U"),
+      CdcRow(1L, "gone", "X", 0.0, "D"),
+      CdcRow(900002L, "new-2", "FRESH", 1.0, "I"))
+
+    val input = MemoryStream[CdcRow]
+    val query = StreamingOps.cdcUpsertStream(input.toDF(), s"$base/seed",
+      s"$base/snapshots", s"$base/ckpt", "c_custkey")
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    query.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    val e1 = graft.core.Merge.scd1Upsert(snap0, b1.toDF(), "c_custkey")
+    val e2 = graft.core.Merge.scd1Upsert(e1, b2.toDF(), "c_custkey")
+    assert(rows(spark.read.parquet(s"$base/snapshots/v_0")) == rows(e1))
+    val v1 = rows(spark.read.parquet(s"$base/snapshots/v_1"))
+    assert(v1 == rows(e2))
+    // semantic spot checks on the final version
+    assert(!v1.exists(_._1 == 1L) && !v1.exists(_._1 == 2L), "deletes not applied")
+    assert(v1.exists(t => t._1 == 900001L && t._2 == "new-1b"),
+      "update of a previously inserted key lost")
+    assert(v1.exists(t => t._1 == 900002L && t._2 == "new-2"), "insert lost")
+    // two deletes (k=2, then k=1), two inserts (900001, 900002)
+    assert(v1.size == snap0.count() - 2 + 2, "row accounting off")
   }
 
   test("json props parse on the streaming path") {
