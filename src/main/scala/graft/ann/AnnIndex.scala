@@ -58,6 +58,36 @@ object AnnIndex {
     e.unpersist()
   }
 
+  /** Extend a persisted index with new vectors WITHOUT retraining — the
+    * FAISS `add()` operation, and the ANN twin of the LSH index's
+    * incremental segments: assign each new vector to its nearest
+    * EXISTING coarse centroid, PQ-encode it with the EXISTING
+    * codebooks, and append the rows into the Hive-partitioned
+    * `postings/` and `vectors/` layouts. Appends land as new part-files
+    * inside the affected `centroid_id=` directories — old files are
+    * never touched, so a concurrent reader sees the old index or the
+    * old+new one, and partition pruning keeps working unchanged.
+    * Touches only the new batch and two broadcast-sized artifacts; the
+    * indexed corpus is never rescanned. Quantization error grows as the
+    * ingested distribution drifts from the trained one (the standard
+    * no-retrain trade) — re-run [[write]] when recall decays.
+    */
+  def append(spark: SparkSession, path: String, newEmbeddings: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val e = SimilarityQueries.toVecs(newEmbeddings).cache()
+    val assigned = SimilarityQueries.assignNearest(e, centroids)
+      .select(col("cand_id"), col("centroid_id"))
+    val codes = SimilarityQueries.pqAssign(SimilarityQueries.pqSubsOf(e), cb)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+    codes.join(assigned, Seq("cand_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/postings")
+    e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
+      .join(assigned, Seq("cand_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/vectors")
+    e.unpersist()
+  }
+
   /** IVF-PQ search over a persisted index: `queries` is any
     * (query_id, v double array, norm) frame — typically a handful of
     * vectors, broadcast throughout. Probes `nprobe` lists, ADC-scores

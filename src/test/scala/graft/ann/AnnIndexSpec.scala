@@ -52,4 +52,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(segs.size >= 2, s"postings not partitioned by list: $segs")
     spark.catalog.clearCache()
   }
+
+  test("append extends the index without retraining: new vectors become searchable, old results survive") {
+    val base = tmpDir("ann_index_append")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // train on the first half only; the second half arrives later
+    val (half1, half2) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+    AnnIndex.write(half1, s"$base/index")
+    spark.catalog.clearCache()
+    val preCounts = Seq("postings", "vectors")
+      .map(d => spark.read.parquet(s"$base/index/$d").count())
+
+    AnnIndex.append(spark, s"$base/index", half2)
+    spark.catalog.clearCache()
+
+    // row accounting: every appended vector landed in both layouts
+    val n2 = half2.count()
+    val postRows = spark.read.parquet(s"$base/index/postings")
+    val vecRows = spark.read.parquet(s"$base/index/vectors")
+    assert(vecRows.count() == preCounts(1) + n2)
+    assert(postRows.count() == preCounts(0) + n2 * 8, "8 PQ codes per vector")
+    // appended vectors carry codes from the EXISTING codebooks
+    assert(postRows.join(spark.read.parquet(s"$base/index/codebooks"),
+      Seq("s", "cid"), "left_anti").isEmpty, "code outside trained codebooks")
+
+    // an appended vector queried against the index finds ITSELF top-1
+    // (its nearest centroid is its assigned list, so the probe step
+    // lands on it; cosine(self) = 1.0 beats everything else) — the
+    // "searchable immediately, no retrain" contract
+    val probeQ = vecRows.filter(col("cand_id") % 2 =!= 0).limit(5)
+      .select((col("cand_id") + 1000000L).as("query_id"),
+        col("v"), col("norm"), col("cand_id").as("self_id"))
+      .cache()
+    val got = AnnIndex.searchIvfPq(spark, s"$base/index",
+        probeQ.select("query_id", "v", "norm"), k = 1)
+      .join(probeQ.select("query_id", "self_id"), "query_id")
+    assert(got.count() == 5)
+    assert(got.filter(col("cand_id") =!= col("self_id")).isEmpty,
+      "an appended vector is not its own nearest neighbor")
+    probeQ.unpersist()
+    spark.catalog.clearCache()
+  }
 }
