@@ -228,7 +228,25 @@ object Corpus {
     * data collect.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame =
+    // eps = −1 can never exceed a (non-negative) max |Δrank|, so the
+    // loop runs exactly `iters` rounds — one body serves both the
+    // fixed-round (oracle-unrollable) and converge-until-still modes
+    pageRankConverged(nodes, edges, eps = -1.0, damping = damping,
+      maxRounds = iters)._1
+
+  /** [[pageRank]] run to CONVERGENCE: rounds continue while some
+    * node's rank moved more than `eps` on the 1e-10 grid, with the
+    * movement read from an [[Observation]] metric collected during the
+    * SAME action that materializes the round — one job per round,
+    * exactly [[connectedComponentsWithStats]]'s convergence shape
+    * (fixed-horizon unrolling is for the oracle twin; production runs
+    * until the graph says it's done). Returns (ranks, rounds taken);
+    * `maxRounds` bounds pathological graphs.
+    */
+  def pageRankConverged(nodes: DataFrame, edges: DataFrame,
+      eps: Double = 1e-8, damping: Double = 0.85,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     import graft.functions.MoneyFunctions.roundAt
     val idCol = nodes.columns.head
     val Seq(sCol, dCol) = edges.columns.take(2).toSeq
@@ -240,19 +258,29 @@ object Corpus {
     val base = (1.0 - damping) / n
     var ranks = ids.withColumn("rank", roundAt(lit(1.0 / n), 10))
       .localCheckpoint()
-    (1 to iters).foreach { _ =>
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (moved > eps && rounds < maxRounds) {
+      rounds += 1
       val inflow = eDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("inflow"))
-      ranks = ids.join(inflow, Seq("id"), "left")
-        .select(col("id"), roundAt(
-          lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 10)
-          .as("rank"))
+      val obs = Observation()
+      val next = ranks.join(inflow, Seq("id"), "left")
+        .select(col("id"), col("rank").as("prev"),
+          roundAt(lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 10)
+            .as("rank"))
+        .observe(obs, max(abs(col("rank") - col("prev"))).as("moved"))
         .localCheckpoint()
+      moved = obs.get("moved") match {
+        case null => 0.0
+        case x: java.lang.Number => x.doubleValue()
+      }
+      ranks = next.select("id", "rank")
     }
     eDeg.unpersist()
-    ranks.select(col("id").as(idCol), col("rank"))
+    (ranks.select(col("id").as(idCol), col("rank")), rounds)
   }
 
   /** Which member of each duplicate cluster survives. */

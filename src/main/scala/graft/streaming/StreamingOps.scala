@@ -336,6 +336,35 @@ object StreamingOps {
       }
       .start()
 
+  /** Retention sweep for [[cdcUpsertStream]]'s versioned snapshots:
+    * keep the newest `keepLast` versions, delete the rest. Deletes
+    * strictly OLDER versions only, never the latest — so the sweep can
+    * run concurrently with the stream (the stream only ever reads the
+    * max version, and a reader that pinned an old version for time
+    * travel is expected to hold it within the retention window, the
+    * same contract every table format's VACUUM documents). Returns the
+    * deleted version numbers.
+    */
+  def vacuumSnapshotVersions(snapshotBasePath: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val base = java.nio.file.Paths.get(snapshotBasePath)
+    if (!java.nio.file.Files.exists(base)) return Nil
+    val versions = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(base)
+      try ls.iterator().asScala.toSeq
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v_"))
+        .map(_.stripPrefix("v_").toLong).sorted
+      finally ls.close()
+    }
+    val doomed = versions.dropRight(keepLast)
+    doomed.foreach { n =>
+      graft.core.Scratch.deleteTree(base.resolve(s"v_$n"))
+    }
+    doomed
+  }
+
   final case class CmsEvent(user_id: Long)
   final case class CmsCell(k: Int, bucket: Long, c: Long)
 

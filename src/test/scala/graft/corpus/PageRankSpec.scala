@@ -47,6 +47,30 @@ class PageRankSpec extends SparkSpec {
     assert(r(1L) == hub2, s"hub got ${r(1L)} expected $hub2 (after $hub1)")
   }
 
+  test("convergence mode stops when the graph stops moving, at the fixed point") {
+    import spark.implicits._
+    // triangle: uniform IS the fixed point, so round 1 measures zero
+    // movement and the loop exits immediately
+    val (triRanks, triRounds) = Corpus.pageRankConverged(
+      Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+    assert(triRounds == 1, s"uniform fixed point should converge in 1 round, took $triRounds")
+    val expected = grid((1.0 - 0.85) / 3 + 0.85 * grid(1.0 / 3))
+    assert(triRanks.collect().forall(_.getDouble(1) == expected))
+
+    // star: leaves settle after round 1, the hub one round later, zero
+    // movement detected the round after that
+    val (starRanks, starRounds) = Corpus.pageRankConverged(
+      Seq(1L, 2L, 3L, 4L).toDF("id"),
+      Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst"))
+    assert(starRounds == 3, s"star should be still by round 3, took $starRounds")
+    // converged result == the fixed-horizon run at the same depth
+    val fixed = Corpus.pageRank(Seq(1L, 2L, 3L, 4L).toDF("id"),
+        Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst"), iters = starRounds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(starRanks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == fixed)
+  }
+
   test("ranks are a probability-like measure: positive, bounded, more in-links ⇒ more rank") {
     // 4 nodes: 1 and 2 point at 3; only 1 points at 4; symmetric back-links
     // keep everything non-dangling.

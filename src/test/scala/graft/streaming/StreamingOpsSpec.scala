@@ -504,6 +504,16 @@ class StreamingOpsSpec extends SparkSpec {
     assert(v1.exists(t => t._1 == 900002L && t._2 == "new-2"), "insert lost")
     // two deletes (k=2, then k=1), two inserts (900001, 900002)
     assert(v1.size == snap0.count() - 2 + 2, "row accounting off")
+
+    // retention sweep: keep only the latest version; v_0 goes, v_1 stays
+    val deleted = StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 1)
+    assert(deleted == Seq(0L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/snapshots/v_0")))
+    assert(rows(spark.read.parquet(s"$base/snapshots/v_1")) == v1,
+      "vacuum touched the retained version")
+    // idempotent: nothing left to delete
+    assert(StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 1).isEmpty)
   }
 
   test("json props parse on the streaming path") {
