@@ -167,6 +167,39 @@ object ScaleQueries {
         .orderBy("l_returnflag"),
       None),
 
+    Q("z8_hll_sketch_rollup",
+      (s, dir) => {
+        // MERGEABLE distinct-count sketches — the re-aggregatable-cube
+        // pattern that makes 100 TB dashboards workable: one pass over
+        // raw events builds a small per-(event_type, day) DataSketches
+        // HLL sketch COLUMN (lgK=12 ⇒ ~1.6% RSE, a few KB each);
+        // monthly/quarterly/any-coarser distinct-user counts then come
+        // from MERGING the stored sketches — never from rescanning raw
+        // data, which is what makes pre-aggregated rollups possible for
+        // a measure (distinct) that doesn't sum. Output pins the
+        // rolled-up estimate next to the single-pass direct estimate
+        // and the exact distinct; ScaleBoundSpec asserts rollup ==
+        // direct exactly (union of per-day register states == the
+        // whole-stream register state, so the merge loses NOTHING) and
+        // bounds the estimate error vs exact. Rows-only here —
+        // estimates have no cross-engine value oracle (z3's contract).
+        val ev = Tables.eventsTs(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        val daily = ev.groupBy("event_type", "day")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+            count(lit(1)).as("n"))
+        daily.groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_rollup"),
+            sum("n").as("n_events"), count(lit(1)).as("n_days"))
+          .join(ev.groupBy("event_type").agg(
+            expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+            countDistinct("user_id").as("exact_users")), Seq("event_type"))
+          .select("event_type", "n_days", "n_events", "exact_users",
+            "est_direct", "est_rollup")
+          .orderBy("event_type")
+      },
+      None),
+
     Q("z6_bloom_semi_join",
       (s, dir) => {
         // Bloom-filter semi-join reduction — the runtime-filter pattern

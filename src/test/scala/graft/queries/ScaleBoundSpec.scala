@@ -35,6 +35,30 @@ class ScaleBoundSpec extends SparkSpec {
       f"approx_percentile error exceeded 1%%: max ${errs.max}%.5f")
   }
 
+  test("z8: sketch rollup is lossless (merge == direct) and within HLL error of exact") {
+    // the property the pre-aggregated-cube pattern stands on: a month's
+    // distinct from merged per-day sketches must equal the single-pass
+    // sketch over the same stream EXACTLY (union of register states ==
+    // whole-stream register state — if this drifted, stored rollups
+    // would disagree with recomputation and nobody could trust either),
+    // and both must sit within the lgK=12 error envelope of the truth.
+    val rows = graft.SparkEntry.queries("z8_hll_sketch_rollup")(spark, dir)
+      .collect()
+    assert(rows.length >= 3, "too few event types — spec is vacuous")
+    rows.foreach { r =>
+      val (et, exact) = (r.getString(0), r.getLong(3))
+      val direct = r.getLong(4)
+      val rollup = r.getLong(5)
+      val rel = math.abs(rollup - exact).toDouble / exact
+      info(f"$et: exact=$exact direct=$direct rollup=$rollup rel_err=$rel%.5f")
+      assert(rollup == direct,
+        s"$et: merged per-day sketches != single-pass sketch ($rollup vs $direct)")
+      // lgK=12 ⇒ RSE ≈ 1.04/√4096 ≈ 1.6%; 3σ ≈ 5%
+      assert(rel <= 0.05, f"$et: rollup error $rel%.5f exceeds 5%%")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("z6: bloom fp rate tracks (1 - e^{-kn/m})^k across filter sizes") {
     // the sizing law an operator uses BEFORE running anything at 100 TB
     // key counts: measured fp on non-member probes must match the
