@@ -283,6 +283,60 @@ object Corpus {
     (ranks.select(col("id").as(idCol), col("rank")), rounds)
   }
 
+  /** Incremental cluster maintenance — the daily operation on a large
+    * dedup graph: fold a NEW batch into EXISTING cluster labels without
+    * rebuilding the corpus graph. The old graph enters as its QUOTIENT
+    * (one node per existing cluster label — old-old connectivity is
+    * already encoded in the labels), new edges are (a) batch×index
+    * pairs from the persisted LSH segments ([[dedupAgainstIndex]]:
+    * candidates scale with the batch, never index×index) and (b)
+    * in-batch pairs ([[nearDupPairs]] on the batch alone). Connected
+    * components then run ONLY over the affected subgraph — the batch
+    * plus the old labels an edge actually touches; every untouched
+    * cluster passes through label-unchanged without entering the
+    * iteration. Old clusters MERGE correctly when a new doc bridges
+    * them (the case naive assign-to-nearest-cluster gets wrong), and
+    * because labels are min-ids and the quotient preserves
+    * reachability, the result is EQUAL to [[dupClusters]] over the
+    * full corpus — IncrementalClusterSpec pins that equality and the
+    * x29 oracle re-derives it against the full recursive closure.
+    *
+    * `oldClusters` is any (doc_id, cluster_id) frame produced at the
+    * SAME threshold over exactly the indexed corpus (cross pairs to
+    * docs absent from it are dropped). Returns (doc_id, cluster_id,
+    * keep) for old + new docs, plus the CC round count.
+    */
+  def updateClustersWithStats(oldClusters: DataFrame, newDocs: DataFrame,
+      indexPaths: Seq[String], threshold: Double = 0.5): (DataFrame, Int) = {
+    val oldLab = oldClusters.select(col("doc_id"), col("cluster_id"))
+    val crossEdges = dedupAgainstIndex(newDocs, indexPaths, threshold)
+      .join(oldLab.withColumnRenamed("doc_id", "index_id"), "index_id")
+      .select(col("new_id").as("a"), col("cluster_id").as("b"))
+    val batchEdges = nearDupPairs(newDocs, threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val touched = crossEdges.select(col("b").as("id")).distinct()
+    val nodes = touched
+      .union(newDocs.select(col("doc_id").as("id"))).distinct()
+    val (qcc, rounds) = connectedComponentsWithStats(
+      nodes, crossEdges.union(batchEdges))
+    val relabel = qcc.select(col("id"), col("cluster_id").as("new_label"))
+    // untouched old clusters never joined the iteration: left join +
+    // coalesce passes their labels through unchanged
+    val oldOut = oldLab
+      .join(relabel.withColumnRenamed("id", "cluster_id"), Seq("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    val newOut = newDocs.select(col("doc_id"))
+      .join(relabel.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+    (oldOut.unionByName(newOut)
+      .withColumn("keep", col("doc_id") === col("cluster_id")), rounds)
+  }
+
+  /** [[updateClustersWithStats]] without the round count. */
+  def updateClusters(oldClusters: DataFrame, newDocs: DataFrame,
+      indexPaths: Seq[String], threshold: Double = 0.5): DataFrame =
+    updateClustersWithStats(oldClusters, newDocs, indexPaths, threshold)._1
+
   /** Which member of each duplicate cluster survives. */
   sealed trait KeeperStrategy
   object KeeperStrategy {

@@ -200,6 +200,35 @@ object DedupQueries {
   private def x21SegmentPath(dir: String): String =
     graft.core.Scratch.dir("x21_segment_" + graft.core.Scratch.sanitize(dir))
 
+  /** x29's "yesterday" artifacts — the even-doc half clustered and
+    * LSH-indexed once per (process, sf dir): the incremental query's
+    * steady-state cost is the UPDATE, not the historical build (x10's
+    * caching rationale; Scratch dirs die with the JVM).
+    */
+  private val x29Artifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def x29Paths(s: SparkSession, dir: String): (String, String) = {
+    val existing = x29Artifacts.get(dir)
+    if (existing != null) existing
+    else ("x29" + dir).intern.synchronized {
+      val again = x29Artifacts.get(dir)
+      if (again != null) again
+      else {
+        val base = graft.core.Scratch.dir(
+          "x29_inc_" + graft.core.Scratch.sanitize(dir))
+        val evens = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+        graft.corpus.Corpus.writeLshIndex(evens, s"$base/index")
+        graft.corpus.Corpus.dupClusters(evens)
+          .select("doc_id", "cluster_id")
+          .write.mode("overwrite").parquet(s"$base/clusters")
+        val v = (s"$base/clusters", s"$base/index")
+        x29Artifacts.put(dir, v)
+        v
+      }
+    }
+  }
+
   private def x10IndexPath(s: SparkSession, dir: String): String = {
     // double-checked outside computeIfAbsent: the index build is a
     // multi-second Spark job, and holding the map's bin lock for it
@@ -305,6 +334,40 @@ object DedupQueries {
         // cluster diameter, localCheckpoint-truncated lineage) lives on
         // the library surface: graft.corpus.Corpus.dupClusters.
         graft.corpus.Corpus.dupClusters(Tables.documents(s, dir))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshSigCtesSql,
+              |$lshPairsCteSql,
+              |sym AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM sym
+              |  UNION
+              |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+              |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (
+              |  SELECT dd.doc_id,
+              |    least(dd.doc_id, coalesce(min(r.dst), dd.doc_id)) AS cluster_id
+              |  FROM documents dd LEFT JOIN reach r ON dd.doc_id = r.src
+              |  GROUP BY dd.doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("x29_dedup_clusters_update",
+      (s, dir) => {
+        // INCREMENTAL cluster maintenance must equal the full rebuild —
+        // so the oracle IS x11's full recursive closure over the whole
+        // corpus. The "yesterday" half (even doc_ids) is clustered and
+        // LSH-indexed once per process (x29Paths); the query folds the
+        // odd-id batch in via Corpus.updateClusters: batch×index pairs
+        // from the persisted segments + in-batch pairs, connected
+        // components over ONLY the affected quotient subgraph, untouched
+        // clusters passing through label-unchanged. Cross-cluster merges
+        // caused by a bridging new doc come out identical to the
+        // rebuild's (min-id labels + quotient reachability).
+        val (clPath, idxPath) = x29Paths(s, dir)
+        val odds = Tables.documents(s, dir).filter(col("doc_id") % 2 =!= 0)
+        graft.corpus.Corpus.updateClusters(
+            s.read.parquet(clPath), odds, Seq(idxPath))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $lshSigCtesSql,
