@@ -199,6 +199,40 @@ object AnalyticalQueries {
              |GROUP BY 1, 2, 3
              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin)),
 
+    Q("h8_small_quantity_revenue",
+      (s, dir) => {
+        // TPC-H Q17 shape — the correlated scalar subquery DECORRELATED:
+        // "yearly revenue lost if small orders (< half a part's average
+        // quantity) weren't filled" compares every lineitem row to its
+        // OWN part's average. Row-at-a-time that's one subquery per row;
+        // the scalable form computes the per-part average once and
+        // rejoins it. Here the brand filter broadcasts and prunes the
+        // fact scan FIRST, then the average arrives as a window over
+        // l_partkey — ONE key shuffle, no agg+self-join re-scan of the
+        // pruned facts. avg(l_quantity) is exact-integer-sum / count,
+        // one IEEE division, so the unrounded < comparison agrees
+        // across engines bit-for-bit.
+        val parts = Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#4").select("p_partkey")
+        val liBrand = Tables.lineitem(s, dir)
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        val byPart = Window.partitionBy("l_partkey")
+        liBrand
+          .withColumn("avg_qty", avg("l_quantity").over(byPart))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(count(lit(1)).as("n_small"),
+            roundAt(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      },
+      Some(s"""WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+              |l AS (SELECT l_partkey, l_quantity, l_extendedprice
+              |      FROM lineitem JOIN p ON p_partkey = l_partkey),
+              |a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM l GROUP BY 1)
+              |SELECT count(*) AS n_small,
+              |  ${roundAtSql("sum(l.l_extendedprice) / 7.0", 2)} AS avg_yearly
+              |FROM l JOIN a USING (l_partkey)
+              |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin)),
+
     Q("h7_sole_fault_suppliers",
       (s, dir) => {
         // TPC-H Q21 shape: the EXISTS + NOT-EXISTS self-join pair on the

@@ -336,6 +336,67 @@ object StreamingOps {
       }
       .start()
 
+  /** Continuously maintained dedup clusters — the cluster table kept
+    * CURRENT as the corpus streams in, instead of rebuilt nightly: each
+    * micro-batch of documents is folded into the persisted label table
+    * by [[graft.corpus.Corpus.updateClusters]] (quotient-graph CC over
+    * only the affected subgraph) against the seed index plus every
+    * prior batch's segment, writes the updated labels as version
+    * `labels/v_N`, then appends its own LSH segment `segments/seg_N`
+    * for later batches to dedup against. Cross-batch and
+    * cross-to-history merges come out exactly as a full rebuild would
+    * (the updateClusters equality, proven transitively per batch —
+    * the spec asserts the final version equals `dupClusters` over
+    * everything ever streamed). Replay-idempotent: labels version and
+    * segment are keyed by batchId and overwritten, the same
+    * exactly-once recipe as [[curateStreamIncremental]] /
+    * [[cdcUpsertStream]]; [[vacuumSnapshotVersions]] applies to
+    * `labels/` for retention.
+    */
+  def clusterMaintainStream(newDocs: DataFrame, seedIndexPaths: Seq[String],
+      seedClustersPath: String, basePath: String, checkpointPath: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val segBase = java.nio.file.Paths.get(s"$basePath/segments")
+        val labBase = java.nio.file.Paths.get(s"$basePath/labels")
+        java.nio.file.Files.createDirectories(segBase)
+        java.nio.file.Files.createDirectories(labBase)
+        import scala.jdk.CollectionConverters._
+        val priorSegs = {
+          val ls = java.nio.file.Files.list(segBase)
+          try ls.iterator().asScala.toSeq
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("seg_"))
+            .filter(_.stripPrefix("seg_").toLong < batchId)
+            .sorted.map(n => s"$basePath/segments/$n")
+          finally ls.close()
+        }
+        val priorLabels = {
+          val ls = java.nio.file.Files.list(labBase)
+          try ls.iterator().asScala.toSeq
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("v_"))
+            .map(_.stripPrefix("v_").toLong)
+            .filter(_ < batchId)
+            .sorted.lastOption
+            .map(n => s"$basePath/labels/v_$n")
+            .getOrElse(seedClustersPath)
+          finally ls.close()
+        }
+        val updated = graft.corpus.Corpus.updateClusters(
+          spark.read.parquet(priorLabels), batch.toDF(),
+          seedIndexPaths ++ priorSegs, threshold)
+        updated.select("doc_id", "cluster_id")
+          .write.mode("overwrite").parquet(s"$basePath/labels/v_$batchId")
+        graft.corpus.Corpus.writeLshIndex(batch.toDF(),
+          s"$basePath/segments/seg_$batchId")
+        spark.catalog.clearCache()
+      }
+      .start()
+
   /** Retention sweep for [[cdcUpsertStream]]'s versioned snapshots:
     * keep the newest `keepLast` versions, delete the rest. Deletes
     * strictly OLDER versions only, never the latest — so the sweep can

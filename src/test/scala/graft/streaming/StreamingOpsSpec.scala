@@ -516,6 +516,51 @@ class StreamingOpsSpec extends SparkSpec {
     assert(StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 1).isEmpty)
   }
 
+  test("continuously maintained clusters: final streamed labels equal the full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+    val base = tmpDir("stream_clusters")
+    // seed: the even half, clustered and indexed (yesterday's corpus)
+    val evens = docsDf.filter($"doc_id" % 2 === 0)
+    graft.corpus.Corpus.writeLshIndex(evens, s"$base/seed_idx")
+    graft.corpus.Corpus.dupClusters(evens).select("doc_id", "cluster_id")
+      .write.parquet(s"$base/seed_labels")
+    spark.catalog.clearCache()
+
+    val odds = docsDf.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow]
+      .collect().toSeq.sortBy(_.doc_id)
+    val mid = odds(odds.size / 2).doc_id
+    val (b1, b2) = odds.partition(_.doc_id < mid)
+
+    val input = MemoryStream[StreamingOps.DocRow]
+    val query = StreamingOps.clusterMaintainStream(input.toDF(),
+      Seq(s"$base/seed_idx"), s"$base/seed_labels", s"$base/state", s"$base/ckpt")
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    query.stop()
+
+    // after two batches the label table covers evens + all odds and
+    // equals the batch rebuild over the whole corpus — merges across
+    // batch boundaries and into the seed included
+    val got = spark.read.parquet(s"$base/state/labels/v_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = graft.corpus.Corpus.dupClusters(docsDf)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.size == docsDf.count())
+    // v_0 was the intermediate state: evens + batch 1 only
+    val v0 = spark.read.parquet(s"$base/state/labels/v_0")
+    assert(v0.count() == evens.count() + b1.size)
+    // each batch left an immutable segment for its successors
+    Seq("seg_0", "seg_1").foreach { n =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/state/segments/$n/signatures")), n)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("json props parse on the streaming path") {
     val streamed = runStream("props")(
       df => StreamingOps.withParsedProps(
