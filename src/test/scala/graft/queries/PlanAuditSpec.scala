@@ -97,7 +97,8 @@ class PlanAuditSpec extends SparkSpec {
         "x16_sketch_source_overlap", "y5_contamination_check",
         "t7_unigram_logprob", "x21_curate_incremental",
         "x22_cluster_size_profile", "t9_boilerplate_ngrams",
-        "t14_substring_dedup").foreach { q =>
+        "t14_substring_dedup", "x28_weighted_jaccard",
+        "x29_dedup_clusters_update").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
         s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
@@ -249,5 +250,26 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("x25_knn_graph")
     assert(!p.toLowerCase.contains("cartesian"), p)
     assert(p.contains("hashpartitioning(vec_id"), p)
+  }
+
+  test("x27's per-round plan is an equi-join + partial agg, hint-free, no cartesian") {
+    // the FINAL round's plan stands for every round (identical shape;
+    // earlier rounds are materialized localCheckpoint blocks): the
+    // edge⨝rank join must be a key equi-join the planner is free to
+    // re-strategize (edges grow O(graph) — a hard-coded hint would pin
+    // a 100 TB broadcast), and the inflow sum must keep its partial
+    // (map-side) phase.
+    val q = SparkEntry.queries("x27_pagerank")(spark, dir)
+    val lp = q.queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint"), lp)
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("h8 decorrelates with one broadcast prune and one window shuffle, no fact self-join") {
+    val p = plan("h8_small_quantity_revenue")
+    assert(p.contains("BroadcastHashJoin"), p) // brand prune rides a broadcast
+    assert(p.contains("Window"), p)            // per-part avg: window, not agg+rejoin
+    assert(!p.contains("SortMergeJoin"), p)    // the fact table is never self-joined
   }
 }
