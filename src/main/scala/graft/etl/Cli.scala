@@ -143,6 +143,52 @@ object Cli {
           spark.read.parquet(opts("embeddings")), opts("out"))
         println(s"ann-index=${opts("out")}")
       }
+    case Some("ann-append") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        graft.ann.AnnIndex.append(spark, opts("index"),
+          spark.read.parquet(opts("embeddings")))
+        println(s"ann-append=${opts("index")}")
+      }
+    case Some("pagerank") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        import org.apache.spark.sql.functions.col
+        val edges = spark.read.parquet(opts("edges"))
+        val Seq(sCol, dCol) = edges.columns.take(2).toSeq
+        val nodes = opts.get("nodes")
+          .map(p => spark.read.parquet(p))
+          .getOrElse(edges.select(col(sCol).as("id"))
+            .union(edges.select(col(dCol).as("id"))).distinct())
+        val (ranks, rounds) = opts.get("iters") match {
+          case Some(n) =>
+            (graft.corpus.Corpus.pageRank(nodes, edges, n.toInt), n.toInt)
+          case None => graft.corpus.Corpus.pageRankConverged(nodes, edges,
+            opts.getOrElse("eps", "1e-8").toDouble)
+        }
+        EtlIO.writeParquet(ranks, opts("out"))
+        println(s"pagerank=${opts("out")} rounds=$rounds")
+      }
+    case Some("cluster-update") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        val (updated, rounds) = graft.corpus.Corpus.updateClustersWithStats(
+          spark.read.parquet(opts("clusters")),
+          spark.read.parquet(opts("documents")),
+          opts("index").split(",").toSeq,
+          opts.getOrElse("threshold", "0.5").toDouble)
+        EtlIO.writeParquet(updated, opts("out"))
+        opts.get("append-segment").foreach { seg =>
+          graft.corpus.Corpus.writeLshIndex(
+            spark.read.parquet(opts("documents")), seg)
+        }
+        println(s"clusters=${opts("out")} rounds=$rounds")
+      }
+    case Some("vacuum") =>
+      val opts = parse(args.tail)
+      val deleted = graft.streaming.StreamingOps.vacuumSnapshotVersions(
+        opts("snapshots"), opts.getOrElse("keep", "7").toInt)
+      println(s"vacuum=${opts("snapshots")} deleted=${deleted.mkString(",")}")
     case Some("stream-demo") =>
       val opts = parse(args.tail)
       withSession { spark =>
@@ -158,7 +204,8 @@ object Cli {
       }
     case _ =>
       System.err.println(
-        "usage: run|generate|curate|curate-inc|index|ann-index|stream-demo|version (see Scaladoc)")
+        "usage: run|generate|curate|curate-inc|index|ann-index|ann-append|" +
+          "pagerank|cluster-update|vacuum|stream-demo|version (see Scaladoc)")
       sys.exit(2)
   }
 

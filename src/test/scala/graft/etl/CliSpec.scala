@@ -51,6 +51,56 @@ class CliSpec extends SparkSpec {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("ann-append, pagerank, cluster-update, and vacuum drive the maintenance surfaces") {
+    val base = tmpDir("cli_maint")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+    // ann-append: build on evens, append odds, both halves accounted for
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/emb_a")
+    emb.filter(col("vec_id") % 2 =!= 0).write.parquet(s"$base/emb_b")
+    run("ann-index", "--embeddings", s"$base/emb_a", "--out", s"$base/ann")
+    run("ann-append", "--index", s"$base/ann", "--embeddings", s"$base/emb_b")
+    assert(spark.read.parquet(s"$base/ann/vectors").count() == emb.count())
+
+    // pagerank over a tiny edge list; nodes derived from the edges
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .write.parquet(s"$base/edges")
+    run("pagerank", "--edges", s"$base/edges", "--out", s"$base/ranks")
+    assert(spark.read.parquet(s"$base/ranks").count() == 3)
+
+    // cluster-update: evens clustered+indexed, odds folded in via CLI;
+    // must equal the full rebuild (the updateClusters contract)
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$base/docs_a")
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$base/docs_b")
+    run("index", "--documents", s"$base/docs_a", "--out", s"$base/seg0")
+    graft.corpus.Corpus.dupClusters(
+        spark.read.parquet(s"$base/docs_a"))
+      .select("doc_id", "cluster_id").write.parquet(s"$base/cl0")
+    spark.catalog.clearCache()
+    run("cluster-update", "--clusters", s"$base/cl0",
+      "--documents", s"$base/docs_b", "--index", s"$base/seg0",
+      "--out", s"$base/cl1", "--append-segment", s"$base/seg1")
+    val got = spark.read.parquet(s"$base/cl1")
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = graft.corpus.Corpus.dupClusters(docs)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(new java.io.File(s"$base/seg1/signatures").exists())
+
+    // vacuum: two fake label versions, keep 1
+    spark.range(1).write.parquet(s"$base/snaps/v_0")
+    spark.range(1).write.parquet(s"$base/snaps/v_1")
+    run("vacuum", "--snapshots", s"$base/snaps", "--keep", "1")
+    assert(!new java.io.File(s"$base/snaps/v_0").exists())
+    assert(new java.io.File(s"$base/snaps/v_1").exists())
+    assert(!spark.sparkContext.isStopped)
+    spark.catalog.clearCache()
+  }
+
   test("version prints without touching Spark") {
     // (the unknown-subcommand path calls sys.exit and is deliberately
     // not driven here — it would terminate the forked test JVM)
