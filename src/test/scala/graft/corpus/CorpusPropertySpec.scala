@@ -64,4 +64,45 @@ class CorpusPropertySpec extends SparkSpec {
       assert(got.exists(r => !r._3), s"seed $seed produced only singletons — vacuous")
     }
   }
+
+  test("sequential updateClusters over random batch splits == the full rebuild (3 seeds)") {
+    // the incremental-maintenance invariant, randomized: ANY partition
+    // of a random corpus into seed + k arrival batches, folded in one
+    // batch at a time (each leaving an index segment for the next),
+    // must land on exactly dupClusters(everything). Random corpora
+    // produce the adversarial shapes — chains that span batches,
+    // late-arriving bridges that merge seed-era clusters, batches with
+    // no dups at all.
+    for (seed <- Seq(7L, 99L, 2024L)) {
+      val docs = randomDocs(seed).cache()
+      val rnd = new scala.util.Random(seed * 31)
+      val assign = (0L until 60L).map(id => id -> rnd.nextInt(3)).toMap
+      val batchOf = udf((id: Long) => assign(id))
+      val seedDocs = docs.filter(batchOf(col("doc_id")) === 0)
+      val batches = Seq(1, 2).map(k => docs.filter(batchOf(col("doc_id")) === k))
+
+      val base = tmpDir(s"prop_inc_$seed")
+      Corpus.writeLshIndex(seedDocs, s"$base/seg_0")
+      var labels = Corpus.dupClusters(seedDocs).select("doc_id", "cluster_id")
+      var segs = Seq(s"$base/seg_0")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        labels = Corpus.updateClusters(labels, b, segs)
+          .select("doc_id", "cluster_id")
+          .localCheckpoint() // sever lineage before caches are cleared
+        Corpus.writeLshIndex(b, s"$base/seg_${i + 1}")
+        segs :+= s"$base/seg_${i + 1}"
+        spark.catalog.clearCache()
+      }
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = Corpus.dupClusters(docs).select("doc_id", "cluster_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"seed $seed: incremental != rebuild")
+      // non-vacuous: some cluster spans batches
+      val spans = expected.groupBy(_._2).values
+        .exists(c => c.map(t => assign(t._1)).size > 1 && c.size > 1)
+      assert(spans, s"seed $seed: no cluster spans a batch boundary — vacuous")
+      docs.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
 }
