@@ -65,4 +65,45 @@ class CorpusEdgeCaseSpec extends SparkSpec {
     assert(q(4L)._2 > 0.99 && !q(4L)._5)   // fully repetitive → dropped
     assert(q(6L)._5)                       // normal doc kept
   }
+
+  test("pageRank on an edge-free graph puts every node at the no-in-edge floor") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val r = Corpus.pageRank(nodes, edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val floor = math.floor((1.0 - 0.85) / 4 * 1e10 + 0.5) / 1e10
+    assert(r.size == 4 && r.values.forall(_ == floor), s"$r")
+    // convergence mode: round 1 moves uniform → floor, round 2 measures
+    // stillness and stops
+    val (_, rounds) = Corpus.pageRankConverged(nodes, edges)
+    assert(rounds == 2, s"edge-free graph took $rounds rounds")
+  }
+
+  test("updateClusters with an empty batch is the identity on the labels") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val base = tmpDir("edge_inc_empty")
+    Corpus.writeLshIndex(docs, s"$base/idx")
+    val old = Corpus.dupClusters(docs).select("doc_id", "cluster_id")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Corpus.updateClusters(old, empty, Seq(s"$base/idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == old.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    spark.catalog.clearCache()
+  }
+
+  test("updateClusters day-0: empty label table and no segments equals a fresh cluster build") {
+    import spark.implicits._
+    val batch = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val noLabels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val got = Corpus.updateClusters(noLabels, batch, Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = Corpus.dupClusters(batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
 }
