@@ -184,6 +184,15 @@ object Cli {
         }
         println(s"clusters=${opts("out")} rounds=$rounds")
       }
+    case Some("zorder") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        val Array(c1, c2) = opts("by").split(",")
+        graft.core.Layout.zorderWrite(
+          spark.read.parquet(opts("in")), opts("out"), c1, c2,
+          opts.getOrElse("files", "16").toInt)
+        println(s"zorder=${opts("out")} by=$c1,$c2")
+      }
     case Some("vacuum") =>
       val opts = parse(args.tail)
       val deleted = graft.streaming.StreamingOps.vacuumSnapshotVersions(
@@ -205,7 +214,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: run|generate|curate|curate-inc|index|ann-index|ann-append|" +
-          "pagerank|cluster-update|vacuum|stream-demo|version (see Scaladoc)")
+          "pagerank|cluster-update|zorder|vacuum|stream-demo|version (see Scaladoc)")
       sys.exit(2)
   }
 

@@ -91,6 +91,14 @@ class CliSpec extends SparkSpec {
     assert(got == expected)
     assert(new java.io.File(s"$base/seg1/signatures").exists())
 
+    // zorder: layout rewrite round-trips the rows
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey").write.parquet(s"$base/li")
+    run("zorder", "--in", s"$base/li", "--out", s"$base/li_z",
+      "--by", "l_orderkey,l_partkey", "--files", "4")
+    assert(spark.read.parquet(s"$base/li_z").count() ==
+      spark.read.parquet(s"$base/li").count())
+
     // vacuum: two fake label versions, keep 1
     spark.range(1).write.parquet(s"$base/snaps/v_0")
     spark.range(1).write.parquet(s"$base/snaps/v_1")
