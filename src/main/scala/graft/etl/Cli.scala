@@ -23,6 +23,20 @@ import graft.core.Sessions
   *       # incremental batch curation against persisted index segments;
   *       # survivors' signatures land as a new segment for the next run
   *   ann-index --embeddings D --out D  # train + persist the IVF-PQ index
+  *   ann-append --index D --embeddings D
+  *       # FAISS add(): fold new vectors into a persisted index with no
+  *       # retrain (existing centroids + codebooks)
+  *   pagerank --edges D --out D [--nodes D] [--iters N | --eps 1e-8]
+  *       # Corpus.pageRank over any (src, dst) edge parquet; nodes
+  *       # default to the edge endpoints; converges unless --iters given
+  *   cluster-update --clusters D --documents D --index seg0[,seg1,…]
+  *       --out D [--threshold 0.5] [--append-segment D]
+  *       # fold a batch into existing dedup cluster labels
+  *       # (Corpus.updateClusters — equals the full rebuild)
+  *   zorder --in D --out D --by c1,c2 [--files 16]
+  *       # rewrite parquet z-ordered on two columns for file skipping
+  *   vacuum --snapshots D [--keep 7]
+  *       # retention-sweep versioned snapshot dirs (v_N), newest kept
   *   version
   */
 object Cli {
