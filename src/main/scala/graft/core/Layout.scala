@@ -57,8 +57,37 @@ object Layout {
       case n: java.lang.Number => n.doubleValue()
       case x => sys.error(s"z-order needs numeric bounds, got $x")
     }
-    val r1 = rankOf(col(c1), d(0), d(1), bits)
-    val r2 = rankOf(col(c2), d(2), d(3), bits)
+    writeTiled(df, path,
+      rankOf(col(c1), d(0), d(1), bits),
+      rankOf(col(c2), d(2), d(3), bits), nFiles, bits)
+  }
+
+  /** [[zorderWrite]] with QUANTILE ranks — the variant for SKEWED
+    * columns: linear min/max scaling maps rank to VALUE position, so a
+    * heavy-tailed column piles most rows into the bottom few tiles and
+    * leaves the rest near-empty (file sizes then differ by orders of
+    * magnitude and the write itself inherits the skew). Quantile ranks
+    * map to ROW position: boundaries from `approxQuantile` (a
+    * driver-side array of 2^bits − 1 scalars), rank = count of
+    * boundaries ≤ x as an unrolled codegen'd comparison sum — every
+    * tile holds ~equal rows by construction, at the cost of
+    * data-dependent (but recorded-in-footer) tile value-ranges.
+    */
+  def zorderWriteQuantile(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int, bits: Int = 6, relErr: Double = 0.001): Unit = {
+    val n = (1 << bits) - 1
+    val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
+    def rank(c: String): Column = {
+      val bs = df.stat.approxQuantile(c, probs, relErr)
+      coalesce(
+        bs.map(b => when(col(c).cast("double") >= lit(b), 1L).otherwise(0L))
+          .reduce(_ + _), lit(0L))
+    }
+    writeTiled(df, path, rank(c1), rank(c2), nFiles, bits)
+  }
+
+  private def writeTiled(df: DataFrame, path: String, r1: Column, r2: Column,
+      nFiles: Int, bits: Int): Unit = {
     // per-dimension tile bits: 4^t >= nFiles
     val t = math.max(1, math.ceil(math.log(nFiles.toDouble) / math.log(4.0)).toInt)
     df.withColumn("_z", interleave(r1, r2, bits))

@@ -76,4 +76,32 @@ class ZorderSpec extends SparkSpec {
     assert(both <= 4, s"two-column point predicate touches $both files")
     spark.catalog.clearCache()
   }
+
+  test("quantile ranks keep files balanced on a skewed column where linear ranks degenerate") {
+    // events.value is heavy-tailed (median ≈ 35, max ≈ 490): linear
+    // ranks put most rows in the bottom tiles — the write inherits the
+    // skew and most of the grid is near-empty. Quantile ranks equalize
+    // rows per tile by construction.
+    val ev = Tables.eventsTs(spark, dir).select("value", "user_id")
+    val base = tmpDir("zorder_q")
+    Layout.zorderWrite(ev, s"$base/linear", "value", "user_id", nFiles)
+    Layout.zorderWriteQuantile(ev, s"$base/quantile", "value", "user_id", nFiles)
+
+    def spreadOf(path: String): (Long, Long, Double) = {
+      val counts = spark.read.parquet(path)
+        .groupBy(input_file_name()).count()
+        .collect().map(_.getLong(1))
+      (counts.max, counts.min, counts.max.toDouble / math.max(counts.min, 1L))
+    }
+    val (lMax, lMin, lSpread) = spreadOf(s"$base/linear")
+    val (qMax, qMin, qSpread) = spreadOf(s"$base/quantile")
+    info(f"rows per file — linear: max=$lMax min=$lMin spread=$lSpread%.1f; " +
+      f"quantile: max=$qMax min=$qMin spread=$qSpread%.1f")
+    assert(spark.read.parquet(s"$base/quantile").count() == ev.count())
+    // quantile: near-even by construction; linear: visibly degenerate
+    assert(qSpread <= 3.0, f"quantile layout should be balanced: $qSpread%.1f")
+    assert(lSpread > 2 * qSpread,
+      f"skew demo vacuous: linear $lSpread%.1f vs quantile $qSpread%.1f")
+    spark.catalog.clearCache()
+  }
 }
