@@ -590,7 +590,7 @@ object Corpus {
       qualityGate: Boolean = false): DataFrame = {
     val base =
       if (qualityGate) qualitySignals(docs).filter(col("keep"))
-        .select(docs.columns.map(col): _*)
+        .select(docs.columns.toIndexedSeq.map(col): _*)
       else docs
     val clusters = dupClusters(base, threshold)
     withSplit(normalize(base)
@@ -620,7 +620,7 @@ object Corpus {
     val spark = newDocs.sparkSession
     val base =
       if (qualityGate) qualitySignals(newDocs).filter(col("keep"))
-        .select(newDocs.columns.map(col): _*)
+        .select(newDocs.columns.toIndexedSeq.map(col): _*)
       else newDocs
     val sh = withShingles(base).select("doc_id", "sh").cache()
     val sig = bandSignatures(sh).cache()
