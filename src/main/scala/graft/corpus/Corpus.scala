@@ -587,14 +587,28 @@ object Corpus {
     * dedup — the usual intake order (no point clustering garbage).
     */
   def curate(docs: DataFrame, threshold: Double = 0.5,
-      qualityGate: Boolean = false): DataFrame = {
+      qualityGate: Boolean = false): DataFrame =
+    curate(docs, threshold, qualityGate, KeeperStrategy.MinId)
+
+  /** [[curate]] with an explicit keeper policy: the cluster build runs
+    * once, then [[keeperPolicy]] re-decides `keep` (one window over the
+    * cluster table — e.g. `LongestText`, the production default of
+    * keeping the most complete duplicate) before the normalize/split
+    * tail. MinId short-circuits to the cluster build's own keep flag.
+    */
+  def curate(docs: DataFrame, threshold: Double,
+      qualityGate: Boolean, strategy: KeeperStrategy): DataFrame = {
     val base =
       if (qualityGate) qualitySignals(docs).filter(col("keep"))
         .select(docs.columns.toIndexedSeq.map(col): _*)
       else docs
     val clusters = dupClusters(base, threshold)
+    val kept = strategy match {
+      case KeeperStrategy.MinId => clusters.filter(col("keep"))
+      case s => keeperPolicy(base, clusters, s).filter(col("keep"))
+    }
     withSplit(normalize(base)
-      .join(clusters.filter(col("keep")).select("doc_id", "cluster_id"), Seq("doc_id")))
+      .join(kept.select("doc_id", "cluster_id"), Seq("doc_id")))
   }
 
   /** The DAILY operation of a 100 TB corpus: curate a NEW batch against

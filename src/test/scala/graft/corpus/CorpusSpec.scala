@@ -34,6 +34,24 @@ class CorpusSpec extends SparkSpec {
     assert(curated.filter(col("norm").rlike("[0-9]|  ")).isEmpty)
   }
 
+  test("curate with the LongestText policy keeps each cluster's longest doc") {
+    val curated = Corpus.curate(docs, 0.5, qualityGate = false,
+      Corpus.KeeperStrategy.LongestText).cache()
+    val clusters = Corpus.dupClusters(docs).cache()
+    // same cluster count as MinId curation — the policy changes WHICH
+    // doc survives, never how many
+    assert(curated.count() == clusters.select("cluster_id").distinct().count())
+    // every keeper is at least as long as everything in its cluster
+    val lens = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val maxLen = clusters.join(lens, "doc_id")
+      .groupBy("cluster_id").agg(max("len").as("max_len"))
+    val shorter = curated.join(lens, "doc_id").join(maxLen, "cluster_id")
+      .filter(col("len") < col("max_len"))
+    assert(shorter.isEmpty, "a keeper is shorter than a cluster-mate")
+    curated.unpersist(); clusters.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("dropped docs are exactly the non-head members of multi-doc clusters") {
     val clusters = Corpus.dupClusters(docs)
     val dropped = clusters.filter(!col("keep"))
