@@ -306,6 +306,77 @@ object RelationalQueries {
              |FROM sup FULL OUTER JOIN cus ON sup.nk = cus.nk
              |ORDER BY nationkey""".stripMargin)),
 
+    Q("j11_scd2_lookup",
+      (s, dir) => {
+        // point-in-interval dimension lookup — the read side of e7's
+        // SCD-2 build, and the join every warehouse does at query time:
+        // each fact row (purchases) retrieves the dimension state that
+        // was valid AT ITS TIMESTAMP ([valid_from, valid_to), open
+        // current interval, null when the fact precedes the user's
+        // first interval). Intervals come from the NON-purchase events
+        // (the user's activity states), probes are the purchases. The
+        // join is user-keyed equi with the containment as a residual
+        // predicate — per-user interval counts are bounded by activity,
+        // so this scales as a key join, never a cross; intervals
+        // partition each user's timeline by construction, so a probe
+        // matches at most one (empty zero-width intervals match none).
+        val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val bySeg = Window.partitionBy("user_id").orderBy("seg")
+        val ev = Tables.eventsTs(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val intervals = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("chg",
+            when(lag("event_type", 1).over(byUser).isNull ||
+              col("event_type") =!= lag("event_type", 1).over(byUser), 1).otherwise(0))
+          .withColumn("seg", sum("chg").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+          .groupBy(col("user_id"), col("seg"), col("event_type").as("state"))
+          .agg(min("ts_us").as("valid_from_us"))
+          .withColumn("valid_to_us", lead("valid_from_us", 1).over(bySeg))
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        probes.as("p").join(intervals.as("i"),
+            col("p.user_id") === col("i.user_id") &&
+              col("i.valid_from_us") <= col("p.ts_us") &&
+              (col("i.valid_to_us").isNull || col("p.ts_us") < col("i.valid_to_us")),
+            "left")
+          .select(col("p.event_id").as("event_id"), col("p.user_id").as("user_id"),
+            col("p.ts_us").as("ts_us"), col("i.state").as("state"),
+            col("i.seg").as("seg"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+             |  WHERE event_type <> 'purchase'),
+             |m AS (
+             |  SELECT user_id, event_id, event_type, ts_us,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |           OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |r AS (
+             |  SELECT user_id, event_type, ts_us,
+             |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+             |  FROM m),
+             |runs AS (
+             |  SELECT user_id, seg, event_type AS state,
+             |    min(ts_us) AS valid_from_us
+             |  FROM r GROUP BY 1, 2, 3),
+             |iv AS (
+             |  SELECT user_id, seg, state, valid_from_us,
+             |    lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to_us
+             |  FROM runs),
+             |p AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.ts_us, iv.state, iv.seg
+             |FROM p LEFT JOIN iv
+             |  ON iv.user_id = p.user_id AND iv.valid_from_us <= p.ts_us
+             |  AND (iv.valid_to_us IS NULL OR p.ts_us < iv.valid_to_us)
+             |ORDER BY p.event_id""".stripMargin)),
+
     Q("j10_cdc_merge",
       (s, dir) => {
         // MERGE / SCD-1 upsert — apply a CDC batch (inserts, updates,

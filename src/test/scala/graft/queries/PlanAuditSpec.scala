@@ -266,6 +266,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("cartesian"), p)
   }
 
+  test("j11's interval lookup is a user-keyed equi-join with containment residual, no cartesian") {
+    val p = plan("j11_scd2_lookup")
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p) // the cross-shaped fallback
+  }
+
   test("h8 decorrelates with one broadcast prune and one window shuffle, no fact self-join") {
     val p = plan("h8_small_quantity_revenue")
     assert(p.contains("BroadcastHashJoin"), p) // brand prune rides a broadcast
