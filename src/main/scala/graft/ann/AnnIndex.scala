@@ -65,12 +65,18 @@ object AnnIndex {
     * codebooks, and append the rows into the Hive-partitioned
     * `postings/` and `vectors/` layouts. Appends land as new part-files
     * inside the affected `centroid_id=` directories — old files are
-    * never touched, so a concurrent reader sees the old index or the
-    * old+new one, and partition pruning keeps working unchanged.
-    * Touches only the new batch and two broadcast-sized artifacts; the
-    * indexed corpus is never rescanned. Quantization error grows as the
-    * ingested distribution drifts from the trained one (the standard
-    * no-retrain trade) — re-run [[write]] when recall decays.
+    * never touched, and VECTORS commit before POSTINGS: a candidate can
+    * only enter the ADC shortlist once its code is visible, and by then
+    * its exact vector already exists for the refine join (the reverse
+    * order would let a shortlisted candidate silently vanish at refine
+    * and return under-filled top-k). Parquet appends are file-by-file,
+    * not transactional — a reader racing the append can still see a
+    * PARTIAL new batch (some new candidates, not yet all); serving
+    * layers that need atomic batch visibility put a manifest swap on
+    * top. Touches only the new batch and two broadcast-sized artifacts;
+    * the indexed corpus is never rescanned. Quantization error grows as
+    * the ingested distribution drifts from the trained one (the
+    * standard no-retrain trade) — re-run [[write]] when recall decays.
     */
   def append(spark: SparkSession, path: String, newEmbeddings: DataFrame): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -78,13 +84,13 @@ object AnnIndex {
     val e = SimilarityQueries.toVecs(newEmbeddings).cache()
     val assigned = SimilarityQueries.assignNearest(e, centroids)
       .select(col("cand_id"), col("centroid_id"))
-    val codes = SimilarityQueries.pqAssign(SimilarityQueries.pqSubsOf(e), cb)
-      .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
-    codes.join(assigned, Seq("cand_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/postings")
     e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
       .join(assigned, Seq("cand_id"))
       .write.mode("append").partitionBy("centroid_id").parquet(s"$path/vectors")
+    SimilarityQueries.pqAssign(SimilarityQueries.pqSubsOf(e), cb)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+      .join(assigned, Seq("cand_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/postings")
     e.unpersist()
   }
 

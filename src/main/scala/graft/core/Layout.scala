@@ -77,19 +77,32 @@ object Layout {
       nFiles: Int, bits: Int = 6, relErr: Double = 0.001): Unit = {
     val n = (1 << bits) - 1
     val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
-    def rank(c: String): Column = {
-      val bs = df.stat.approxQuantile(c, probs, relErr)
+    // ONE pass computes both boundary arrays (the multi-column
+    // approxQuantile overload) — two single-column calls would scan the
+    // input twice before the write's own scan
+    val Array(bs1, bs2) = df.stat.approxQuantile(Array(c1, c2), probs, relErr)
+    def rank(c: String, bs: Array[Double]): Column = {
+      // approxQuantile returns an EMPTY array on an empty input or an
+      // all-null column — the same degenerate inputs the linear path
+      // rejects via its bounds check
+      require(bs.nonEmpty,
+        s"z-order needs numeric quantile boundaries for $c (empty or all-null input)")
       coalesce(
         bs.map(b => when(col(c).cast("double") >= lit(b), 1L).otherwise(0L))
           .reduce(_ + _), lit(0L))
     }
-    writeTiled(df, path, rank(c1), rank(c2), nFiles, bits)
+    writeTiled(df, path, rank(c1, bs1), rank(c2, bs2), nFiles, bits)
   }
 
   private def writeTiled(df: DataFrame, path: String, r1: Column, r2: Column,
       nFiles: Int, bits: Int): Unit = {
-    // per-dimension tile bits: 4^t >= nFiles
-    val t = math.max(1, math.ceil(math.log(nFiles.toDouble) / math.log(4.0)).toInt)
+    // per-dimension tile bits: 4^t >= nFiles, clamped to the rank width
+    // (beyond it there are no more rank bits to split on — and an
+    // unclamped t would make `bits - t` negative, which Java long
+    // shifts wrap mod 64: every row would land in tile 0 and the
+    // entire dataset in ONE file, silently)
+    val t = math.min(bits,
+      math.max(1, math.ceil(math.log(nFiles.toDouble) / math.log(4.0)).toInt))
     df.withColumn("_z", interleave(r1, r2, bits))
       .withColumn("_ztile", interleave(
         shiftright(r1, bits - t), shiftright(r2, bits - t), t))

@@ -252,6 +252,25 @@ object StreamingOps {
       Corpus.readIndexShingles(spark, indexPath), threshold)
   }
 
+  /** numbered artifacts `<prefix>N` under `basePath` — THE definition of
+    * the versioned-directory listing all the foreachBatch loops and the
+    * vacuum share (five hand-rolled copies before this). Creates the
+    * directory so day-0 callers see an empty list; returns version
+    * numbers ascending (numeric, so v_10 sorts after v_2).
+    */
+  private def numberedVersions(basePath: String, prefix: String): Seq[Long] = {
+    val base = java.nio.file.Paths.get(basePath)
+    java.nio.file.Files.createDirectories(base)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(base)
+    try ls.iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
+      .sorted
+    finally ls.close()
+  }
+
   /** Incremental curation as a STREAM — the rolling-ingest production
     * loop: each micro-batch is curated against the seed index plus
     * every segment written by the batches before it
@@ -273,19 +292,9 @@ object StreamingOps {
     newDocs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val base = java.nio.file.Paths.get(segmentBasePath)
-        java.nio.file.Files.createDirectories(base)
-        val priorSegs = {
-          import scala.jdk.CollectionConverters._
-          val ls = java.nio.file.Files.list(base)
-          try ls.iterator().asScala.toSeq
-            .map(_.getFileName.toString)
-            .filter(_.startsWith("seg_"))
-            .filter(_.stripPrefix("seg_").toLong < batchId) // replay: ignore own/future
-            .sorted
-            .map(n => s"$segmentBasePath/$n")
-          finally ls.close()
-        }
+        val priorSegs = numberedVersions(segmentBasePath, "seg_")
+          .filter(_ < batchId) // replay: ignore own/future
+          .map(n => s"$segmentBasePath/seg_$n")
         val curated = graft.corpus.Corpus.curateIncremental(
           batch.toDF(), seedIndexPaths ++ priorSegs,
           s"$segmentBasePath/seg_$batchId", threshold, qualityGate)
@@ -315,21 +324,10 @@ object StreamingOps {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val base = java.nio.file.Paths.get(snapshotBasePath)
-        java.nio.file.Files.createDirectories(base)
-        val prior = {
-          import scala.jdk.CollectionConverters._
-          val ls = java.nio.file.Files.list(base)
-          try ls.iterator().asScala.toSeq
-            .map(_.getFileName.toString)
-            .filter(_.startsWith("v_"))
-            .map(_.stripPrefix("v_").toLong)
-            .filter(_ < batchId) // replay: ignore own/future versions
-            .sorted.lastOption
-            .map(n => s"$snapshotBasePath/v_$n")
-            .getOrElse(seedSnapshotPath)
-          finally ls.close()
-        }
+        val prior = numberedVersions(snapshotBasePath, "v_")
+          .filter(_ < batchId) // replay: ignore own/future versions
+          .lastOption.map(n => s"$snapshotBasePath/v_$n")
+          .getOrElse(seedSnapshotPath)
         val snap = spark.read.parquet(prior)
         graft.core.Merge.scd1Upsert(snap, batch.toDF(), key)
           .write.mode("overwrite").parquet(s"$snapshotBasePath/v_$batchId")
@@ -360,32 +358,13 @@ object StreamingOps {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val segBase = java.nio.file.Paths.get(s"$basePath/segments")
-        val labBase = java.nio.file.Paths.get(s"$basePath/labels")
-        java.nio.file.Files.createDirectories(segBase)
-        java.nio.file.Files.createDirectories(labBase)
-        import scala.jdk.CollectionConverters._
-        val priorSegs = {
-          val ls = java.nio.file.Files.list(segBase)
-          try ls.iterator().asScala.toSeq
-            .map(_.getFileName.toString)
-            .filter(_.startsWith("seg_"))
-            .filter(_.stripPrefix("seg_").toLong < batchId)
-            .sorted.map(n => s"$basePath/segments/$n")
-          finally ls.close()
-        }
-        val priorLabels = {
-          val ls = java.nio.file.Files.list(labBase)
-          try ls.iterator().asScala.toSeq
-            .map(_.getFileName.toString)
-            .filter(_.startsWith("v_"))
-            .map(_.stripPrefix("v_").toLong)
-            .filter(_ < batchId)
-            .sorted.lastOption
-            .map(n => s"$basePath/labels/v_$n")
-            .getOrElse(seedClustersPath)
-          finally ls.close()
-        }
+        val priorSegs = numberedVersions(s"$basePath/segments", "seg_")
+          .filter(_ < batchId)
+          .map(n => s"$basePath/segments/seg_$n")
+        val priorLabels = numberedVersions(s"$basePath/labels", "v_")
+          .filter(_ < batchId)
+          .lastOption.map(n => s"$basePath/labels/v_$n")
+          .getOrElse(seedClustersPath)
         val updated = graft.corpus.Corpus.updateClusters(
           spark.read.parquet(priorLabels), batch.toDF(),
           seedIndexPaths ++ priorSegs, threshold)
@@ -398,30 +377,24 @@ object StreamingOps {
       .start()
 
   /** Retention sweep for [[cdcUpsertStream]]'s versioned snapshots:
-    * keep the newest `keepLast` versions, delete the rest. Deletes
-    * strictly OLDER versions only, never the latest — so the sweep can
-    * run concurrently with the stream (the stream only ever reads the
-    * max version, and a reader that pinned an old version for time
-    * travel is expected to hold it within the retention window, the
-    * same contract every table format's VACUUM documents). Returns the
-    * deleted version numbers.
+    * keep the newest `keepLast` versions, delete the rest. `keepLast`
+    * must be ≥ 2 to stay replay-safe beside a running stream: a
+    * replayed batch N reads the latest version < N — that is v_{N−1},
+    * the SECOND newest — and if the sweep had taken it, the replay
+    * would silently fall back to the seed and discard every applied
+    * batch. With ≥ 2 retained the sweep can run concurrently (a reader
+    * that pinned an older version for time travel must hold it within
+    * the retention window, the contract every table format's VACUUM
+    * documents). Returns the deleted version numbers.
     */
   def vacuumSnapshotVersions(snapshotBasePath: String, keepLast: Int): Seq[Long] = {
-    require(keepLast >= 1, "must keep at least the latest version")
-    val base = java.nio.file.Paths.get(snapshotBasePath)
-    if (!java.nio.file.Files.exists(base)) return Nil
-    val versions = {
-      import scala.jdk.CollectionConverters._
-      val ls = java.nio.file.Files.list(base)
-      try ls.iterator().asScala.toSeq
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("v_"))
-        .map(_.stripPrefix("v_").toLong).sorted
-      finally ls.close()
-    }
+    require(keepLast >= 2,
+      "keepLast must be >= 2: a replayed micro-batch reads the second-newest version")
+    val versions = numberedVersions(snapshotBasePath, "v_")
     val doomed = versions.dropRight(keepLast)
     doomed.foreach { n =>
-      graft.core.Scratch.deleteTree(base.resolve(s"v_$n"))
+      graft.core.Scratch.deleteTree(
+        java.nio.file.Paths.get(snapshotBasePath).resolve(s"v_$n"))
     }
     doomed
   }

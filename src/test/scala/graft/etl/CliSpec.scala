@@ -99,12 +99,14 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/li_z").count() ==
       spark.read.parquet(s"$base/li").count())
 
-    // vacuum: two fake label versions, keep 1
+    // vacuum: three fake label versions, keep the newest two
     spark.range(1).write.parquet(s"$base/snaps/v_0")
     spark.range(1).write.parquet(s"$base/snaps/v_1")
-    run("vacuum", "--snapshots", s"$base/snaps", "--keep", "1")
+    spark.range(1).write.parquet(s"$base/snaps/v_2")
+    run("vacuum", "--snapshots", s"$base/snaps", "--keep", "2")
     assert(!new java.io.File(s"$base/snaps/v_0").exists())
     assert(new java.io.File(s"$base/snaps/v_1").exists())
+    assert(new java.io.File(s"$base/snaps/v_2").exists())
     assert(!spark.sparkContext.isStopped)
     spark.catalog.clearCache()
   }

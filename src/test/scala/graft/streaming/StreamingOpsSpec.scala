@@ -505,15 +505,32 @@ class StreamingOpsSpec extends SparkSpec {
     // two deletes (k=2, then k=1), two inserts (900001, 900002)
     assert(v1.size == snap0.count() - 2 + 2, "row accounting off")
 
-    // retention sweep: keep only the latest version; v_0 goes, v_1 stays
-    val deleted = StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 1)
+    // retention sweep: keepLast = 1 would break replay (a replayed
+    // batch reads the SECOND-newest version) — rejected up front
+    intercept[IllegalArgumentException] {
+      StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 1)
+    }
+    // with a third version on disk, keep-2 removes only v_0
+    spark.read.parquet(s"$base/snapshots/v_1")
+      .write.parquet(s"$base/snapshots/v_2")
+    val deleted = StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 2)
     assert(deleted == Seq(0L))
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$base/snapshots/v_0")))
     assert(rows(spark.read.parquet(s"$base/snapshots/v_1")) == v1,
       "vacuum touched the retained version")
     // idempotent: nothing left to delete
-    assert(StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 1).isEmpty)
+    assert(StreamingOps.vacuumSnapshotVersions(s"$base/snapshots", keepLast = 2).isEmpty)
+
+    // two ops on one key in a single batch would duplicate the snapshot
+    // row (the 'multiple source rows matched' condition) — fail-fast
+    val dup = Seq(
+      CdcRow(7L, "first", "X", 1.0, "I"),
+      CdcRow(7L, "second", "X", 2.0, "U")).toDF()
+    val ex = intercept[IllegalArgumentException] {
+      graft.core.Merge.scd1Upsert(snap0, dup, "c_custkey")
+    }
+    assert(ex.getMessage.contains("multiple change rows"), ex.getMessage)
   }
 
   test("continuously maintained clusters: final streamed labels equal the full rebuild") {
