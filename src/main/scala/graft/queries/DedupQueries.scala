@@ -208,43 +208,46 @@ object DedupQueries {
   private val x29Artifacts =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def x29Paths(s: SparkSession, dir: String): (String, String) = {
-    val existing = x29Artifacts.get(dir)
-    if (existing != null) existing
-    else ("x29" + dir).intern.synchronized {
-      val again = x29Artifacts.get(dir)
-      if (again != null) again
-      else {
-        val base = graft.core.Scratch.dir(
-          "x29_inc_" + graft.core.Scratch.sanitize(dir))
-        val evens = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
-        graft.corpus.Corpus.writeLshIndex(evens, s"$base/index")
-        graft.corpus.Corpus.dupClusters(evens)
-          .select("doc_id", "cluster_id")
-          .write.mode("overwrite").parquet(s"$base/clusters")
-        val v = (s"$base/clusters", s"$base/index")
-        x29Artifacts.put(dir, v)
-        v
-      }
+  private def x29Paths(s: SparkSession, dir: String): (String, String) =
+    builtOnce(x29Artifacts, dir, lockTag = "x29") {
+      val base = graft.core.Scratch.dir(
+        "x29_inc_" + graft.core.Scratch.sanitize(dir))
+      val evens = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      graft.corpus.Corpus.writeLshIndex(evens, s"$base/index")
+      graft.corpus.Corpus.dupClusters(evens)
+        .select("doc_id", "cluster_id")
+        .write.mode("overwrite").parquet(s"$base/clusters")
+      (s"$base/clusters", s"$base/index")
     }
-  }
 
-  private def x10IndexPath(s: SparkSession, dir: String): String = {
-    // double-checked outside computeIfAbsent: the index build is a
-    // multi-second Spark job, and holding the map's bin lock for it
-    // would serialize unrelated callers (parallel suites, other dirs)
-    val existing = x10IndexDirs.get(dir)
+  private def x10IndexPath(s: SparkSession, dir: String): String =
+    builtOnce(x10IndexDirs, dir, lockTag = "x10") {
+      val p = graft.core.Scratch.dir(
+        "x10_lsh_index_" + graft.core.Scratch.sanitize(dir))
+      graft.corpus.Corpus.writeLshIndex(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), p)
+      p
+    }
+
+  /** build-once-per-(process, key) memoization for multi-second Spark
+    * artifact builds (x10's persisted index, x29's clustered half):
+    * double-checked OUTSIDE computeIfAbsent, because holding the map's
+    * bin lock for a Spark job would serialize unrelated callers
+    * (parallel suites, other dirs). The lock is the interned
+    * (lockTag + key) string, so different artifact families for the
+    * SAME dir still build concurrently.
+    */
+  private def builtOnce[V](map: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String, lockTag: String)(build: => V): V = {
+    val existing = map.get(key)
     if (existing != null) existing
-    else dir.intern.synchronized {
-      val again = x10IndexDirs.get(dir)
+    else (lockTag + "\u0000" + key).intern.synchronized {
+      val again = map.get(key)
       if (again != null) again
       else {
-        val p = graft.core.Scratch.dir(
-          "x10_lsh_index_" + graft.core.Scratch.sanitize(dir))
-        graft.corpus.Corpus.writeLshIndex(
-          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0), p)
-        x10IndexDirs.put(dir, p)
-        p
+        val v = build
+        map.put(key, v)
+        v
       }
     }
   }
