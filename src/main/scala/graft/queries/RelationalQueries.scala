@@ -75,15 +75,21 @@ object RelationalQueries {
           StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
           StructField("o_orderstatus", StringType),
           StructField("o_totalprice", DoubleType), StructField("o_date_us", LongType)))
+        // Money sums go through DECIMAL(18,2): a double sum is
+        // accumulation-order-dependent, and Spark's partition tree order
+        // never matches a sequential engine's — at sum≈1.25e9 the noise
+        // survives 2dp rounding. Decimal is exact and order-independent;
+        // cast back to double only after the exact sum.
         s.read.schema(schema).json(tmp)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
-            roundAt(sum("o_totalprice"), 2).as("sum_price"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"),
             min("o_date_us").as("min_date_us"), max("o_date_us").as("max_date_us"))
           .orderBy("o_orderstatus")
       },
       Some(s"""SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_cust,
-              |  ${roundAtSql("sum(o_totalprice)", 2)} AS sum_price,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
               |  min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS min_date_us,
               |  max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -101,15 +107,18 @@ object RelationalQueries {
           .filter(col("l_returnflag") === "A")
           .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
           .write.mode("overwrite").orc(tmp)
+        // Same decimal-sum discipline as s8: exact, order-independent.
         s.read.orc(tmp)
           .agg(count(lit(1)).as("n"),
             sum(col("l_orderkey")).as("sum_ok"),
-            roundAt(sum("l_quantity"), 2).as("sum_qty"),
-            roundAt(sum("l_extendedprice"), 2).as("sum_price"))
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"))
       },
       Some(s"""SELECT count(*) AS n, sum(l_orderkey) AS sum_ok,
-              |  ${roundAtSql("sum(l_quantity)", 2)} AS sum_qty,
-              |  ${roundAtSql("sum(l_extendedprice)", 2)} AS sum_price
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin)),
 
     // ── §2.2 projections / filters ──────────────────────────────────────
