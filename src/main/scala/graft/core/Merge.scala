@@ -34,6 +34,11 @@ object Merge {
     */
   def scd1Upsert(snapshot: DataFrame, changes: DataFrame, key: String,
       opCol: String = "op"): DataFrame = {
+    // a snapshot column named like opCol would land in dataCols, force
+    // changes to carry it twice, and emit ambiguous duplicate columns —
+    // reject up front with a usable message instead
+    require(!snapshot.columns.contains(opCol),
+      s"snapshot already has a column named '$opCol'; pass a different opCol")
     val dataCols = snapshot.columns.filterNot(_ == key).toSeq
     val missing = (key +: dataCols :+ opCol).filterNot(changes.columns.contains)
     require(missing.isEmpty,

@@ -255,6 +255,9 @@ object Corpus {
       .join(deg, "src").cache()
     val ids = nodes.select(col(idCol).as("id"))
     val n = ids.count()
+    // n = 0 would silently turn 1/n and (1-d)/n into Infinity and emit
+    // NaN ranks instead of failing where the problem is
+    require(n > 0, "pageRank needs a non-empty node set")
     val base = (1.0 - damping) / n
     var ranks = ids.withColumn("rank", roundAt(lit(1.0 / n), 10))
       .localCheckpoint()

@@ -17,6 +17,11 @@ import org.apache.spark.sql.graftbridge.NativeDataset
   */
 object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+    // empty keys would reach ClusteredDistribution(Nil) in the exec and
+    // die at planning with an opaque internal error; global top-k is
+    // spelled df.orderBy(...).limit(k) (Spark's TakeOrderedAndProject)
+    require(keyCols.nonEmpty,
+      "perKey needs at least one key column; for global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession
     // belt-and-braces registration: sessions configured with
     // spark.sql.extensions=graft.GraftExtensions already have the

@@ -160,30 +160,29 @@ object DedupQueries {
     * propagation round's localCheckpoint blocks, which survive
     * clearCache() and die with the session.
     */
-  // WeakHashMap keyed by session: a stopped/dereferenced SparkSession
-  // must not be pinned for the JVM's life by its cached cluster frames
-  // (the frame's plan references the session, so a strong session key
-  // would leak both). All access synchronized — WeakHashMap isn't
-  // thread-safe and entries can vanish at any GC. The coarse lock also
-  // serializes concurrent cluster builds; callers here (Verify/Bench)
-  // are sequential, and duplicate suppression matters more than build
+  // Keyed by sessionUUID, NOT by the session object: the cached frames
+  // reference their session through queryExecution, so a WeakHashMap
+  // keyed by session could never clear (value → key strong path defeats
+  // the weak key — WeakHashMap javadoc). Instead each access sweeps
+  // entries whose owning context has stopped, so a stopped session's
+  // frames are dropped at the next lookup rather than pinned for the
+  // JVM's life. All access synchronized; the coarse lock also serializes
+  // concurrent cluster builds — callers here (Verify/Bench) are
+  // sequential, and duplicate suppression matters more than build
   // parallelism for a cached table.
-  private val clusterTables = new java.util.WeakHashMap[
-    SparkSession, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]()
+  private val clusterTables = scala.collection.mutable.Map.empty[
+    String, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
 
   private def clustersFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     clusterTables.synchronized {
-      val perSession = {
-        val m = clusterTables.get(s)
-        if (m != null) m
-        else {
-          val m2 = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
-          clusterTables.put(s, m2)
-          m2
-        }
+      clusterTables.filterInPlace { case (_, m) =>
+        m.headOption.forall(!_._2.sparkSession.sparkContext.isStopped)
       }
-      perSession.getOrElseUpdate(dir,
-        graft.corpus.Corpus.dupClusters(Tables.documents(s, dir)))
+      clusterTables
+        .getOrElseUpdate(s.sparkContext.applicationId + "@" + System.identityHashCode(s),
+          scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame])
+        .getOrElseUpdate(dir,
+          graft.corpus.Corpus.dupClusters(Tables.documents(s, dir)))
     }
 
   /** one persisted LSH index per (process, sf dir) for x10: Verify,

@@ -266,7 +266,12 @@ object StreamingOps {
     try ls.iterator().asScala.toSeq
       .map(_.getFileName.toString)
       .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong)
+      .map(_.stripPrefix(prefix))
+      // only pure-numeric suffixes: a stray `v_3.bak` / editor artifact /
+      // partial copy must be skipped, not crash every later micro-batch
+      // with NumberFormatException
+      .filter(_.matches("[0-9]+"))
+      .map(_.toLong)
       .sorted
     finally ls.close()
   }
