@@ -4,19 +4,23 @@ package graft
   * the reference generator's volume and the corpus-curation pipeline
   * (normalize → LSH dedup → split) on the documents table.
   *
-  * Measurement contract: the battery runs as REPS (≥2,
-  * SPARK_GRAFT_BENCH_REPS) INTERLEAVED end-to-end passes — every entry
-  * once, then every entry again — and each entry reports its MIN across
-  * passes. Back-to-back per-entry reps share one box-load window, so a
-  * multi-minute neighbor stall used to poison BOTH reps of every entry
-  * in an alphabetical section (the r4 official record showed t1–t8 at
-  * 5–12× their quiet-box cost; min-of-reps couldn't save it). With
-  * passes separated by the whole battery (~minutes), a stall must recur
-  * at the same entry in every pass to survive into the record. Headline
-  * entries get one extra headline-only pass (≥3 measurements). The max
-  * is retained per query in BENCH_LOCAL.json (`spread`), and the worst
-  * max/min ratio across entries is summarized in the stdout line
-  * (`noise`) so a noisy run is visible in the official record.
+  * Measurement contract: the battery runs as REPS (≥3,
+  * SPARK_GRAFT_BENCH_REPS) INTERLEAVED end-to-end passes — the outer
+  * loop is the pass, the inner loop is every entry once — and each
+  * entry reports its MIN across passes. Back-to-back per-entry reps
+  * share one box-load window, so a multi-minute neighbor stall used to
+  * poison ALL reps of an entry (the r4/r5 official records showed
+  * whole alphabetical sections at 5–20× their quiet-box cost;
+  * min-of-reps couldn't save it). With passes separated by the whole
+  * battery (~minutes), a stall must recur at the same entry in every
+  * pass to survive into the record. Headline entries run in every
+  * pass; if REPS exceeds an entry's rep count the trailing passes are
+  * headline-only. The 1-minute /proc/loadavg is sampled at the start
+  * of each pass and recorded (`loadavg`) so a load-poisoned record is
+  * machine-detectable. The max is retained per query in
+  * BENCH_LOCAL.json (`spread`), and the worst max/min ratio across
+  * entries is summarized in the stdout line (`noise`) so a noisy run
+  * is visible in the official record.
   *
   * Emission contract: the driver captures only a ~2 KiB tail of stdout,
   * and the full 90-query map is ~2.4 KB — longer than the window, which
@@ -47,7 +51,19 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // dev-only subset filter (SPARK_GRAFT_BENCH_ONLY=q1,q2): iterate on one
+    // query's timing without paying the full battery. The driver never sets
+    // it, so official records always cover everything; subset records are
+    // MARKED as such in the JSON so a partial run can never masquerade as
+    // the full battery in BASELINE.md. Empty/blank values mean "no filter".
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    // official (non-subset) runs are pinned to ≥3 passes so min-of-passes
+    // is a trimmed statistic; subset dev runs may drop to 1
+    val reps = math.max(if (only.isDefined) 1 else 3,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = graft.core.Sessions.local("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", graft.core.Sessions.cpus))
     // warm the session (codegen, shuffle service, FS footers) so the
@@ -72,42 +88,10 @@ object Bench {
       phaseMin(key) = math.min(phaseMin.getOrElse(key, Double.MaxValue), sec)
     }
 
-    /** min/max of `reps` timed runs (headline entries get ≥3 reps — on
-      * this noisy box two reps can BOTH land on a stall and poison the
-      * official min; r3's corpus_curate record was 52.9s for a ~10s
-      * pipeline); -1/-1 and an `errors` entry on the first failure
-      * (later reps are skipped — the timing is meaningless).
-      */
-    def timed(name: String)(body: => Unit): (Double, Double) = {
-      val n = if (headline.contains(name)) math.max(reps, 3) else reps
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var i = 0
-      while (i < n && !failed) {
-        val t0 = System.nanoTime()
-        try { body; times += (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => failed = true; errors += name }
-        // queries may cache intermediate frames; drop them so later
-        // runs aren't measured under accumulated memory pressure
-        spark.catalog.clearCache()
-        i += 1
-      }
-      if (failed || times.isEmpty) (-1.0, -1.0) else (times.min, times.max)
-    }
-
-    // dev-only subset filter (SPARK_GRAFT_BENCH_ONLY=q1,q2): iterate on one
-    // query's timing without paying the full battery. The driver never sets
-    // it, so official records always cover everything; subset records are
-    // MARKED as such in the JSON so a partial run can never masquerade as
-    // the full battery in BASELINE.md. Empty/blank values mean "no filter".
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
-    def wanted(name: String): Boolean = only.forall(_.contains(name))
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ── entry construction (setup work runs ONCE here, outside timers) ──
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted(q._1)).map { case (name, fn) =>
-      name -> timed(name) { fn(spark, sfDir).count(); () }
+      name -> (() => { fn(spark, sfDir).count(); () })
     } ++ (if (!wanted("corpus_curate")) Nil else Seq(
       // the composed curation library surface (normalize → LSH near-dup
       // dedup keep-one → deterministic split) on the sf corpus — the
@@ -116,7 +100,7 @@ object Bench {
       // the record shows where the time goes: `cluster` (shingle →
       // LSH → verify → pointer-jumped CC, with its round count) vs
       // `split` (normalize + keeper join + deterministic split).
-      "corpus_curate" -> timed("corpus_curate") {
+      "corpus_curate" -> (() => {
         val docs = graft.core.Tables.documents(spark, sfDir)
         var clusters: org.apache.spark.sql.DataFrame = null
         phaseTimed("corpus_curate.cluster") {
@@ -129,7 +113,7 @@ object Bench {
             .join(clusters.filter(col("keep")).select("doc_id", "cluster_id"),
               Seq("doc_id"))).count(); ()
         }
-      }
+      })
     )) ++ (if (!wanted("curate_incremental")) Nil else locally {
       // incremental batch curation — the DAILY 100 TB operation: a 10%
       // batch curated against the persisted index of the other 90%
@@ -140,11 +124,11 @@ object Bench {
       val docs = graft.core.Tables.documents(spark, sfDir)
       graft.corpus.Corpus.writeLshIndex(
         docs.filter(col("doc_id") % 10 =!= 0), s"$base/seg0")
-      Seq("curate_incremental" -> timed("curate_incremental") {
+      Seq("curate_incremental" -> (() => {
         graft.corpus.Corpus.curateIncremental(
           docs.filter(col("doc_id") % 10 === 0),
           Seq(s"$base/seg0"), s"$base/seg1").count(); ()
-      })
+      }))
     }) ++ Seq(100, 1000).filter(sc => wanted(s"etl_close_scale$sc")).map { scale =>
       // end-to-end monthly close (scan→validate→gate→fact→kpi→sinks) at
       // 100× / 1000× the reference generator's volume — the
@@ -154,10 +138,48 @@ object Bench {
       val base = graft.core.Scratch.dir(s"bench_etl_$scale")
       graft.etl.SampleData.write(s"$base/raw", "2025-12", scale = scale)
       graft.etl.SampleData.writeChartOfAccounts(s"$base/ref")
-      name -> timed(name) {
+      name -> (() => {
         graft.etl.Pipeline.runMonth(spark, graft.etl.Settings(), "2025-12",
           s"$base/raw", s"$base/curated", s"$base/ref"); ()
+      })
+    }
+
+    // ── pass-level interleaved measurement ──────────────────────────────
+    // Outer loop = pass, inner loop = every entry once, so the two
+    // measurements of any entry are separated by the whole battery. An
+    // entry that fails is recorded once in `errors` and skipped in later
+    // passes — its timing would be meaningless.
+    def repsFor(name: String): Int =
+      if (headline.contains(name)) math.max(reps, 3) else reps
+    def loadAvg1m(): String =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")))
+        s.split("\\s+")(0)
+      } catch { case _: Throwable => "-1" }
+    val acc = scala.collection.mutable.LinkedHashMap(
+      entries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val failedEntries = scala.collection.mutable.Set.empty[String]
+    val loadavgs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val maxPass = entries.map { case (n, _) => repsFor(n) }.foldLeft(1)(math.max)
+    var pass = 1
+    while (pass <= maxPass) {
+      loadavgs += loadAvg1m()
+      entries.foreach { case (name, body) =>
+        if (pass <= repsFor(name) && !failedEntries(name)) {
+          val t0 = System.nanoTime()
+          try { body(); acc(name) += (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => failedEntries += name; errors += name }
+          // queries may cache intermediate frames; drop them so later
+          // entries aren't measured under accumulated memory pressure
+          spark.catalog.clearCache()
+        }
       }
+      pass += 1
+    }
+    val results: Seq[(String, (Double, Double))] = entries.map { case (name, _) =>
+      val ts = acc(name)
+      name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0) else (ts.min, ts.max))
     }
 
     def qmap(rs: Seq[(String, (Double, Double))], pick: ((Double, Double)) => Double) =
@@ -172,7 +194,9 @@ object Bench {
       .getOrElse("\"" + sfDir + "\"")
     val subsetJson = only.map(names =>
       s""""subset":[${names.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""").getOrElse("")
-    val common = s"""$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    val loadJson = loadavgs.map(v =>
+      if (v.matches("[0-9.]+")) v else "-1").mkString("[", ",", "]")
+    val common = s"""$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full =

@@ -166,6 +166,8 @@ object Dq {
         .when(checkLower.contains("required"), "ERROR")
         .when(checkLower.contains("dtype"), "ERROR")
         .when(checkLower.contains("account_in_coa"), "ERROR")
+        // a malformed input line is structurally unusable — always ERROR
+        .when(checkLower === "corrupt_record", "ERROR")
         .otherwise("WARN"))
   }
 

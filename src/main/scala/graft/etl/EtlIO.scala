@@ -81,6 +81,65 @@ object EtlIO {
     raw.select(cols: _*)
   }
 
+  /** name of the corrupt-record channel column on audited reads;
+    * never collides with a contract column.
+    */
+  val CorruptCol = "__corrupt_record"
+
+  /** the audited-ingest exceptions frame (dq_exceptions shape): one row
+    * per malformed input line, check `corrupt_record`, the raw line as
+    * the failure_case. An unparseable line has no stable row identity,
+    * so `index`/`column` are null and the context is DataFrameSchema —
+    * same contract as the strict-header checks. The reference's
+    * defining DQ behavior is REPORTING bad input instead of crashing or
+    * silently dropping (quality.py:98–115); without this channel a
+    * broken line became silent nulls.
+    */
+  private def corruptExceptions(raw: DataFrame, dataset: String): DataFrame =
+    raw.filter(org.apache.spark.sql.functions.col(CorruptCol).isNotNull)
+      .select(
+        org.apache.spark.sql.functions.lit(dataset).as("dataset"),
+        org.apache.spark.sql.functions.lit(null).cast("long").as("index"),
+        org.apache.spark.sql.functions.lit(null).cast(StringType).as("column"),
+        org.apache.spark.sql.functions.lit("corrupt_record").as("check"),
+        org.apache.spark.sql.functions.col(CorruptCol).as("failure_case"),
+        org.apache.spark.sql.functions.lit("DataFrameSchema").as("schema_context"),
+        org.apache.spark.sql.functions.lit(null).cast("int").as("check_number"))
+
+  /** [[readCsvRaw]] plus a corrupt-record audit channel: malformed lines
+    * (wrong delimiter count — with an all-strings schema nothing else
+    * can fail) surface as `corrupt_record` exception rows instead of
+    * being silently padded/truncated by PERMISSIVE mode. Returns
+    * (clean rows in contract order, exceptions). The parsed frame is
+    * cached: Spark disallows queries over a raw CSV/JSON scan whose
+    * referenced columns are only the corrupt-record column, and the
+    * exceptions branch is exactly that query — materializing first is
+    * the documented contract (and the pipeline reads both branches, so
+    * the scan is shared, not repeated).
+    */
+  def readCsvRawAudited(spark: SparkSession, path: String, schema: StructType,
+      dataset: String): (DataFrame, DataFrame) = {
+    val actual = csvHeader(path)
+    val asStrings = StructType(actual.map(name =>
+      StructField(name, StringType, nullable = true)) :+
+      StructField(CorruptCol, StringType, nullable = true))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(asStrings)
+      .csv(path)
+      .cache()
+    val cols = schema.fieldNames.toSeq.map { name =>
+      if (actual.contains(name)) org.apache.spark.sql.functions.col(name)
+      else org.apache.spark.sql.functions.lit(null).cast(StringType).as(name)
+    }
+    val clean = raw
+      .filter(org.apache.spark.sql.functions.col(CorruptCol).isNull)
+      .select(cols: _*)
+    (clean, corruptExceptions(raw, dataset))
+  }
+
   /** schema'd CSV read (for already-trusted inputs like the COA). */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     requireExists(path)
@@ -97,6 +156,29 @@ object EtlIO {
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** [[readJsonl]] plus the corrupt-record audit channel: a broken line
+    * (unparseable JSON, or a field whose value can't take the schema'd
+    * type) becomes a `corrupt_record` exception row carrying the raw
+    * line, and is EXCLUDED from the clean frame — reported, not silently
+    * nulled. Returns (clean rows, exceptions); caching rationale as in
+    * [[readCsvRawAudited]].
+    */
+  def readJsonlAudited(spark: SparkSession, path: String, schema: StructType,
+      dataset: String): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt)
+      .json(path)
+      .cache()
+    val clean = raw
+      .filter(org.apache.spark.sql.functions.col(CorruptCol).isNull)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    (clean, corruptExceptions(raw, dataset))
+  }
 
   /** Hive-layout partitioned parquet sink (e.g. month=2025-12/…): the
     * data-lake layout that lets a reader's partition filter skip whole

@@ -50,13 +50,17 @@ object Pipeline {
       Dq.fxSchema(settings) -> s"$rawDir/fx_rates.csv")
 
     // one scan per table: the cached coerced frame feeds both the
-    // exception plans and the downstream fact build
+    // exception plans and the downstream fact build. The audited read
+    // splits off malformed lines as corrupt_record exceptions BEFORE
+    // coercion — a broken line is reported through the DQ gate, never
+    // silently padded into nulls (quality.py:98–115 philosophy).
     val validated = tables.map { case (ts, path) =>
-      val raw = EtlIO.readCsvRaw(spark, path, ts.schema)
+      val (raw, corruptEx) = EtlIO.readCsvRawAudited(spark, path, ts.schema, ts.name)
       val coerced = Validator.coerce(raw, ts).cache()
       val typed = coerced.select(ts.schema.fieldNames.map(col).toSeq: _*)
       val ex = Validator.exceptionsFromCoerced(spark, coerced, ts,
         Some(EtlIO.csvHeader(path)))
+        .unionByName(corruptEx)
       (ts.name, typed, ex, coerced)
     }
     val typedByName = validated.map(v => v._1 -> v._2).toMap

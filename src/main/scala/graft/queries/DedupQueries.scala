@@ -90,8 +90,8 @@ object DedupQueries {
     */
   private[queries] def ngramJaccardCommon(docs: DataFrame,
       saltChunk: Long = 1024L, lengthFilter: Boolean = true,
-      idfWeightDocs: Long = 0L): DataFrame = {
-    val weighted = idfWeightDocs > 0L
+      idfWeighted: Boolean = false): DataFrame = {
+    val weighted = idfWeighted
     val postings = docs.select(col("doc_id"), col("lang"), col("n"),
       explode(col("sh")).as("shingle"))
     val dfCounts = postings.groupBy("lang", "shingle")
@@ -103,13 +103,18 @@ object DedupQueries {
     // because a doc's df = 1 singletons still count toward its W. The
     // window is one extra doc-keyed shuffle of the posting table, paid
     // only when weighting is on; doc-sized partitions, no skew beyond
-    // document length.
+    // document length. The corpus size N is folded into the plan as a
+    // broadcast 1-row aggregate (column pruning reduces it to a
+    // metadata-cheap scan) instead of a separate driver-side count()
+    // job — the weight division reads the scalar per row.
     val withDf0 = postings.join(dfCounts, Seq("lang", "shingle"))
     val withDf =
       if (!weighted) withDf0
       else {
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
         val perDoc = Window.partitionBy("doc_id")
-        withDf0.withColumn("w", lit(idfWeightDocs.toDouble) / col("df"))
+        withDf0.crossJoin(broadcast(nDocs))
+          .withColumn("w", col("__n_docs") / col("df")).drop("__n_docs")
           .withColumn("wsum", sum(col("w")).over(perDoc))
       }
     val p = withDf
@@ -149,6 +154,87 @@ object DedupQueries {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** prefix-filtered containment pairs (PPJoin's prefix principle,
+    * Xiao et al., WWW'08): pairs whose max directional containment
+    * c = |A∩B| / min(|A|,|B|) is ≥ t, with exact counts.
+    *
+    * The full inverted-index self-join's candidate volume is Σ df² over
+    * posting lists — salting spreads it over reducers but nothing
+    * shrinks it, which is the 100 TB failure mode. The prefix filter
+    * shrinks it: order each doc's (df ≥ 2) shingles by ascending global
+    * (df, shingle) and emit only the first ⌊(1−t)·n⌋+1 as PROBE
+    * postings. For any qualifying pair, the smaller doc S has
+    * |A∩B| ≥ t·|S| common shingles, while at most ⌈t·|S|⌉−1 of S's
+    * indexed shingles lie outside its prefix — so at least one common
+    * shingle falls in S's prefix, and probing prefixes against the FULL
+    * index finds every qualifying pair. (The prefix length is computed
+    * against a threshold tightened by 1e-6 so the 6-dp half-even
+    * rounding of the final score can never admit a pair the prefix
+    * already discarded; the full doc size n — including df = 1
+    * singletons — is the basis, which only lengthens the prefix.)
+    * Probe volume concentrates on RARE shingles (ascending-df order),
+    * so hot boilerplate keys mostly vanish from the probe side; the
+    * build side keeps x4's per-key salt fan-out against the ones that
+    * remain (output salt-invariant — DedupSaltSpec).
+    *
+    * Candidates (distinct unordered id pairs) are then verified exactly
+    * from the shingle SETS — two doc-keyed joins and one
+    * array_intersect per candidate — instead of counting via the
+    * posting join, so verification cost rides the (prefix-bounded)
+    * candidate count, not Σ df².
+    */
+  private[queries] def containmentPairs(docs: DataFrame, t: Double,
+      saltChunk: Long = 1024L): DataFrame = {
+    val tEff = t - 1e-6
+    val postings = docs.select(col("doc_id"), col("lang"), col("n"),
+      explode(col("sh")).as("shingle"))
+    val dfCounts = postings.groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // one physical posting build feeds both sides (x4's cache pattern):
+    // the replicated full index is cached; the probe side is its
+    // prefix-and-own-salt subset, so the index isn't recomputed per
+    // join input. Released by spark.catalog.clearCache().
+    val b = postings.join(dfCounts, Seq("lang", "shingle"))
+      .filter(col("df") >= 2)
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("in_prefix",
+        col("rn") <= (floor(col("n") * lit(1.0 - tEff)) + 1).cast("int"))
+      .withColumn("nsalt",
+        least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
+      .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
+      .select("doc_id", "lang", "shingle", "nsalt", "salt", "in_prefix")
+      .cache()
+    val a = b.filter(col("in_prefix") &&
+      col("salt") === pmod(col("doc_id"), col("nsalt")))
+    // probe from EITHER side's prefix (the smaller doc of a pair is not
+    // known up front), normalize to doc_a < doc_b, dedup candidates
+    val cand = a.as("a").join(b.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.salt") === col("b.salt") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"), col("n"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("cont_a_in_b",
+        roundAt(col("common").cast("double") / col("sa.n"), 6))
+      .withColumn("cont_b_in_a",
+        roundAt(col("common").cast("double") / col("sb.n"), 6))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= t)
+      .withColumn("jaccard", roundAt(col("common").cast("double")
+        / (col("sa.n") + col("sb.n") - col("common")), 6))
+      .select(col("doc_a"), col("doc_b"),
+        col("sa.n").cast("long").as("n_a"), col("sb.n").cast("long").as("n_b"),
+        col("common"), col("jaccard"), col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** one materialized cluster table per (session, sf dir) for x17: the
     * keeper POLICY is a window over an existing cluster table, and in
     * production that table is materialized once (x11) and consumed by
@@ -160,26 +246,40 @@ object DedupQueries {
     * propagation round's localCheckpoint blocks, which survive
     * clearCache() and die with the session.
     */
-  // Keyed by sessionUUID, NOT by the session object: the cached frames
-  // reference their session through queryExecution, so a WeakHashMap
-  // keyed by session could never clear (value → key strong path defeats
-  // the weak key — WeakHashMap javadoc). Instead each access sweeps
-  // entries whose owning context has stopped, so a stopped session's
-  // frames are dropped at the next lookup rather than pinned for the
-  // JVM's life. All access synchronized; the coarse lock also serializes
-  // concurrent cluster builds — callers here (Verify/Bench) are
-  // sequential, and duplicate suppression matters more than build
-  // parallelism for a cached table.
+  // Keyed by a monotonically-assigned per-session id, NOT by the session
+  // object: the cached frames reference their session through
+  // queryExecution, so a WeakHashMap keyed by session could never clear
+  // (value → key strong path defeats the weak key — WeakHashMap
+  // javadoc). identityHashCode is not a valid key either — it can
+  // collide, and after a session is GC'd a new one can reuse the hash,
+  // aliasing a dead session's frames onto a live one. The id map itself
+  // IS weak-keyed (its Long values hold no session reference, so weak
+  // keys work there), and ids never repeat. Each access sweeps entries
+  // whose owning context has stopped — plus inner maps left empty by a
+  // failed build — so a stopped session's frames are dropped at the
+  // next lookup rather than pinned for the JVM's life. All access
+  // synchronized; the coarse lock also serializes concurrent cluster
+  // builds — callers here (Verify/Bench) are sequential, and duplicate
+  // suppression matters more than build parallelism for a cached table.
   private val clusterTables = scala.collection.mutable.Map.empty[
-    String, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+    Long, scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]]
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, java.lang.Long]()
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong()
 
   private def clustersFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     clusterTables.synchronized {
+      var id = sessionIds.get(s)
+      if (id == null) {
+        id = java.lang.Long.valueOf(nextSessionId.incrementAndGet())
+        sessionIds.put(s, id)
+      }
       clusterTables.filterInPlace { case (_, m) =>
-        m.headOption.forall(!_._2.sparkSession.sparkContext.isStopped)
+        m.nonEmpty &&
+          m.headOption.forall(!_._2.sparkSession.sparkContext.isStopped)
       }
       clusterTables
-        .getOrElseUpdate(s.sparkContext.applicationId + "@" + System.identityHashCode(s),
+        .getOrElseUpdate(id,
           scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame])
         .getOrElseUpdate(dir,
           graft.corpus.Corpus.dupClusters(Tables.documents(s, dir)))
@@ -642,21 +742,14 @@ object DedupQueries {
         // small because the sizes differ (x2/x4 would never flag them).
         // Pairs where the smaller side is ≥ 40% contained are reported
         // with both directional containments and the jaccard for
-        // context. Same salted inverted-index engine as x4 — one
-        // (lang, shingle) shuffle, exact counts — but with the ×2
-        // length prune OFF: that bound is jaccard-specific and would
-        // drop exactly the asymmetric pairs this op exists to find.
+        // context. The ×2 length prune is jaccard-specific and can't
+        // apply; the scale control is PPJoin prefix filtering instead
+        // — probe postings are only each doc's ⌊(1−t)·n⌋+1 rarest
+        // shingles, so candidate volume rides the prefix df's, not the
+        // unpruned Σ df² (see containmentPairs).
         val docs = withShingles(Tables.documents(s, dir))
           .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
-        ngramJaccardCommon(docs, lengthFilter = false)
-          .withColumn("cont_a_in_b", roundAt(col("common").cast("double") / col("n_a"), 6))
-          .withColumn("cont_b_in_a", roundAt(col("common").cast("double") / col("n_b"), 6))
-          .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.4)
-          .withColumn("jaccard", roundAt(col("common").cast("double")
-            / (col("n_a") + col("n_b") - col("common")), 6))
-          .select(col("doc_a"), col("doc_b"),
-            col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
-            col("common"), col("jaccard"), col("cont_a_in_b"), col("cont_b_in_a"))
+        containmentPairs(docs, 0.4)
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH d AS (
@@ -694,13 +787,12 @@ object DedupQueries {
         // IEEE division each, bit-identical across engines. The measured
         // sf0.01 score distribution gaps at [0.16, 0.67], so the 0.3
         // threshold sits well inside the margin.
-        val docsDf = Tables.documents(s, dir)
-        // scalar N in the weight formula (pageRank's |V| analogue), not
-        // a data collect
-        val nDocs = docsDf.count()
-        val docs = withShingles(docsDf)
+        // scalar N in the weight formula is folded into the plan as a
+        // broadcast 1-row aggregate inside ngramJaccardCommon — no
+        // separate driver-side count() job
+        val docs = withShingles(Tables.documents(s, dir))
           .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
-        ngramJaccardCommon(docs, lengthFilter = false, idfWeightDocs = nDocs)
+        ngramJaccardCommon(docs, lengthFilter = false, idfWeighted = true)
           .withColumn("wjaccard", roundAt(
             col("wc") / (col("w_a") + col("w_b") - col("wc")), 6))
           .filter(col("wjaccard") >= 0.3)

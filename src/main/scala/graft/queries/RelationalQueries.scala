@@ -88,7 +88,8 @@ object RelationalQueries {
             min("o_date_us").as("min_date_us"), max("o_date_us").as("max_date_us"))
           .orderBy("o_orderstatus")
       },
-      Some(s"""SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_cust,
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
               |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
               |  min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS min_date_us,
               |  max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS max_date_us
@@ -116,7 +117,7 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,2)"))
               .cast("double").as("sum_price"))
       },
-      Some(s"""SELECT count(*) AS n, sum(l_orderkey) AS sum_ok,
+      Some(s"""SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
               |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
               |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin)),

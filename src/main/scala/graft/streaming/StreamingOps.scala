@@ -269,8 +269,11 @@ object StreamingOps {
       .map(_.stripPrefix(prefix))
       // only pure-numeric suffixes: a stray `v_3.bak` / editor artifact /
       // partial copy must be skipped, not crash every later micro-batch
-      // with NumberFormatException
-      .filter(_.matches("[0-9]+"))
+      // with NumberFormatException. Bounded at 18 digits: a longer
+      // all-digit name (corrupted/concatenated) would overflow
+      // Long.parseLong and reintroduce the exact crash this guard
+      // exists to prevent; no legitimate version ever reaches 1e18.
+      .filter(_.matches("[0-9]{1,18}"))
       .map(_.toLong)
       .sorted
     finally ls.close()

@@ -42,7 +42,7 @@ class DedupSaltSpec extends SparkSpec {
     def weightedPairs(chunk: Long): Set[(Long, Long, Double, Double, Double)] = {
       val got = DedupQueries
         .ngramJaccardCommon(shingled, chunk, lengthFilter = false,
-          idfWeightDocs = 500L)
+          idfWeighted = true)
         .select("doc_a", "doc_b", "wc", "w_a", "w_b").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getDouble(3), r.getDouble(4))).toSet

@@ -53,6 +53,14 @@ for name in names:
     for c in s.columns:
         a, b = s[c], o[c]
         try:
+            # The driver's repr-hash distinguishes int64 `3700493` from
+            # float64 `3700493.0` even when values match (DuckDB HUGEINT
+            # sums land in pandas as float64). Coercing both sides to
+            # float here would mask exactly that driver fail — so a
+            # float-vs-nonfloat dtype pairing is a mismatch on its own.
+            if (a.dtype.kind == 'f') != (b.dtype.kind == 'f') and not ulp_ok:
+                print(f"{name}: DTYPE MISMATCH on {c}: {a.dtype} vs {b.dtype}")
+                eq = False; break
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 import numpy as np
                 av, bv = a.astype(float).values, b.astype(float).values
