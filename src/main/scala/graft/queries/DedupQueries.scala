@@ -182,8 +182,14 @@ object DedupQueries {
     * array_intersect per candidate — instead of counting via the
     * posting join, so verification cost rides the (prefix-bounded)
     * candidate count, not Σ df².
+    *
+    * This method is the candidate stage, exposed separately so the spec
+    * can measure the prefix filter's reduction and pin salt-invariance
+    * without running the verify join: distinct (doc_a < doc_b) pairs
+    * sharing at least one prefix shingle of either side.
+    * [[containmentPairs]] composes it with the exact verify.
     */
-  private[queries] def containmentPairs(docs: DataFrame, t: Double,
+  private[queries] def containmentCandidates(docs: DataFrame, t: Double,
       saltChunk: Long = 1024L): DataFrame = {
     val tEff = t - 1e-6
     val postings = docs.select(col("doc_id"), col("lang"), col("n"),
@@ -209,7 +215,7 @@ object DedupQueries {
       col("salt") === pmod(col("doc_id"), col("nsalt")))
     // probe from EITHER side's prefix (the smaller doc of a pair is not
     // known up front), normalize to doc_a < doc_b, dedup candidates
-    val cand = a.as("a").join(b.as("b"),
+    a.as("a").join(b.as("b"),
         col("a.lang") === col("b.lang") &&
         col("a.shingle") === col("b.shingle") &&
         col("a.salt") === col("b.salt") &&
@@ -217,6 +223,11 @@ object DedupQueries {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+  }
+
+  private[queries] def containmentPairs(docs: DataFrame, t: Double,
+      saltChunk: Long = 1024L): DataFrame = {
+    val cand = containmentCandidates(docs, t, saltChunk)
     val sets = docs.select(col("doc_id"), col("sh"), col("n"))
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))

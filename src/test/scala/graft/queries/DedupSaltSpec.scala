@@ -154,6 +154,52 @@ class DedupSaltSpec extends SparkSpec {
     }
   }
 
+  test("containment prefix path is salt-invariant and complete vs the unpruned join") {
+    // x20's engine: prefix-filtered candidates + exact set verify. Two
+    // contracts at once — (1) the salted build side never changes the
+    // answer, (2) the prefix filter is LOSSLESS: every pair the
+    // unpruned Σdf² inverted-index join scores ≥ t survives.
+    def pairs(chunk: Long): Set[(Long, Long, Long)] = {
+      val got = DedupQueries.containmentPairs(shingled, 0.4, chunk)
+        .select("doc_a", "doc_b", "common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.clearCache()
+      got
+    }
+    val salted = pairs(2L)
+    val default = pairs(1024L)
+    assert(salted == default)
+    assert(salted.nonEmpty)
+    // ground truth from the unpruned engine (the pre-prefix x20 shape)
+    import graft.functions.MoneyFunctions.roundAt
+    val full = DedupQueries.ngramJaccardCommon(shingled, lengthFilter = false)
+      .withColumn("cont", greatest(
+        roundAt(col("common").cast("double") / col("n_a"), 6),
+        roundAt(col("common").cast("double") / col("n_b"), 6)))
+      .filter(col("cont") >= 0.4)
+      .select("doc_a", "doc_b", "common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(default == full,
+      s"prefix filter dropped/added pairs: only-prefix=${default -- full}, only-full=${full -- default}")
+  }
+
+  test("prefix filter shrinks the candidate volume vs the unpruned pair join") {
+    // the scale claim behind x20's rewrite, measured: distinct candidate
+    // pairs probed by the prefix filter vs distinct co-occurring pairs
+    // in the unpruned inverted-index join (every one of which the old
+    // engine aggregated and scored).
+    val candidates = DedupQueries.containmentCandidates(shingled, 0.4).count()
+    spark.catalog.clearCache()
+    val unpruned = DedupQueries.ngramJaccardCommon(shingled, lengthFilter = false)
+      .count()
+    spark.catalog.clearCache()
+    info(s"candidate pairs: prefix-filtered $candidates vs unpruned $unpruned " +
+      f"(${100.0 * candidates / unpruned}%.1f%%)")
+    assert(candidates < unpruned,
+      s"prefix filter reduced nothing: $candidates vs $unpruned")
+  }
+
   test("the tiny chunk really engages the fan-out (corpus has df > 2 keys)") {
     val maxDf = shingled
       .select(col("lang"), explode(col("sh")).as("shingle"))
