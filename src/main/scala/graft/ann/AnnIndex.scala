@@ -39,6 +39,15 @@ object AnnIndex {
     * `spark.catalog.clearCache()` contract.
     */
   def write(embeddings: DataFrame, path: String): Unit = {
+    // the whole index is built under a staging sibling and swapped in
+    // with directory renames, so a serving reader never opens an index
+    // whose four artifacts are mid-write or from two different builds
+    // (a rebuild over a live index would otherwise serve new centroids
+    // against old codes). Same staged-swap contract as
+    // EtlIO.compactParquet: the no-index window is one rename, and a
+    // crash mid-swap leaves the old index recoverable at `.old`.
+    val staged = s"$path.stage"
+    graft.core.Scratch.deleteTree(java.nio.file.Paths.get(staged))
     val e = SimilarityQueries.toVecs(embeddings).cache()
     val centroids = SimilarityQueries.trainedCentroids(e)
     val assigned = SimilarityQueries.assignNearest(e, centroids)
@@ -47,15 +56,23 @@ object AnnIndex {
     val cb = SimilarityQueries.pqCodebook(subs)
     val codes = SimilarityQueries.pqAssign(subs, cb)
       .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
-    graft.etl.EtlIO.writeParquet(centroids, s"$path/centroids")
-    graft.etl.EtlIO.writeParquet(cb, s"$path/codebooks")
+    graft.etl.EtlIO.writeParquet(centroids, s"$staged/centroids")
+    graft.etl.EtlIO.writeParquet(cb, s"$staged/codebooks")
     graft.etl.EtlIO.writePartitionedParquet(
-      codes.join(assigned, Seq("cand_id")), s"$path/postings", Seq("centroid_id"))
+      codes.join(assigned, Seq("cand_id")), s"$staged/postings", Seq("centroid_id"))
     graft.etl.EtlIO.writePartitionedParquet(
       e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
         .join(assigned, Seq("cand_id")),
-      s"$path/vectors", Seq("centroid_id"))
+      s"$staged/vectors", Seq("centroid_id"))
     e.unpersist()
+    val target = java.nio.file.Paths.get(path)
+    val old = java.nio.file.Paths.get(s"$path.old")
+    graft.core.Scratch.deleteTree(old)
+    if (java.nio.file.Files.exists(target))
+      java.nio.file.Files.move(target, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged), target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.core.Scratch.deleteTree(old)
   }
 
   /** Extend a persisted index with new vectors WITHOUT retraining — the
@@ -94,6 +111,61 @@ object AnnIndex {
     e.unpersist()
   }
 
+  /** Delete vectors from a persisted index WITHOUT retraining or
+    * rewriting postings — the curation-delete path: `ids` (any frame
+    * with a `cand_id` column) land as a tombstone parquet batch under
+    * `tombstones/`, and [[searchIvfPq]] anti-joins them out of the
+    * probed postings BEFORE the ADC shortlist is ranked, so a deleted
+    * vector neither serves results nor occupies a shortlist slot that
+    * would under-fill the survivors' top-k. Without this, curation
+    * deletes leave dead vectors serving queries forever. Tombstone
+    * batches accrete file-by-file (same append discipline as
+    * [[append]]); [[compact]] folds them into the data files and
+    * clears the channel.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("cand_id").cast("long").as("cand_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** the deduplicated tombstone set, or None when nothing was ever
+    * deleted (day-one indexes have no `tombstones/` dir).
+    */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(path, "tombstones")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select("cand_id").distinct())
+  }
+
+  /** Fold accumulated tombstones into the index files: rewrite
+    * `postings/` and `vectors/` without the deleted candidates (staged
+    * + swapped, same crash contract as [[write]]), then drop the
+    * tombstone channel. Centroids and codebooks are untouched — no
+    * retrain. Run this when the tombstone set grows large enough that
+    * the per-search anti-join matters, or on the compaction cadence the
+    * corpus already has.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    tombstones(spark, path).foreach { ts =>
+      val dead = broadcast(ts)
+      Seq("postings", "vectors").foreach { part =>
+        val dir = s"$path/$part"
+        val staged = s"$dir.stage"
+        graft.core.Scratch.deleteTree(java.nio.file.Paths.get(staged))
+        spark.read.parquet(dir).join(dead, Seq("cand_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(staged)
+        val old = java.nio.file.Paths.get(s"$dir.old")
+        graft.core.Scratch.deleteTree(old)
+        java.nio.file.Files.move(java.nio.file.Paths.get(dir), old)
+        java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+          java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        graft.core.Scratch.deleteTree(old)
+      }
+      // tombstones drop LAST: a crash above leaves them in place and the
+      // next search/compact still masks the same dead ids (idempotent)
+      graft.core.Scratch.deleteTree(java.nio.file.Paths.get(path, "tombstones"))
+    }
+
   /** IVF-PQ search over a persisted index: `queries` is any
     * (query_id, v double array, norm) frame — typically a handful of
     * vectors, broadcast throughout. Probes `nprobe` lists, ADC-scores
@@ -105,7 +177,15 @@ object AnnIndex {
       k: Int = 3, nprobe: Int = 2): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebooks")
-    val postings = spark.read.parquet(s"$path/postings")
+    // deleted candidates are masked at the POSTINGS, before ADC ranking:
+    // a tombstoned vector must not hold a shortlist slot (that would
+    // under-fill the survivors' top-k), and the broadcast anti-join
+    // touches only the nprobe partitions the probe stage prunes to
+    val rawPostings = spark.read.parquet(s"$path/postings")
+    val postings = tombstones(spark, path) match {
+      case Some(ts) => rawPostings.join(broadcast(ts), Seq("cand_id"), "left_anti")
+      case None => rawPostings
+    }
     val vectors = spark.read.parquet(s"$path/vectors")
     val q = queries.select(col("query_id"), col("v"), col("norm"))
 

@@ -202,6 +202,73 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** x7's multi-probe LSH search at an arbitrary (hyperplane count,
+    * probe Hamming radius) — AnnRecallSpec sweeps this grid to put
+    * recall@3 AND scanned-corpus fraction on the record, so x7's
+    * production constants (4 planes, radius 1) are a measured knee, not
+    * a guess. Probes are every bucket whose code is within `radius` sign
+    * flips of the query's own: radius 0 = single-probe,
+    * radius = planes = exhaustive scan. The probe fan-out stays on the
+    * tiny broadcast query side; the join is a pure bucket equi-join
+    * exactly as in x7.
+    */
+  private def lshBucketed(s: SparkSession, dir: String, planes: Int): DataFrame = {
+    val withP = (0 until planes).foldLeft(vecs(s, dir)) { (d, p) =>
+      d.withColumn(planeExprName(p),
+        array((0 until 64).map(dd => lit(planeSign(p, dd))): _*))
+    }
+    val bucket = (0 until planes).map { p =>
+      when(expr(s"aggregate(zip_with(v, ${planeExprName(p)}, (x, s) -> x * s), " +
+        "cast(0 as double), (acc, x) -> acc + x)") >= 0,
+        lit(1 << (planes - 1 - p))).otherwise(lit(0))
+    }.reduce(_ + _)
+    withP.withColumn("bucket", bucket)
+      .drop((0 until planes).map(planeExprName): _*)
+  }
+
+  private def probeMasks(planes: Int, radius: Int): Seq[Int] =
+    (0 until (1 << planes)).filter(Integer.bitCount(_) <= radius)
+
+  private[queries] def lshSearch(s: SparkSession, dir: String,
+      planes: Int, radius: Int): DataFrame = {
+    val e = lshBucketed(s, dir, planes)
+    val masks = probeMasks(planes, radius)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v"), col("norm"), col("bucket"))
+      .withColumn("probe",
+        explode(array(masks.map(m => expr(s"int(bucket) ^ $m")): _*)))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("v"), col("norm"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    corpus.as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.probe") === col("c.bucket") && col("q.query_id") =!= col("c.cand_id"))
+      .withColumn("cosine", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+      .select(col("q.query_id").as("query_id"), col("c.cand_id").as("cand_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Candidate volume of [[lshSearch]] at a config: rows surviving the
+    * bucket equi-join, i.e. exact-scored candidates. Divided by
+    * queries × (corpus − 1) this is the scanned fraction — the cost axis
+    * of the recall/cost knee.
+    */
+  private[queries] def lshScanned(s: SparkSession, dir: String,
+      planes: Int, radius: Int): Long = {
+    val e = lshBucketed(s, dir, planes)
+    val masks = probeMasks(planes, radius)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+      .withColumn("probe",
+        explode(array(masks.map(m => expr(s"int(bucket) ^ $m")): _*)))
+    e.select(col("vec_id").as("cand_id"), col("bucket")).as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.probe") === col("c.bucket") && col("q.query_id") =!= col("c.cand_id"))
+      .count()
+  }
+
   /** corpus → nearest trained centroid (rank 1 by rounded cosine desc,
     * centroid id asc) — one narrow pass against the 8-row broadcast.
     */

@@ -279,6 +279,62 @@ object StreamingOps {
     finally ls.close()
   }
 
+  /** Atomic versioned publish: run `write` against a dot-named staging
+    * directory, then ONE same-filesystem rename into place. A reader
+    * listing versions ([[numberedVersions]] skips dot-names) therefore
+    * NEVER sees a partial version — before the rename the name does not
+    * exist, after it the directory is complete, _SUCCESS included. The
+    * in-place `df.write.parquet(v_N)` it replaces created the directory
+    * at job start and filled it file by file, so a concurrent reader
+    * could list v_N mid-write and read a half-written snapshot. A
+    * leftover stage from a crashed publish is cleared on the next
+    * publish of the same version (replay); replay of an already-visible
+    * version still has a delete-then-rename window, which is why
+    * readers that need monotonic consistency follow the `_LATEST`
+    * pointer ([[latestCompleteVersion]]) instead of the listing.
+    */
+  private def publishDirAtomic(basePath: String, dirName: String)(
+      write: String => Unit): Unit = {
+    val base = java.nio.file.Paths.get(basePath)
+    java.nio.file.Files.createDirectories(base)
+    val stage = base.resolve(s".stage_$dirName")
+    graft.core.Scratch.deleteTree(stage)
+    write(stage.toString)
+    val target = base.resolve(dirName)
+    graft.core.Scratch.deleteTree(target)
+    java.nio.file.Files.move(stage, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Advance the newest-complete-version pointer (`_LATEST` under the
+    * versioned base) to `n` — atomically (temp file + rename), and only
+    * forward: a REPLAYED micro-batch re-publishes an older version and
+    * must not move serving readers back in time.
+    */
+  private def advanceLatestPointer(basePath: String, n: Long): Unit = {
+    val base = java.nio.file.Paths.get(basePath)
+    if (latestCompleteVersion(basePath).forall(_ < n)) {
+      val tmp = base.resolve("._LATEST.tmp")
+      java.nio.file.Files.writeString(tmp, n.toString)
+      java.nio.file.Files.move(tmp, base.resolve("_LATEST"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The newest COMPLETE published version under a versioned base, from
+    * the `_LATEST` pointer — what a serving reader should open. The
+    * directory listing is also safe under atomic publish (any listed
+    * version is complete), but the pointer additionally never moves
+    * backward across replays. None before the first publish.
+    */
+  def latestCompleteVersion(basePath: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(basePath, "_LATEST")
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try(
+      java.nio.file.Files.readString(p).trim.toLong).toOption
+  }
+
   /** Incremental curation as a STREAM — the rolling-ingest production
     * loop: each micro-batch is curated against the seed index plus
     * every segment written by the batches before it
@@ -303,11 +359,16 @@ object StreamingOps {
         val priorSegs = numberedVersions(segmentBasePath, "seg_")
           .filter(_ < batchId) // replay: ignore own/future
           .map(n => s"$segmentBasePath/seg_$n")
-        val curated = graft.corpus.Corpus.curateIncremental(
-          batch.toDF(), seedIndexPaths ++ priorSegs,
-          s"$segmentBasePath/seg_$batchId", threshold, qualityGate)
-        curated.write.mode("overwrite")
-          .parquet(s"$outputPath/batch_id=$batchId")
+        // segment staged + renamed in LAST: a visible segment implies
+        // its output partition is already complete
+        publishDirAtomic(segmentBasePath, s"seg_$batchId") { stagePath =>
+          val curated = graft.corpus.Corpus.curateIncremental(
+            batch.toDF(), seedIndexPaths ++ priorSegs,
+            stagePath, threshold, qualityGate)
+          curated.write.mode("overwrite")
+            .parquet(s"$outputPath/batch_id=$batchId")
+        }
+        advanceLatestPointer(segmentBasePath, batchId)
         batch.sparkSession.catalog.clearCache()
       }
       .start()
@@ -337,8 +398,11 @@ object StreamingOps {
           .lastOption.map(n => s"$snapshotBasePath/v_$n")
           .getOrElse(seedSnapshotPath)
         val snap = spark.read.parquet(prior)
-        graft.core.Merge.scd1Upsert(snap, batch.toDF(), key)
-          .write.mode("overwrite").parquet(s"$snapshotBasePath/v_$batchId")
+        val merged = graft.core.Merge.scd1Upsert(snap, batch.toDF(), key)
+        publishDirAtomic(snapshotBasePath, s"v_$batchId") { stagePath =>
+          merged.write.mode("overwrite").parquet(stagePath)
+        }
+        advanceLatestPointer(snapshotBasePath, batchId)
       }
       .start()
 
@@ -376,10 +440,15 @@ object StreamingOps {
         val updated = graft.corpus.Corpus.updateClusters(
           spark.read.parquet(priorLabels), batch.toDF(),
           seedIndexPaths ++ priorSegs, threshold)
-        updated.select("doc_id", "cluster_id")
-          .write.mode("overwrite").parquet(s"$basePath/labels/v_$batchId")
-        graft.corpus.Corpus.writeLshIndex(batch.toDF(),
-          s"$basePath/segments/seg_$batchId")
+        publishDirAtomic(s"$basePath/labels", s"v_$batchId") { stagePath =>
+          updated.select("doc_id", "cluster_id")
+            .write.mode("overwrite").parquet(stagePath)
+        }
+        advanceLatestPointer(s"$basePath/labels", batchId)
+        publishDirAtomic(s"$basePath/segments", s"seg_$batchId") { stagePath =>
+          graft.corpus.Corpus.writeLshIndex(batch.toDF(), stagePath)
+        }
+        advanceLatestPointer(s"$basePath/segments", batchId)
         spark.catalog.clearCache()
       }
       .start()

@@ -94,4 +94,91 @@ class AnnIndexSpec extends SparkSpec {
     probeQ.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("delete masks tombstoned vectors at once; compact folds them in; no retrain either way") {
+    import graft.queries.SimilarityQueries
+    val base = tmpDir("ann_index_delete")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    AnnIndex.write(emb, s"$base/index")
+    spark.catalog.clearCache()
+    val queries = SimilarityQueries.toVecs(emb).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v"), col("norm"))
+      .cache()
+
+    def search(k: Int): Seq[(Long, Long, Double, Int)] =
+      AnnIndex.searchIvfPq(spark, s"$base/index", queries, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+
+    // delete every query's CURRENT top-1 — the harshest case: the next
+    // candidate must be promoted, never a hole left at rank 1
+    val pre = search(10)
+    val victims = pre.filter(_._4 == 1).map(_._2).distinct
+    assert(victims.nonEmpty)
+    val trainedFiles = {
+      import scala.jdk.CollectionConverters._
+      Seq("centroids", "codebooks").flatMap { d =>
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$base/index/$d"))
+        try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => (f.toString, java.nio.file.Files.size(f))).toList
+        finally walk.close()
+      }.sorted
+    }
+
+    import spark.implicits._
+    AnnIndex.delete(spark, s"$base/index", victims.toDF("cand_id"))
+    val post = search(3)
+    // 1) a deleted id is never returned
+    assert(post.forall(r => !victims.contains(r._2)), s"tombstoned id served: $post")
+    // 2) recall on survivors is NEVER WORSE than the pre-delete ranking
+    //    with the victims struck out and re-ranked: deleting at the
+    //    postings frees ADC-shortlist slots, so a survivor that a
+    //    victim squeezed out pre-delete may now enter and outrank the
+    //    struck-out baseline — per-rank score may rise, never fall
+    val struckBaseline = pre.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(_._4).filterNot(r => victims.contains(r._2)).take(3)
+        .zipWithIndex.map { case (r, i) => (r._2, r._3, i + 1) }
+    }
+    val postByQ = post.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.sortBy(_._4).map(r => (r._2, r._3, r._4))
+    }
+    struckBaseline.foreach { case (q, base) =>
+      val got = postByQ.getOrElse(q, Nil)
+      assert(got.map(_._3) == (1 to got.size).toList, s"rank hole for query $q: $got")
+      base.zip(got).foreach { case ((bId, bScore, rank), (gId, gScore, _)) =>
+        assert(gScore >= bScore - 1e-12,
+          s"query $q rank $rank regressed: had ($bId, $bScore), got ($gId, $gScore)")
+      }
+      assert(got.size >= base.size, s"query $q under-filled: base=$base got=$got")
+    }
+
+    // 3) compaction folds tombstones into the files and clears the channel
+    val preVec = spark.read.parquet(s"$base/index/vectors").count()
+    val prePost = spark.read.parquet(s"$base/index/postings").count()
+    AnnIndex.compact(spark, s"$base/index")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/index/tombstones")), "tombstones not cleared")
+    assert(spark.read.parquet(s"$base/index/vectors").count() ==
+      preVec - victims.size)
+    assert(spark.read.parquet(s"$base/index/postings").count() ==
+      prePost - victims.size * 8, "8 PQ codes per deleted vector")
+    assert(search(3).toSet == post.toSet, "compaction changed the answer")
+    // 4) no retrain: the trained artifacts are byte-for-byte untouched
+    val trainedAfter = {
+      import scala.jdk.CollectionConverters._
+      Seq("centroids", "codebooks").flatMap { d =>
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$base/index/$d"))
+        try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => (f.toString, java.nio.file.Files.size(f))).toList
+        finally walk.close()
+      }.sorted
+    }
+    assert(trainedAfter == trainedFiles, "delete/compact touched trained artifacts")
+    // idempotent: compacting with no tombstones is a no-op
+    AnnIndex.compact(spark, s"$base/index")
+    queries.unpersist()
+    spark.catalog.clearCache()
+  }
 }

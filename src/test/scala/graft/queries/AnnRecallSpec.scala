@@ -61,6 +61,56 @@ class AnnRecallSpec extends SparkSpec {
     assert(rIvfPq >= 0.6, f"IVF-PQ refined recall collapsed: $rIvfPq%.3f")
   }
 
+  test("LSH recall@3 vs (hyperplanes, probe radius): x7's config is a measured point on the record") {
+    // the recall/cost grid behind x7's constants. Each cell: recall@3
+    // against brute force, and the scanned-corpus fraction (candidates
+    // exactly scored / queries×(N−1)) — the cost axis. Radius 0 is
+    // single-probe; radius = planes is brute force by construction.
+    val exact = topk("x6_ann_bruteforce_topk", 3)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val grid = for {
+      planes <- Seq(3, 4, 5, 6)
+      radius <- Seq(0, 1, 2)
+    } yield {
+      val r = recallAt3(topkOf(SimilarityQueries.lshSearch(spark, dir, planes, radius), 3), exact)
+      val frac = SimilarityQueries.lshScanned(spark, dir, planes, radius)
+        .toDouble / (10.0 * (n - 1))
+      spark.catalog.clearCache()
+      ((planes, radius), (r, frac))
+    }
+    grid.foreach { case ((p, rad), (r, frac)) =>
+      info(f"recall@3 LSH planes=$p radius=$rad: $r%.3f (scans ${frac * 100}%.1f%% of corpus)")
+    }
+    println("LSH RECALL@3 GRID: " + grid.map { case ((p, rad), (r, frac)) =>
+      f"p$p/r$rad=$r%.3f@${frac * 100}%.0f%%"
+    }.mkString(" "))
+    val m = grid.toMap
+    // sanity: the x7 production cell matches what x7 itself serves
+    val x7 = recallAt3(topk("x7_ann_lsh_bucketed", 3), exact)
+    spark.catalog.clearCache()
+    assert(math.abs(m((4, 1))._1 - x7) < 1e-9,
+      f"grid cell (4,1)=${m((4, 1))._1}%.3f disagrees with live x7=$x7%.3f")
+    // recall must be monotone in radius at fixed planes (more probes can
+    // only add candidates) — a violation means the probe set is broken
+    Seq(3, 4, 5, 6).foreach { p =>
+      assert(m((p, 0))._1 <= m((p, 1))._1 + 1e-9 &&
+        m((p, 1))._1 <= m((p, 2))._1 + 1e-9, s"recall not monotone in radius at planes=$p")
+    }
+    // why x7 STAYS at (4 planes, radius 1) despite recall 0.433: on this
+    // corpus no LSH cell reaches recall 0.6 without scanning ~half the
+    // corpus (measured: 0.567@51%, 0.667@50%, 0.800@69%, 0.900@87%) —
+    // brute-force territory — while the trained IVF (x8) serves 0.900
+    // probing 2 of 8 lists. Sign-random-hyperplane LSH just trades
+    // scan fraction for recall near-linearly here; x7's value is the
+    // bucket equi-join SHAPE at scale, and (4,1) is the low-cost point.
+    // If the data ever admits a cheap ≥0.6 cell, this assertion fires:
+    // move x7's constants to that cell instead of keeping (4,1).
+    grid.filter(_._2._1 >= 0.6).foreach { case ((p, rad), (r, frac)) =>
+      assert(frac >= 0.45,
+        f"planes=$p radius=$rad reaches $r%.3f at ${frac * 100}%.0f%% scan — a cheap ≥0.6 config exists; move x7 there")
+    }
+  }
+
   test("IVF recall@3 vs Lloyd training depth: LLOYD_ITERS sits at the knee") {
     // the training-honesty record: recall per unrolled Lloyd round
     // (0 = raw first-8-vectors seed). The production setting (2, the

@@ -87,8 +87,10 @@ class PlanAuditSpec extends SparkSpec {
     // size gate (autoBroadcastJoinThreshold against actual stats), which
     // degrades to a shuffle join at scale — so the invariant to enforce
     // is "no ResolvedHint in the logical plan", not "no broadcast ever".
-    // (y3_tfidf_topk is excluded: its one hint broadcasts a single-row
-    // global-count aggregate — bounded by construction, not O(corpus);
+    // (y3_tfidf_topk and x28_weighted_jaccard are excluded: their one
+    // hint each broadcasts a single-row global-count aggregate — bounded
+    // by construction, not O(corpus); x28's is the corpus-N scalar that
+    // replaced a separate driver-side count() job.
     // x12_embedding_centroids is excluded: its one hint broadcasts the
     // per-label centroid-array table — |labels| rows by construction)
     Seq("x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x5_dedup_cosine",
@@ -97,12 +99,24 @@ class PlanAuditSpec extends SparkSpec {
         "x16_sketch_source_overlap", "y5_contamination_check",
         "t7_unigram_logprob", "x21_curate_incremental",
         "x22_cluster_size_profile", "t9_boilerplate_ngrams",
-        "t14_substring_dedup", "x28_weighted_jaccard",
+        "t14_substring_dedup",
         "x29_dedup_clusters_update").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
         s"$q hard-codes a join-strategy hint on a corpus-sized table:\n$lp")
     }
+    // x28's only allowed hint is the corpus-N scalar: every ResolvedHint
+    // occurrence (the 1-row count aggregate lands in BOTH branches of the
+    // self-join, so it shows up twice) must sit directly on that
+    // aggregate — a hint that moved onto a corpus-sized side fails
+    val x28 = SparkEntry.queries("x28_weighted_jaccard")(spark, dir)
+      .queryExecution.analyzed.toString.linesIterator.toList
+    val hintChildren = x28.zipWithIndex.collect {
+      case (l, i) if l.contains("ResolvedHint") => x28(i + 1)
+    }
+    assert(hintChildren.nonEmpty && hintChildren.forall(l =>
+      l.contains("Aggregate") && l.contains("count(1)")),
+      s"x28 hints a non-scalar side:\n${x28.mkString("\n")}")
   }
 
   test("split/sample assignment plans are narrow: no joins, no aggregates, one sort exchange") {

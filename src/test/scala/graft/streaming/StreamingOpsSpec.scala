@@ -533,6 +533,87 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("multiple change rows"), ex.getMessage)
   }
 
+  test("atomic publish: a concurrent reader never lists a partial snapshot version") {
+    // the serving contract behind the staged-rename publish: while the
+    // CDC stream writes versions, a reader thread hammers the listing —
+    // every version it ever observes must already be COMPLETE (_SUCCESS
+    // present the instant the name is visible), and the _LATEST pointer
+    // must exist only for complete versions and never move backward.
+    // Under the old in-place `df.write.parquet(v_N)` the directory was
+    // listable for the whole parquet job before _SUCCESS landed, which
+    // this poller catches reliably.
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("stream_cdc_atomic")
+    val snapDir = s"$base/snapshots"
+    Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_acctbal")
+      .write.parquet(s"$base/seed")
+
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stopPoll = false
+    val poller = new Thread(() => {
+      var lastPtr = -1L
+      val p = java.nio.file.Paths.get(snapDir)
+      while (!stopPoll) {
+        if (java.nio.file.Files.exists(p)) {
+          // pointer FIRST, listing second: versions are never deleted in
+          // this run, so a version pointed at t0 must be in any listing
+          // taken after t0 — the reverse order would race a publish
+          // landing between the two reads
+          val ptrOpt = StreamingOps.latestCompleteVersion(snapDir)
+          val ls = java.nio.file.Files.list(p)
+          val names =
+            try {
+              import scala.jdk.CollectionConverters._
+              ls.iterator().asScala.map(_.getFileName.toString).toList
+            } finally ls.close()
+          names.filter(_.startsWith("v_")).foreach { n =>
+            if (!java.nio.file.Files.exists(p.resolve(n).resolve("_SUCCESS")))
+              violations.add(s"listed $n without _SUCCESS")
+          }
+          ptrOpt.foreach { ptr =>
+            if (ptr < lastPtr) violations.add(s"pointer went back $lastPtr -> $ptr")
+            if (!names.contains(s"v_$ptr"))
+              violations.add(s"pointer at $ptr but v_$ptr not listed")
+            lastPtr = math.max(lastPtr, ptr)
+          }
+        }
+        Thread.onSpinWait()
+      }
+    })
+    poller.start()
+
+    val input = MemoryStream[CdcRow]
+    val query = StreamingOps.cdcUpsertStream(input.toDF(), s"$base/seed",
+      snapDir, s"$base/ckpt", "c_custkey")
+    try {
+      (0 until 3).foreach { i =>
+        input.addData(Seq(
+          CdcRow(910000L + i, s"new-$i", "FRESH", i.toDouble, "I"),
+          CdcRow(1L + i, s"upd-$i", "MERGED", 1.0, "U")))
+        query.processAllAvailable()
+      }
+    } finally {
+      query.stop()
+      stopPoll = true
+      poller.join(10000)
+    }
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    // the pointer serves the newest complete version
+    assert(StreamingOps.latestCompleteVersion(snapDir).contains(2L))
+    assert(spark.read.parquet(s"$snapDir/v_2").count() > 0)
+    // no staging debris survives a clean run
+    val leftover = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(snapDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".stage_")).toList
+      } finally ls.close()
+    }
+    assert(leftover.isEmpty, s"staging debris: $leftover")
+  }
+
   test("continuously maintained clusters: final streamed labels equal the full rebuild") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = graft.core.Tables.documents(spark, sfDir)
