@@ -177,9 +177,16 @@ object Bench {
       }
       pass += 1
     }
+    // per-entry (min over all passes, max over WARM passes): the first
+    // pass pays one-time per-query costs (codegen, JIT, parquet footers
+    // — measured up to 26× on sub-second entries) that would read as
+    // load poisoning in the noise summary, so with ≥3 samples the first
+    // is excluded from the max. The min keeps every sample (cold ≥ warm,
+    // so it can only come from a warm pass anyway).
     val results: Seq[(String, (Double, Double))] = entries.map { case (name, _) =>
       val ts = acc(name)
-      name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0) else (ts.min, ts.max))
+      name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0)
+               else (ts.min, (if (ts.size >= 3) ts.drop(1) else ts).max))
     }
 
     def qmap(rs: Seq[(String, (Double, Double))], pick: ((Double, Double)) => Double) =
