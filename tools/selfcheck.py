@@ -33,6 +33,10 @@ def cell_eq(a, b):
         return (pd.isna(b) if not isinstance(b, tuple) else False)
     if isinstance(a, float) and isinstance(b, float):
         return repr(float(a)) == repr(float(b)) or a == b
+    if isinstance(a, float) != isinstance(b, float):
+        # int64 vs float64 reprs differ ('3700493' vs '3700493.0') even when
+        # values are ==; the driver hashes reprs, so this must FAIL here too.
+        return False
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
     return a == b
