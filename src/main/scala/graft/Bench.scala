@@ -203,7 +203,11 @@ object Bench {
       s""""subset":[${names.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""").getOrElse("")
     val loadJson = loadavgs.map(v =>
       if (v.matches("[0-9.]+")) v else "-1").mkString("[", ",", "]")
-    val common = s"""$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    // errored entries contribute nothing to `total`, so a total with
+    // errors present is NOT comparable round-over-round — flag it
+    // machine-readably instead of letting a smaller battery read as faster
+    val incomplete = if (errors.nonEmpty) """"total_incomplete":true,""" else ""
+    val common = s"""$incomplete$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full =

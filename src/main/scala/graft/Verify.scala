@@ -12,12 +12,14 @@ object Verify {
     val spark = graft.core.Sessions.local("graft-verify",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
@@ -37,6 +39,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every query this dump ATTEMPTED plus the ones that
+    // crashed. A crashed query writes no parquet, so without this a
+    // result-set shrink reads as "all green" (round 6 lost 7 queries
+    // silently: 145/148 looked healthier than 150/155). selfcheck.py
+    // cross-references this and fails loudly on any absent name.
+    def arr(names: Iterable[String]) =
+      names.toSeq.sorted.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"attempted":${arr(attempted.keys)},"failed":${arr(failed)}}""")
+    // Loud but exit-0: a non-zero exit might make the driver discard the
+    // healthy dumps too. Hard failure lives in tools/selfcheck.py.
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${attempted.size} queries FAILED: ${failed.sorted.mkString(", ")}")
     spark.stop()
   }
 }

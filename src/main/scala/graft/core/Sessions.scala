@@ -30,10 +30,13 @@ object Sessions {
       // zero to inf/NaN instead of raising (SURVEY §7.4) — ANSI off gives
       // null-on-error cast/arith, matching `errors="coerce"` semantics.
       .config("spark.sql.ansi.enabled", "false")
-      // The driver testdata's events.parquet stores TIMESTAMP(NANOS),
-      // which Spark cannot read natively; read as long and convert
-      // (Tables.eventsTs normalizes to TimestampType at µs).
+      // The driver testdata's events.parquet ts encoding has drifted across
+      // rounds: TIMESTAMP(NANOS) → µs LTZ → µs isAdjustedToUTC=false. Read
+      // nanos as long and convert (Tables.normalizeEventTs), and disable NTZ
+      // inference so µs/isAdjustedToUTC=false reads as TimestampType (session
+      // TZ is UTC, so instants are identical either way).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // streaming state posture for the 100 TB story: RocksDB keeps
       // operator state (dedup sets, windows, sessions, join buffers)
       // off-heap and spillable instead of on the executor heap, with

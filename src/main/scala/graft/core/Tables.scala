@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish testdata
   * (`/root/testdata/sf*`, see TESTDATA.md). One parquet file per table.
@@ -31,10 +31,13 @@ object Tables {
 
   /** `events` with `ts` normalized to TimestampType (µs).
     *
-    * The testdata stores TIMESTAMP(NANOS), which Spark reads only as a
-    * nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * [[Sessions]] / Verify / Bench). Values are ms-grain so the ns→µs
-    * integer division is lossless.
+    * The testdata's `ts` encoding has changed across driver versions —
+    * TIMESTAMP(NANOS) (readable only as a nanosecond Long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), µs `isAdjustedToUTC=true`
+    * (TimestampType directly), and µs `isAdjustedToUTC=false` (inferred as
+    * TIMESTAMP_NTZ unless `spark.sql.parquet.inferTimestampNTZ.enabled` is
+    * off). [[normalizeEventTs]] is schema-driven so all three land on the
+    * same TimestampType column regardless of session conf.
     */
   def eventsTs(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(events(s, d))
@@ -45,8 +48,11 @@ object Tables {
   def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       // `div`, not `/`: ns epochs (~1.7e18) overflow double precision.
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Session TZ is pinned UTC (Sessions.local), so NTZ wall-clock values
+      // cast to identical instants; `unix_micros` and window exprs then work.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
     }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -52,6 +52,19 @@ def main():
     failures, passed, rows_only = [], [], []
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # Absence must be loud: a crashed query writes no parquet dir, so
+    # without the manifest cross-check a shrinking result set reads as
+    # healthier (round 6: 7 queries silently absent, 145/148 "green").
+    mpath = f"{out_dir}/manifest.json"
+    if os.path.exists(mpath):
+        manifest = json.load(open(mpath))
+        for name in manifest.get("attempted", []):
+            if name not in names:
+                failures.append((name, "ABSENT: query attempted but wrote no output"
+                                 + (" (crashed in Verify)" if name in manifest.get("failed", []) else "")))
+    else:
+        failures.append(("<manifest>", "manifest.json missing from verify dump — "
+                         "absent queries would be invisible; re-run graft.Verify"))
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
