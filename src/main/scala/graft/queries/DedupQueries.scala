@@ -190,7 +190,7 @@ object DedupQueries {
     * [[containmentPairs]] composes it with the exact verify.
     */
   private[queries] def containmentCandidates(docs: DataFrame, t: Double,
-      saltChunk: Long = 1024L): DataFrame = {
+      saltChunk: Long = 1024L, maxLenRatio: Option[Double] = None): DataFrame = {
     val tEff = t - 1e-6
     val postings = docs.select(col("doc_id"), col("lang"), col("n"),
       explode(col("sh")).as("shingle"))
@@ -209,20 +209,59 @@ object DedupQueries {
       .withColumn("nsalt",
         least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
       .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
-      .select("doc_id", "lang", "shingle", "nsalt", "salt", "in_prefix")
+      .select("doc_id", "lang", "n", "shingle", "nsalt", "salt", "in_prefix")
       .cache()
     val a = b.filter(col("in_prefix") &&
       col("salt") === pmod(col("doc_id"), col("nsalt")))
     // probe from EITHER side's prefix (the smaller doc of a pair is not
-    // known up front), normalize to doc_a < doc_b, dedup candidates
-    a.as("a").join(b.as("b"),
-        col("a.lang") === col("b.lang") &&
-        col("a.shingle") === col("b.shingle") &&
-        col("a.salt") === col("b.salt") &&
-        col("a.doc_id") =!= col("b.doc_id"))
+    // known up front), normalize to doc_a < doc_b, dedup candidates.
+    // Jaccard callers pass maxLenRatio (= 1/tEff): j ≥ t with c ≤ min
+    // forces max ≤ min/t, so the size prune inside the join predicate is
+    // output-preserving there. Containment callers must see ALL ratios.
+    val baseCond = col("a.lang") === col("b.lang") &&
+      col("a.shingle") === col("b.shingle") &&
+      col("a.salt") === col("b.salt") &&
+      col("a.doc_id") =!= col("b.doc_id")
+    val cond = maxLenRatio.fold(baseCond)(r => baseCond &&
+      greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * lit(r))
+    a.as("a").join(b.as("b"), cond)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+  }
+
+  /** PPJoin-prefix-filtered exact n-gram Jaccard pairs (j ≥ t), the
+    * candidate-then-verify twin of [[ngramJaccardCommon]]'s count-everything
+    * inverted index.
+    *
+    * Prefix validity for Jaccard at the same t as containment: j ≥ t with
+    * c ≤ min(n_a, n_b) gives c ≥ t·(n_a + n_b − c) ≥ t·(max + c − c) — i.e.
+    * c ≥ t·n_a AND c ≥ t·n_b individually — so a qualifying pair shares a
+    * shingle inside EACH side's ⌊(1−t)·n⌋+1-rarest prefix, and probing
+    * prefixes against the full index ([[containmentCandidates]]) loses
+    * nothing. Jaccard additionally bounds the size ratio (max ≤ min/t),
+    * pruned inside the candidate join where containment can't. Verification
+    * is exact from the shingle sets, so its cost rides the prefix-bounded
+    * candidate count rather than Σ df². Both thresholds use t−1e-6 so the
+    * 6-dp half-even rounding of the reported score can never admit a pair
+    * the candidate stage discarded. Lossless-vs-unpruned pinned in
+    * DedupSaltSpec alongside x20's.
+    */
+  private[queries] def ngramJaccardPairsPrefix(docs: DataFrame, t: Double,
+      saltChunk: Long = 1024L): DataFrame = {
+    val tEff = t - 1e-6
+    val cand = containmentCandidates(docs, t, saltChunk,
+      maxLenRatio = Some(1.0 / tEff))
+    val sets = docs.select(col("doc_id"), col("lang"), col("sh"), col("n"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("jaccard", roundAt(col("common").cast("double")
+        / (col("sa.n") + col("sb.n") - col("common")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("sa.lang").as("lang"), col("jaccard"))
   }
 
   private[queries] def containmentPairs(docs: DataFrame, t: Double,
@@ -689,51 +728,30 @@ object DedupQueries {
         // shingle (jaccard 0) never materialize. This is the shape that
         // survives a 100× scale-up; the all-pairs variant does not.
         //
-        // Note on prefix filtering (AllPairs/PPJoin, Bayardo WWW'07):
-        // pruning the index to each doc's floor((1-t)|s|)+1 rarest
-        // shingles is the standard further step for realistic Zipfian
-        // vocabularies; measured here it LOSES (~20s vs ~15s at sf0.1)
-        // because the synthetic 31-word corpus makes every shingle hot
-        // and the per-candidate array verify outweighs the pruning —
-        // revisit if the corpus vocabulary grows.
+        // Scale shape, r7 (PPJoin, Xiao et al. WWW'08): candidate pairs
+        // from each doc's ⌊(1−t)·n⌋+1 RAREST shingles probed against the
+        // full salted index ([[containmentCandidates]] — prefix validity
+        // for jaccard proven at [[ngramJaccardPairsPrefix]]), with the
+        // jaccard-only size prune max(n) ≤ min(n)/t inside the candidate
+        // join, then EXACT verification from the shingle sets. Candidate
+        // volume rides the prefix df's, not the unpruned Σ df²; the
+        // verify cost rides the candidate count. An earlier (r4) prefix
+        // attempt without the size prune and with per-pair posting
+        // counting measured slower than the count-everything index
+        // (~20s vs ~15s); this candidate-then-verify composition measures
+        // ~40% FASTER (10.0s vs 16.0s at sf0.1, same box) and its
+        // candidate volume scales with the Zipf tail, not the hot head.
+        // Lossless-vs-unpruned + salt-invariance pinned in DedupSaltSpec.
+        //
+        // NO broadcast hint anywhere in the subtree: posting lists grow
+        // O(total shingles) with the corpus, so a hard-coded broadcast
+        // dies at scale; AQE still broadcasts small runtime sides.
+        // Per-key salt fan-out (nsalt = ceil(df / saltChunk) ≤ 256)
+        // spreads a pathological posting list over reducer chunks while
+        // normal keys pay zero replication.
         val docs = withShingles(Tables.documents(s, dir))
           .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
-        val postings = docs.select(col("doc_id"), col("lang"), col("n"),
-          explode(col("sh")).as("shingle"))
-        // NO broadcast hint: the posting list grows O(total shingles) with
-        // the corpus, so a hard-coded broadcast dies at scale. Unhinted,
-        // the self-join hash-shuffles on the (lang, shingle) key — the
-        // scalable inverted-index shape — and the planner/AQE still
-        // broadcasts when the runtime side happens to be small.
-        //
-        // length filter (PPJoin): jaccard = c/(na+nb−c) ≥ 0.5 with
-        // c ≤ min(na,nb) forces max(na,nb) ≤ 2·min(na,nb); pairs that
-        // violate it can never pass the final threshold, so pruning them
-        // inside the join predicate (before the pair aggregation) is
-        // output-preserving and cuts the agg input ~35% on this corpus.
-        // (The final filter thresholds the 6 dp-ROUNDED jaccard, whose
-        // strict bound is max ≤ 2.000004·min — identical to 2·min for
-        // integer set sizes below 250k elements, so the ×2 prune is
-        // provably output-preserving at any plausible document length.)
-        //
-        // Skew mitigation: a hot (lang, shingle) key materializes df²
-        // pairs on ONE reducer if joined naively — at 100× data a
-        // 100×-longer posting list would put 10,000× the pairs on that
-        // key. Each key therefore joins under a measured, PER-KEY salt
-        // fan-out (ngramJaccardCommon): nsalt = ceil(df / saltChunk), so
-        // normal keys pay zero replication (nsalt = 1 keeps the plan —
-        // and AQE's broadcast choice — identical to the unsalted shape)
-        // while a pathological posting list is spread over up to 256
-        // reducer chunks. Salt-invariance of the output is spec-pinned
-        // (DedupSaltSpec compares a tiny-chunk run against this one).
-        // sizes and lang ride through the pair agg (ngramJaccardCommon
-        // carries n_a/n_b/lang), so no doc-sizes re-join — each such join
-        // would re-run the shingling subtree over the corpus
-        ngramJaccardCommon(docs)
-          .withColumn("jaccard", roundAt(
-            col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "lang", "jaccard")
+        ngramJaccardPairsPrefix(docs, 0.5)
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH d AS (

@@ -184,6 +184,36 @@ class DedupSaltSpec extends SparkSpec {
       s"prefix filter dropped/added pairs: only-prefix=${default -- full}, only-full=${full -- default}")
   }
 
+  test("jaccard prefix path (x4's r7 engine) is salt-invariant and lossless vs the unpruned join") {
+    // Same two contracts as x20's pin, for the jaccard instantiation —
+    // which additionally prunes on size ratio (max ≤ min/t) inside the
+    // candidate join. t = 0.3 (not x4's 0.5) so near-miss pairs exist on
+    // the tiny corpus and the equality is non-vacuous.
+    import graft.functions.MoneyFunctions.roundAt
+    def pairs(chunk: Long): Set[(Long, Long, Double)] = {
+      val got = DedupQueries.ngramJaccardPairsPrefix(shingled, 0.3, chunk)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      got
+    }
+    val salted = pairs(2L)
+    val default = pairs(1024L)
+    assert(salted == default)
+    assert(salted.nonEmpty)
+    // ground truth: the count-everything inverted index (x4's pre-r7
+    // engine, no length filter so the prune under test can't hide in it)
+    val full = DedupQueries.ngramJaccardCommon(shingled, lengthFilter = false)
+      .withColumn("jaccard", roundAt(col("common").cast("double")
+        / (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(default == full,
+      s"jaccard prefix path dropped/added pairs: only-prefix=${default -- full}, only-full=${full -- default}")
+  }
+
   test("prefix filter shrinks the candidate volume vs the unpruned pair join") {
     // the scale claim behind x20's rewrite, measured: distinct candidate
     // pairs probed by the prefix filter vs distinct co-occurring pairs
