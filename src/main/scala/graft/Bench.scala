@@ -167,6 +167,16 @@ object Bench {
       loadavgs += loadAvg1m()
       entries.foreach { case (name, body) =>
         if (pass <= repsFor(name) && !failedEntries(name)) {
+          // Noise control (r6 showed 9–22× warm spreads on the short ANN
+          // entries): a full-GC pause triggered by a heavy NEIGHBOR's
+          // accumulated garbage landing inside a short entry's timing
+          // window dominates its max/min ratio. Forcing collection at the
+          // boundary moves the pause outside the window. Only paid where
+          // a pause would actually dominate — warm passes of entries whose
+          // cold pass ran < 5s; heavy entries absorb pauses in the ratio
+          // anyway and their post-entry garbage is exactly what this
+          // collects before the next short one.
+          if (pass > 1 && acc(name).headOption.exists(_ < 5.0)) System.gc()
           val t0 = System.nanoTime()
           try { body(); acc(name) += (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => failedEntries += name; errors += name }

@@ -68,13 +68,19 @@ object SamplingQueries {
       (s, dir) => {
         // classic TF-IDF, top-3 terms per document: tf over exploded
         // words (one shuffle on (doc, term) with map-side combine), df
-        // over the distinct postings, idf = ln(N/df). The df table is
-        // vocabulary-sized — the planner/AQE picks the join strategy
-        // (broadcast when it fits, shuffle on the term key when not).
+        // DERIVED FROM tf — tf's group keys are exactly the distinct
+        // (doc, term) postings, so df = tf regrouped by term. This both
+        // drops a second full scan+explode+distinct shuffle of the corpus
+        // AND makes the two tf branches physically identical, so Spark's
+        // ReuseExchange serves df's input from tf's shuffle files (the
+        // dominant cost at scale is the explode shuffle; it now runs
+        // once). idf = ln(N/df); the df table is vocabulary-sized — the
+        // planner/AQE picks the join strategy (broadcast when it fits,
+        // shuffle on the term key when not).
         val docs = Tables.documents(s, dir)
         val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = words.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term").asc)

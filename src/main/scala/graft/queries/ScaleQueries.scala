@@ -343,8 +343,9 @@ object ScaleQueries {
            |WHERE rank <= 10 ORDER BY rank""".stripMargin
       }),
 
-    // approximate grouped quantiles (KLL-style sketch): rows-only —
-    // the sketch is engine-specific; z4 pins the exact semantics this
+    // approximate grouped quantiles (Greenwald-Khanna summary — Spark's
+    // approx_percentile, not a KLL sketch): no-oracle-by-design —
+    // the summary is engine-specific; z4 pins the exact semantics this
     // approximates, and ScaleBoundSpec bounds the rank error against
     // it. At 100 TB this is the only affordable percentile: constant
     // sketch memory per group, map-side mergeable, vs z4's full sort.
