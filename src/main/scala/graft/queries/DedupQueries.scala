@@ -88,10 +88,21 @@ object DedupQueries {
     * seen in one doc can produce no pair, and on a Zipfian vocabulary
     * that tail is most of the index.
     */
-  private[queries] def ngramJaccardCommon(docs: DataFrame,
+  private[queries] def ngramJaccardCommon(docs0: DataFrame,
       saltChunk: Long = 1024L, lengthFilter: Boolean = true,
       idfWeighted: Boolean = false): DataFrame = {
     val weighted = idfWeighted
+    // Shingle once, reuse: the shingling expression (higher-order
+    // transform + array_distinct — outside whole-stage codegen) is the
+    // single most expensive scalar stage here, and this plan evaluates
+    // `docs0` on BOTH sides of the postings⨝dfCounts join (plus the
+    // weighted branch's corpus count). Caching the doc-grain shingled
+    // frame (MEMORY_AND_DISK, spills at scale — the materialize-the-
+    // shingled-table pattern a production pipeline uses) makes every
+    // re-read columnar. Idempotent when the caller already cached the
+    // same plan; released by spark.catalog.clearCache() per the
+    // nearDupPairs contract.
+    val docs = docs0.cache()
     val postings = docs.select(col("doc_id"), col("lang"), col("n"),
       explode(col("sh")).as("shingle"))
     val dfCounts = postings.groupBy("lang", "shingle")
@@ -189,9 +200,14 @@ object DedupQueries {
     * sharing at least one prefix shingle of either side.
     * [[containmentPairs]] composes it with the exact verify.
     */
-  private[queries] def containmentCandidates(docs: DataFrame, t: Double,
+  private[queries] def containmentCandidates(docs0: DataFrame, t: Double,
       saltChunk: Long = 1024L, maxLenRatio: Option[Double] = None): DataFrame = {
     val tEff = t - 1e-6
+    // shingle-once cache — rationale at [[ngramJaccardCommon]]; here the
+    // postings⨝dfCounts join evaluates the shingled frame twice, and the
+    // verify stage of [[containmentPairs]]/[[ngramJaccardPairsPrefix]]
+    // (same plan, so the same cache entry) reads it twice more
+    val docs = docs0.cache()
     val postings = docs.select(col("doc_id"), col("lang"), col("n"),
       explode(col("sh")).as("shingle"))
     val dfCounts = postings.groupBy("lang", "shingle")
@@ -247,9 +263,10 @@ object DedupQueries {
     * the candidate stage discarded. Lossless-vs-unpruned pinned in
     * DedupSaltSpec alongside x20's.
     */
-  private[queries] def ngramJaccardPairsPrefix(docs: DataFrame, t: Double,
+  private[queries] def ngramJaccardPairsPrefix(docs0: DataFrame, t: Double,
       saltChunk: Long = 1024L): DataFrame = {
     val tEff = t - 1e-6
+    val docs = docs0.cache() // shared with containmentCandidates' entry
     val cand = containmentCandidates(docs, t, saltChunk,
       maxLenRatio = Some(1.0 / tEff))
     val sets = docs.select(col("doc_id"), col("lang"), col("sh"), col("n"))
@@ -264,8 +281,9 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("sa.lang").as("lang"), col("jaccard"))
   }
 
-  private[queries] def containmentPairs(docs: DataFrame, t: Double,
+  private[queries] def containmentPairs(docs0: DataFrame, t: Double,
       saltChunk: Long = 1024L): DataFrame = {
+    val docs = docs0.cache() // shared with containmentCandidates' entry
     val cand = containmentCandidates(docs, t, saltChunk)
     val sets = docs.select(col("doc_id"), col("sh"), col("n"))
     cand
