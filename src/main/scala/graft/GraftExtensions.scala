@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, JaccardSimilarity, RollingHashWindows}
+import graft.functions.{CosineSimilarity, JaccardSimilarity, MinHashBases, MinHashSignature, RollingHashWindows, Shingles}
 
 /** Session extension point: registers this library's native Catalyst
   * functions so they're available as SQL (`cosine_similarity(a, b)`,
@@ -30,6 +31,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"jaccard_similarity expects 2 arguments, got ${children.length}")
         JaccardSimilarity(children.head, children(1))
       }))
+    Seq[(String, ExpressionInfo, Expression => Expression)](
+      ("shingles", Shingles.info, Shingles(_)),
+      ("minhash_bases", MinHashBases.info, MinHashBases(_)),
+      ("minhash_signature", MinHashSignature.info, MinHashSignature(_))
+    ).foreach { case (name, info, build) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), info,
+        children => {
+          require(children.length == 1,
+            s"$name expects 1 argument, got ${children.length}")
+          build(children.head)
+        }))
+    }
     ext.injectFunction((
       FunctionIdentifier("rolling_hash_windows"),
       RollingHashWindows.info,

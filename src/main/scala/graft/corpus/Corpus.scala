@@ -31,10 +31,14 @@ object Corpus {
     * for <2-word texts (Spark's sequence(0,-1) would emit a phantom).
     */
   def withShingles(df: DataFrame): DataFrame =
+    // native codegen'd Shingles expression (r7) — one fused pass per row;
+    // bit-parity with the HOF chain `array_distinct(transform(sequence(0,
+    // size(w)-2), i -> concat_ws(' ', w[i], w[i+1])))` over `w =
+    // split(text, ' ')` (incl. the <2-words empty guard) is pinned in
+    // NativeShingleParitySpec. `w` kept for source compatibility; column
+    // pruning drops it when unused.
     df.withColumn("w", split(col("text"), " "))
-      .withColumn("sh", when(size(col("w")) < 2, array().cast("array<string>"))
-        .otherwise(array_distinct(expr(
-          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))))
+      .withColumn("sh", graft.functions.Shingles(col("text")))
 
   /** MinHash(H=16) → LSH band signature table (doc_id, band_id,
     * band_key; B=8 bands × R=2 rows): one narrow per-row projection over
@@ -55,11 +59,16 @@ object Corpus {
   def bandSignaturesCarrying(docsWithSh: DataFrame,
       carry: Seq[String]): DataFrame = {
     val keyCols = col("doc_id") +: carry.map(col)
+    // native MinHashBases + MinHashSignature (r7): one fused pass per row
+    // instead of H interpreted array_min(transform(...)) lambdas; a null
+    // signature (empty shingle set) yields null mh columns, exactly like
+    // array_min over an empty transform. Bit-parity pinned in
+    // NativeShingleParitySpec.
     val minhash = docsWithSh
-      .withColumn("bases", expr(MinHashFamily.basesFromShinglesExprSql("sh")))
+      .withColumn("sig", graft.functions.MinHashSignature(
+        graft.functions.MinHashBases(col("sh"))))
       .select(keyCols ++ (0 until MinHashFamily.H).map(i =>
-        expr(s"array_min(transform(bases, x -> (${MinHashFamily.a(i)} * x + " +
-          s"${MinHashFamily.b(i)}) % ${MinHashFamily.P}))").as(s"mh$i")): _*)
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
     val bandCols = (0 until 8).map(b =>
       md5(concat(col(s"mh${2 * b}"), lit(":"), col(s"mh${2 * b + 1}"))))
     minhash.select(keyCols :+ posexplode(array(bandCols: _*)): _*)

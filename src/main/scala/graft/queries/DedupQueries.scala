@@ -60,7 +60,7 @@ object DedupQueries {
     */
   private def withShingleBases(df: DataFrame): DataFrame =
     withShingles(df).withColumn("bases",
-      expr(graft.functions.MinHashFamily.basesFromShinglesExprSql("sh")))
+      graft.functions.MinHashBases(col("sh")))
 
   /** MinHash→LSH band signatures — shared with the library surface
     * ([[graft.corpus.Corpus.bandSignatures]]; construction notes there).
