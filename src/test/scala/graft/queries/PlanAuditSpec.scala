@@ -119,6 +119,26 @@ class PlanAuditSpec extends SparkSpec {
       s"x28 hints a non-scalar side:\n${x28.mkString("\n")}")
   }
 
+  test("x4/x20 prefix-candidate engines: equi joins only, cached shingle/index frames serve the re-reads") {
+    // the r7 candidate-then-verify shape: every join must be a hash/merge
+    // EQUI join (candidates on (lang, shingle, salt), verify on doc_id) —
+    // a cartesian or nested-loop fallback here would ride candidate
+    // volume × corpus and is exactly the 100 TB failure the prefix
+    // filter exists to avoid. The cached shingled frame and posting
+    // index must appear as InMemoryRelation so the multi-referenced
+    // subtrees are served columnar instead of recomputed.
+    Seq("x4_dedup_ngram_jaccard", "x20_containment_dedup").foreach { q =>
+      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+      val phys = qe.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"),
+        s"$q has a non-equi join in the hot path:\n$phys")
+      assert(qe.optimizedPlan.toString.contains("InMemoryRelation"),
+        s"$q lost its shingle/index cache:\n${qe.optimizedPlan}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("split/sample assignment plans are narrow: no joins, no aggregates, one sort exchange") {
     Seq("y1_train_val_test_split", "y2_stratified_sample").foreach { q =>
       val p = plan(q)
