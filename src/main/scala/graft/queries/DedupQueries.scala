@@ -229,15 +229,21 @@ object DedupQueries {
       .cache()
     val a = b.filter(col("in_prefix") &&
       col("salt") === pmod(col("doc_id"), col("nsalt")))
-    // probe from EITHER side's prefix (the smaller doc of a pair is not
-    // known up front), normalize to doc_a < doc_b, dedup candidates.
+    // probe ONLY from the pair's (n, doc_id)-smaller side (AllPairs size
+    // ordering): containment at t guarantees c ≥ t·min(n_a, n_b), so the
+    // SMALLER doc's prefix always holds a common shingle (jaccard
+    // callers guarantee both prefixes — strictly more); generating each
+    // pair from exactly one designated side halves the pre-distinct
+    // join output vs probing from either side. Normalize to
+    // doc_a < doc_b, dedup candidates.
     // Jaccard callers pass maxLenRatio (= 1/tEff): j ≥ t with c ≤ min
     // forces max ≤ min/t, so the size prune inside the join predicate is
     // output-preserving there. Containment callers must see ALL ratios.
     val baseCond = col("a.lang") === col("b.lang") &&
       col("a.shingle") === col("b.shingle") &&
       col("a.salt") === col("b.salt") &&
-      col("a.doc_id") =!= col("b.doc_id")
+      (col("a.n") < col("b.n") ||
+        (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id")))
     val cond = maxLenRatio.fold(baseCond)(r => baseCond &&
       greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * lit(r))
     a.as("a").join(b.as("b"), cond)
