@@ -42,7 +42,8 @@ object Bench {
   private val headline = Seq(
     "x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x9_minhash_sketch_agg",
     "x10_dedup_incremental_lsh", "x11_dedup_clusters", "x12_embedding_centroids",
-    "x18_semantic_dedup", "x26_semantic_clusters", "o4_native_topk_per_group",
+    "x18_semantic_dedup", "x20_containment_dedup", "x26_semantic_clusters",
+    "x27_pagerank", "x28_weighted_jaccard", "o4_native_topk_per_group",
     "t15_segment_dedup", "y3_tfidf_topk", "h1_shipping_priority", "h2_local_supplier_volume",
     "corpus_curate", "curate_incremental", "etl_close_scale100", "etl_close_scale1000")
 
