@@ -229,21 +229,25 @@ object DedupQueries {
       .cache()
     val a = b.filter(col("in_prefix") &&
       col("salt") === pmod(col("doc_id"), col("nsalt")))
-    // probe ONLY from the pair's (n, doc_id)-smaller side (AllPairs size
-    // ordering): containment at t guarantees c ≥ t·min(n_a, n_b), so the
-    // SMALLER doc's prefix always holds a common shingle (jaccard
-    // callers guarantee both prefixes — strictly more); generating each
-    // pair from exactly one designated side halves the pre-distinct
-    // join output vs probing from either side. Normalize to
-    // doc_a < doc_b, dedup candidates.
+    // probe from EITHER side's prefix, normalize to doc_a < doc_b, dedup
+    // candidates. The AllPairs size-ordering refinement — probe only from
+    // the (n, doc_id)-smaller side, valid because containment at t
+    // guarantees c ≥ t·min so the smaller prefix always holds a common
+    // shingle — was tried (r7) and REVERTED: a paired in-JVM A/B at sf0.1
+    // measured it ~30% SLOWER for both x4 and x20 (x4 4.84 vs 7.07 s,
+    // x20 4.70 vs 5.77 s, order-independent, 4 passes). The probe work is
+    // identical either way (the restriction is a post-hash-match
+    // residual), distinct KEYS are identical, and the halved residual
+    // selectivity evidently costs more through AQE's downstream stats
+    // than the halved pre-distinct volume saves. Don't re-try without a
+    // paired measurement.
     // Jaccard callers pass maxLenRatio (= 1/tEff): j ≥ t with c ≤ min
     // forces max ≤ min/t, so the size prune inside the join predicate is
     // output-preserving there. Containment callers must see ALL ratios.
     val baseCond = col("a.lang") === col("b.lang") &&
       col("a.shingle") === col("b.shingle") &&
       col("a.salt") === col("b.salt") &&
-      (col("a.n") < col("b.n") ||
-        (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id")))
+      col("a.doc_id") =!= col("b.doc_id")
     val cond = maxLenRatio.fold(baseCond)(r => baseCond &&
       greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * lit(r))
     a.as("a").join(b.as("b"), cond)
