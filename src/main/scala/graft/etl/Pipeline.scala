@@ -71,8 +71,20 @@ object Pipeline {
       Validator.accountInCoa(typedByName("expenses"), "expenses", dimAccounts, Seq("entity", "bill_id")))
 
     val allExceptions = (validated.map(_._3) ++ riChecks).reduce(_.unionByName(_))
+    // exception frames are audit-sized by CONTRACT (human-readable output,
+    // quality.py:205–249; the sink below is single-file CSV), so their
+    // deterministic order comes from a local sort behind a 1-partition
+    // exchange instead of a global range sort: no range-sampling job, and
+    // every consumer of the cache (summary pivot, gate count, CSV write)
+    // runs 1-task stages instead of 32-wide ones — the close is
+    // orchestration-bound at bench scale and this is pure orchestration.
+    // repartition (not coalesce) keeps the check evaluation itself wide:
+    // the narrowing happens at a shuffle boundary, after the per-row
+    // checks ran parallel over the raw partitions. The fact/KPI sorts
+    // below stay parallel: those scale with the data.
     val withSeverity = Dq.addSeverity(allExceptions)
-      .orderBy("dataset", "check", "index")
+      .repartition(1)
+      .sortWithinPartitions("dataset", "check", "index")
       .cache()
 
     // gate: write audit trail, then fail if needed (pipeline.py:129–162)
