@@ -667,6 +667,81 @@ object AnalyticalQueries {
              |SELECT window_start_epoch, count(*) AS n
              |FROM w WHERE window_start_epoch >= 1704067200
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("v10_table_fingerprint",
+      (s, dir) => {
+        // bucketed content fingerprint — the replication/migration
+        // verifier: two copies of a 100 TB table compare by exchanging
+        // `buckets` rows (count + order-independent sum and xor of a
+        // per-row content hash), never data. One narrow pass + one
+        // key-bounded shuffle; a mismatch names the bucket, so the
+        // re-check rescans 1/buckets of the table. The canonical row
+        // rendering uses only engine-stable forms (ints, strings, dates,
+        // money as cents) — the float-repr rule every oracled query here
+        // follows; the hash is the first 10 md5 hex digits folded to a
+        // long (40 bits: a full sf1000 table in ONE bucket stays far
+        // under int64 in the sum).
+        val canon = concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("date").cast("string"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        Tables.lineitem(s, dir)
+          .select(pmod(col("l_orderkey"), lit(32L)).as("bucket"),
+            conv(substring(md5(canon), 1, 10), 16, 10).cast("long").as("h"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"), sum("h").as("fp_sum"),
+            expr("bit_xor(h)").as("fp_xor"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_orderkey % 32 AS bucket,
+             |    substr(md5(
+             |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+             |      CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' ||
+             |      l_returnflag || '|' || l_linestatus || '|' ||
+             |      CAST(CAST(l_shipdate AS DATE) AS VARCHAR) || '|' ||
+             |      CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)), 1, 10) AS h10
+             |  FROM lineitem),
+             |h AS (
+             |  SELECT bucket,
+             |    list_reduce([CAST(strpos('0123456789abcdef', substr(h10, i, 1)) - 1 AS BIGINT)
+             |                 for i in range(1, 11)], (b, c) -> b * 16 + c) AS h
+             |  FROM c)
+             |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS fp_sum,
+             |  bit_xor(h) AS fp_xor
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a24_incremental_agg_merge",
+      (s, dir) => {
+        // incremental materialized-view maintenance: a stored grouped
+        // aggregate (facts shipped before the cutover) absorbs a delta
+        // batch by aggregating ONLY the batch and merging the two
+        // partial frames on the group key — the nightly pattern that
+        // keeps a 100 TB rollup current with a batch-sized shuffle plus
+        // a key-sized merge, never a rebuild scan. All measures are
+        // algebraic partials (counts, long cent-sums), so merge ==
+        // rebuild EXACTLY — and the oracle IS the rebuild over the whole
+        // fact, pinning that equality cross-engine.
+        val cutover = "1996-01-01"
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_quantity") + 0.5).cast("long")).as("qty"),
+            sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+        val li = Tables.lineitem(s, dir)
+        val stored = partial(li.filter(col("l_shipdate") < to_timestamp(lit(cutover))))
+        val delta = partial(li.filter(col("l_shipdate") >= to_timestamp(lit(cutover))))
+        stored.unionByName(delta)
+          .groupBy("l_suppkey")
+          .agg(sum("n").as("n"), sum("qty").as("qty"),
+            sum("rev_cents").as("rev_cents"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n,
+             |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
