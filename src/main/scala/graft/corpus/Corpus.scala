@@ -180,16 +180,25 @@ object Corpus {
     var rounds = 0
     while (changed > 0) {
       rounds += 1
-      val neighborMin = sym
-        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
+      // round 1 runs on identity labels (label == doc_id), so the
+      // neighbor-label lookup is the edge list itself and the pointer
+      // jump is a no-op: one edge aggregate replaces three joins. Every
+      // CC call pays round 1, and shallow duplicate graphs (pairs /
+      // triangles — the common corpus case) converge in 2–3 rounds, so
+      // this is a material slice of the whole iteration.
+      val neighborMin =
+        if (rounds == 1)
+          sym.groupBy(col("src").as("doc_id")).agg(min("dst").as("nmin"))
+        else sym
+          .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
       // pointer jump: my label's own current label (labels is keyed by
       // doc_id and labels are doc ids, so this is a self-join on label)
       val hop = labels.select(col("doc_id").as("label"), col("label").as("lj"))
       val obs = Observation()
-      val next = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .join(hop, Seq("label"), "left")
+      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = (if (rounds == 1) joined.withColumn("lj", col("label"))
+                  else joined.join(hop, Seq("label"), "left"))
         .select(col("doc_id"),
           least(col("label"),
             coalesce(col("nmin"), col("label")),
