@@ -281,10 +281,17 @@ object Corpus {
       .localCheckpoint()
     var rounds = 0
     var moved = Double.MaxValue
+    // the uniform start rank as a scala Double, bit-identical to the
+    // roundAt column above (same floor(x*1e10+0.5)/1e10 arithmetic)
+    val r0 = math.floor(1.0 / n * 1e10 + 0.5) / 1e10
     while (moved > eps && rounds < maxRounds) {
       rounds += 1
-      val inflow = eDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+      // round 1 runs on the uniform rank, so the edge⨝rank join is a
+      // constant lookup: aggregate the edge table directly (same CC
+      // round-1 fusion — every run pays round 1)
+      val inflow = (if (rounds == 1)
+          eDeg.withColumn("rank", lit(r0))
+        else eDeg.join(ranks.withColumnRenamed("id", "src"), "src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("inflow"))
       val obs = Observation()
