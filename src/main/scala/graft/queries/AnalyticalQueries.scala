@@ -653,6 +653,36 @@ object AnalyticalQueries {
               |  ${roundAtSql("corr(l_extendedprice, l_quantity)", 6)} AS corr_pq
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("a25_unpivot_long",
+      (s, dir) => {
+        // wide→long UNPIVOT (melt) — the inverse reshape of A2's pivot,
+        // the step that turns a measures-as-columns report table back
+        // into a tidy (key, measure, value) frame for generic downstream
+        // ops. `stack` is a Generate (per-row expansion ×K measures) —
+        // no shuffle, no driver trip, and at 100 TB the expansion factor
+        // is the fixed measure count, never data-dependent.
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(roundAt(sum("l_quantity"), 2).as("sum_qty"),
+            roundAt(sum("l_extendedprice"), 2).as("sum_price"),
+            roundAt(sum("l_discount"), 2).as("sum_disc"))
+          .select(col("l_returnflag"), expr(
+            """stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,
+              |  'sum_disc', sum_disc) AS (measure, value)""".stripMargin))
+          .orderBy("l_returnflag", "measure")
+      },
+      Some(s"""WITH wide AS (
+              |  SELECT l_returnflag,
+              |    ${roundAtSql("sum(l_quantity)", 2)} AS sum_qty,
+              |    ${roundAtSql("sum(l_extendedprice)", 2)} AS sum_price,
+              |    ${roundAtSql("sum(l_discount)", 2)} AS sum_disc
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, measure, value FROM (
+              |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+              |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+              |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("e4_sliding_window_batch",
       (s, dir) => {
         // batch twin of StreamingOps.slidingCounts: every event belongs to

@@ -932,6 +932,52 @@ object RelationalQueries {
              |       ELSE 'far' END AS band
              |FROM part WHERE p_partkey <= 500 ORDER BY 1""".stripMargin)),
 
+    Q("f20_fuzzy_pairs_blocked",
+      (s, dir) => {
+        // Edit-distance-≤1 SELF-join via deletion neighborhoods (FastSS /
+        // SymSpell blocking) — the scale path f19's scalar can't give:
+        // a naive fuzzy self-join is n² levenshtein calls, but any two
+        // strings at distance ≤ 1 share a member of their delete-1
+        // neighborhoods (substitution at i → both drop char i; insert/
+        // delete → the longer drops the extra char), so candidates come
+        // from ONE equi-join on the variant string — |s|+1 variants per
+        // row, candidate volume rides variant-key collisions, never n².
+        // The verify stage runs exact levenshtein only on survivors.
+        // Blocked ≡ brute-force is pinned in FuzzyJoinSpec; the oracle
+        // mirrors the neighborhood algebra in DuckDB (an n² oracle at
+        // sf0.1 is 225M levenshtein calls — the spec carries the
+        // losslessness proof instead).
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+        val variants = c.select(col("c_custkey"), col("c_name"), explode(expr(
+          """transform(sequence(0, length(c_name)), i ->
+            |  CASE WHEN i = 0 THEN c_name
+            |  ELSE concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)) END)""".stripMargin))
+          .as("variant"))
+        val cand = variants.as("a").join(variants.as("b"),
+            col("a.variant") === col("b.variant") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+            col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
+          .distinct()
+        cand
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 1)
+          .select("key_a", "key_b", "dist")
+          .orderBy("key_a", "key_b")
+      },
+      Some("""WITH v AS (
+             |  SELECT c_custkey, c_name,
+             |    unnest([CASE WHEN i = 0 THEN c_name ELSE c_name[1:i-1] || c_name[i+1:] END
+             |            for i in range(0, len(c_name) + 1)]) AS variant
+             |  FROM customer),
+             |cand AS (
+             |  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             |                  a.c_name AS name_a, b.c_name AS name_b
+             |  FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey)
+             |SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+             |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+             |ORDER BY 1, 2""".stripMargin)),
+
     Q("f15_contains_dispatch",
       (s, dir) => Tables.part(s, dir)
         .withColumn("tier",
