@@ -285,6 +285,135 @@ object AnalyticalQueries {
              |      AND l3.l_returnflag = 'R')
              |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
 
+    Q("h9_late_shipment_priority",
+      (s, dir) => {
+        // TPC-H Q4 shape: the correlated EXISTS probe — count orders per
+        // priority in a quarter that have AT LEAST ONE late line
+        // (shipped > 60 days after ordering). The subquery compiles to a
+        // LEFT SEMI join on l_orderkey with the cross-table date
+        // predicate as a residual — the fact is touched once, the semi
+        // join emits each order at most once (no distinct needed), and
+        // the quarter filter prunes the probe side before the shuffle.
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        o.join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("h10_untapped_customers",
+      (s, dir) => {
+        // TPC-H Q22 shape: scalar subquery + NOT EXISTS — high-balance
+        // customers in a country set with no order since 2000 (the
+        // testdata's key space is dense, so "never ordered" would be
+        // empty; "lapsed" keeps the same plan shape non-degenerate).
+        // The global average decorrelates to a 1-row broadcast (the a23
+        // scalar pattern); the NOT EXISTS is a LEFT ANTI join on
+        // o_custkey with the date filter pruning the anti side BEFORE
+        // the shuffle. The threshold is computed from exact cent-longs
+        // so the sum is order-independent and the unrounded > compare
+        // agrees across engines bit-for-bit (a raw double sum's
+        // partial-order ulps could flip boundary rows).
+        val eligible = Tables.customer(s, dir)
+          .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val thr = eligible.filter(col("c_acctbal") > 0.0)
+          .agg((sum(floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")).cast("double") /
+            (lit(100.0) * count(lit(1)))).as("thr"))
+        eligible.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), roundAt(sum("c_acctbal"), 2).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH eligible AS (
+              |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+              |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+              |thr AS (
+              |  SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+              |           / (100.0 * count(*)) AS thr
+              |  FROM eligible WHERE c_acctbal > 0.0)
+              |SELECT c_nationkey, count(*) AS numcust,
+              |  ${roundAtSql("sum(c_acctbal)", 2)} AS totacctbal
+              |FROM eligible, thr
+              |WHERE c_acctbal > thr
+              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("h11_customer_distribution",
+      (s, dir) => {
+        // TPC-H Q13 shape: outer join + double aggregation — the
+        // orders-per-customer distribution including zero-order
+        // customers (the rows an inner join would silently drop). First
+        // aggregation is customer-keyed (count of matched order rows,
+        // nulls counting 0 via count(col)); the second is a tiny
+        // histogram over distinct counts. The status filter lands on
+        // the orders side BEFORE the join, mirroring Q13's
+        // filter-in-join-condition semantics.
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") =!= "P").select("o_custkey")
+        Tables.customer(s, dir).select("c_custkey")
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_custkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_custkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+             |  GROUP BY 1)
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    Q("v11_equidepth_histogram",
+      (s, dir) => {
+        // ANALYZE-style equi-depth histogram (the optimizer-stats
+        // companion to v9's column profile / v10's fingerprint): 8
+        // equal-population buckets per group with exact bounds. ntile
+        // over a (group)-partitioned window — each group sorts locally
+        // in its own partition, no global sort; the tie-break columns
+        // make the ordering total so both engines bucket identically.
+        // At 100 TB the exact ntile swaps for approx_percentile
+        // boundaries (z5) + a narrow width_bucket assignment pass —
+        // same output shape, no per-group sort.
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+          .withColumn("bucket", ntile(8).over(w).cast("long"))
+          .groupBy("l_returnflag", "bucket")
+          .agg(count(lit(1)).as("n"),
+            min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+          .orderBy("l_returnflag", "bucket")
+      },
+      Some("""SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+             |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |FROM (SELECT l_returnflag, l_extendedprice,
+             |        ntile(8) OVER (PARTITION BY l_returnflag
+             |          ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+             |      FROM lineitem)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("h3_sql_entrypoint",
       (s, dir) => {
         // the spark.sql(...) surface: same engine, SQL text in — register
