@@ -312,4 +312,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p)            // per-part avg: window, not agg+rejoin
     assert(!p.contains("SortMergeJoin"), p)    // the fact table is never self-joined
   }
+
+  test("x31's pigeonhole block join is a key equi-join, never a cartesian") {
+    // candidates MUST come from the (block_id, block_value) equi-join;
+    // a refactor that moves the hamming predicate into the join
+    // condition alone would degrade to a nested-loop all-pairs compare.
+    val p = plan("x31_simhash_hamming")
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("f20's deletion-neighborhood join is a variant-keyed equi-join, never a cartesian") {
+    val p = plan("f20_fuzzy_pairs_blocked")
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("h9's EXISTS probe is one semi join; the fact is never distinct-aggregated first") {
+    val p = plan("h9_late_shipment_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("h10's threshold is a 1-row broadcast; the anti side is date-pruned at the scan") {
+    val p = plan("h10_untapped_customers")
+    // the scalar crossJoin is the a23 pattern: a broadcast of exactly
+    // one aggregate row — the only acceptable nested-loop in the tree
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("v11 buckets inside group-partitioned windows, not a single global sort partition") {
+    val p = plan("v11_equidepth_histogram")
+    assert(p.contains("hashpartitioning(l_returnflag"), p)
+  }
 }
