@@ -812,6 +812,53 @@ object AnalyticalQueries {
               |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
               |ORDER BY 1, 2""".stripMargin)),
 
+    Q("a26_string_agg",
+      (s, dir) => {
+        // LISTAGG / string_agg — ordered string concatenation per group,
+        // the reporting aggregate every BI export eventually asks for.
+        // Determinism contract: collect_list has NO cross-partition
+        // order, so the list is array_sort'ed before joining — same
+        // guarantee as string_agg(... ORDER BY) on the oracle side.
+        // Group cardinality bounds the string (dims here); an unbounded
+        // 100 TB group would use a capped slice(sort, 1, k) instead.
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_nations,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("a27_multi_measure_pivot",
+      (s, dir) => {
+        // pivot with MULTIPLE measures per pivoted value (A2 carries
+        // one) — each (value, measure) pair becomes a column
+        // (`F_qty`/`F_n`/…). Pivot values are PINNED so Spark skips the
+        // distinct-values discovery job and the column set is stable;
+        // empty cells (no A/O rows exist) are filled to match the
+        // oracle's FILTER/CASE zeros. One partial+final hash aggregate —
+        // the pivot never widens the shuffle, only the output row.
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(roundAt(sum("l_quantity"), 2).as("qty"),
+            count(lit(1)).as("n"))
+          .na.fill(0.0, Seq("F_qty", "O_qty"))
+          .na.fill(0L, Seq("F_n", "O_n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+              |  ${roundAtSql("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)", 2)} AS F_qty,
+              |  count(*) FILTER (WHERE l_linestatus = 'F') AS F_n,
+              |  ${roundAtSql("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)", 2)} AS O_qty,
+              |  count(*) FILTER (WHERE l_linestatus = 'O') AS O_n
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("e4_sliding_window_batch",
       (s, dir) => {
         // batch twin of StreamingOps.slidingCounts: every event belongs to

@@ -472,6 +472,39 @@ object RelationalQueries {
              |SELECT 'h1_only', count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
              |ORDER BY op""".stripMargin)),
 
+    Q("u4_bag_set_ops",
+      (s, dir) => {
+        // INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicities
+        // matter: intersect keeps min(m_a, m_b) copies, except keeps
+        // m_a − m_b). The missing half of u3: reconciliation diffs of
+        // transaction streams are bags, and distinct semantics silently
+        // eats duplicate rows. Spark plans both by tagging each side
+        // with a per-row replica number (hash-agg counts, one key
+        // shuffle each) — no sorts, no driver sets. Counted per op for
+        // one deterministic row shape.
+        def prios(lo: String, hi: String) = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+            col("o_orderdate") < to_timestamp(lit(hi)))
+          .select("o_custkey", "o_orderpriority")
+        val h1 = prios("1995-01-01", "1995-07-01")
+        val h2 = prios("1995-07-01", "1996-01-01")
+        h1.intersectAll(h2).agg(count(lit(1)).as("n"))
+          .select(lit("both_bag").as("op"), col("n"))
+          .unionByName(h1.exceptAll(h2).agg(count(lit(1)).as("n"))
+            .select(lit("h1_only_bag").as("op"), col("n")))
+          .orderBy("op")
+      },
+      Some("""WITH h1 AS (SELECT o_custkey, o_orderpriority FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'),
+             |h2 AS (SELECT o_custkey, o_orderpriority FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+             |SELECT 'both_bag' AS op, count(*) AS n
+             |FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+             |UNION ALL
+             |SELECT 'h1_only_bag', count(*)
+             |FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+             |ORDER BY op""".stripMargin)),
+
     Q("f21_map_kit",
       (s, dir) => {
         // MapType surface: build a word→count map per document (the
