@@ -859,6 +859,46 @@ object AnalyticalQueries {
               |  count(*) FILTER (WHERE l_linestatus = 'O') AS O_n
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("a28_corr_matrix",
+      (s, dir) => {
+        // pairwise Pearson correlation MATRIX over k numeric columns in
+        // ONE aggregation pass — the feature-screening step before
+        // training (drop collinear features). All k·(k−1)/2 corr
+        // aggregates ride the same partial+final shuffle (sufficient
+        // statistics per pair), then a stack() unpivot emits the tidy
+        // (col_a, col_b, corr) triangle — the table is scanned once no
+        // matter how many pairs. 6 dp rounding absorbs partial-merge
+        // order (the a18 contract).
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val aggs = pairs.map { case (a, b) =>
+          roundAt(corr(col(a), col(b)), 6).as(s"${a}__$b")
+        }
+        val stackArgs = pairs.map { case (a, b) =>
+          s"'$a', '$b', ${a}__$b"
+        }.mkString(", ")
+        Tables.lineitem(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)"))
+          .orderBy("col_a", "col_b")
+      },
+      Some(s"""SELECT col_a, col_b, corr FROM (
+              |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+              |    ${roundAtSql("corr(l_quantity, l_extendedprice)", 6)} AS corr FROM lineitem
+              |  UNION ALL SELECT 'l_quantity', 'l_discount',
+              |    ${roundAtSql("corr(l_quantity, l_discount)", 6)} FROM lineitem
+              |  UNION ALL SELECT 'l_quantity', 'l_tax',
+              |    ${roundAtSql("corr(l_quantity, l_tax)", 6)} FROM lineitem
+              |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+              |    ${roundAtSql("corr(l_extendedprice, l_discount)", 6)} FROM lineitem
+              |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+              |    ${roundAtSql("corr(l_extendedprice, l_tax)", 6)} FROM lineitem
+              |  UNION ALL SELECT 'l_discount', 'l_tax',
+              |    ${roundAtSql("corr(l_discount, l_tax)", 6)} FROM lineitem)
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("e4_sliding_window_batch",
       (s, dir) => {
         // batch twin of StreamingOps.slidingCounts: every event belongs to
