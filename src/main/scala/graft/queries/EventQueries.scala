@@ -73,6 +73,42 @@ object EventQueries {
              |  max(dur_us) AS max_session_dur_us
              |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("e12_interarrival_stats",
+      (s, dir) => {
+        // per-type inter-arrival gap profile (min/avg/max time between
+        // consecutive events) — the ingest-health telemetry behind
+        // "did source X stall": a max_gap spike IS the outage. One
+        // lag window per event_type partition, then a map-side-
+        // combinable aggregate; gaps are exact integer micros so only
+        // the final avg divides. At 100 TB a per-type ordered window
+        // funnels each type through one sort partition — there the
+        // window swaps for (type, day)-bucketed lag with boundary
+        // stitching (the e7 run-length pattern); type cardinality here
+        // keeps the direct form honest.
+        val byType = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        Tables.eventsTs(s, dir)
+          .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byType))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            min("gap_us").as("min_gap_us"),
+            max("gap_us").as("max_gap_us"),
+            (sum("gap_us").cast("double") / count(lit(1))).as("avg_gap_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |g AS (
+             |  SELECT event_type,
+             |    ts_us - lag(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) AS gap_us
+             |  FROM e)
+             |SELECT event_type, count(*) AS n_gaps,
+             |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+             |  CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("e3_json_props",
       (s, dir) => Tables.eventsTs(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

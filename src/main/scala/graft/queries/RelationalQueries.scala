@@ -122,6 +122,42 @@ object RelationalQueries {
               |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin)),
 
+    Q("s12_schema_evolution",
+      (s, dir) => {
+        // schema-evolution read: one segment written BEFORE a column
+        // existed, one after, read as ONE table via mergeSchema (footer
+        // union) — the 100 TB reality that a table's files span schema
+        // versions and old segments are never rewritten. The missing
+        // column reads as null in old rows; the aggregate proves both
+        // segments' values and the null-fill survive. Same decimal-sum
+        // discipline as s8 (order-independent exact money sums).
+        val tmp = roundtripDir("schema_evo", dir)
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+          // coalesce the evolution gap explicitly: null group ordering
+          // differs between engines, a named bucket doesn't
+          .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>")).as("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .orderBy("prio")
+      },
+      Some("""WITH u AS (
+             |  SELECT o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 1)
+             |SELECT coalesce(o_orderpriority, '<pre-schema>') AS prio, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── §2.2 projections / filters ──────────────────────────────────────
     Q("p1_project_prune",
       (s, dir) => Tables.customer(s, dir)

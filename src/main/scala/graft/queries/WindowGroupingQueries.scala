@@ -116,6 +116,37 @@ object WindowGroupingQueries {
              |  FROM lineitem)
              |WHERE rn <= 5 ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("w9_running_distinct_users",
+      (s, dir) => {
+        // cumulative distinct users by day — the growth-curve metric.
+        // Running COUNT(DISTINCT) isn't frame-able either (w8's note);
+        // the scalable identity: a user enters the running distinct on
+        // exactly their FIRST-seen day, so cumulative-distinct(d) =
+        // Σ_{d' ≤ d} new_users(d'). One user-keyed min-aggregate over
+        // the corpus, one day-grain count, one prefix sum over the
+        // day-grain frame (hundreds of rows — the only single-partition
+        // window, on an already-tiny aggregate).
+        val firstSeen = Tables.eventsTs(s, dir)
+          .groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("day"))
+        val daily = firstSeen.groupBy("day")
+          .agg(count(lit(1)).as("new_users"))
+        daily
+          .withColumn("cum_users", sum("new_users").over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day").cast("string").as("day"),
+            col("new_users"), col("cum_users"))
+          .orderBy("day")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+             |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+             |SELECT CAST(day AS VARCHAR) AS day, new_users,
+             |  CAST(sum(new_users) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM d ORDER BY day""".stripMargin)),
+
     Q("w8_rolling_distinct_users",
       (s, dir) => {
         // trailing 7-day distinct actives per day — the DAU/WAU overlap
