@@ -598,4 +598,44 @@ object StreamingOps {
           SketchOut(source, buf.mkString("|"))
       }
   }
+
+  // ---- streaming inter-arrival gap profile -------------------------------
+
+  final case class GapEvent(event_type: String, event_id: Long, ts_us: Long)
+  final case class GapOut(event_type: String, n_gaps: Long, min_gap_us: Long,
+      max_gap_us: Long, avg_gap_us: Double)
+
+  /** streaming twin of the batch e12 inter-arrival profile: per event
+    * type, maintain (last_ts, n, Σgap, min, max) and re-emit the running
+    * profile each update — the live "did source X stall" telemetry
+    * (max_gap spikes the moment a stalled source resumes). State is five
+    * longs per key, constant regardless of stream length. Gaps are exact
+    * integer micros in state, so Σ and the final single division are
+    * arrival-slicing-independent; a time-ordered feed (rows sorted by
+    * (ts_us, event_id) within each micro-batch, batches non-overlapping
+    * in time — the watermark discipline of a real ingest) makes the
+    * latest emission EQUAL the batch operator, which the spec pins.
+    */
+  def interarrivalStream(events: Dataset[GapEvent]): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Long, Long, Long, Long), GapOut](
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[GapEvent],
+            state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (last, n, sum, mn, mx) = state.getOption
+            .getOrElse((Long.MinValue, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+            if (last != Long.MinValue) {
+              val g = r.ts_us - last
+              n += 1; sum += g
+              mn = math.min(mn, g); mx = math.max(mx, g)
+            }
+            last = r.ts_us
+          }
+          state.update((last, n, sum, mn, mx))
+          GapOut(tpe, n, if (n == 0) 0L else mn, if (n == 0) 0L else mx,
+            if (n == 0) 0.0 else sum.toDouble / n)
+      }
+  }
 }

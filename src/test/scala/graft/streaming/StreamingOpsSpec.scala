@@ -669,4 +669,30 @@ class StreamingOpsSpec extends SparkSpec {
       "complete")
     assert(streamed.agg(sum("sum_k")).head().getLong(0) > 0)
   }
+
+  test("streaming inter-arrival profile equals the batch e12 operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.GapEvent]
+    val query = StreamingOps.interarrivalStream(input.toDS())
+      .writeStream.format("memory").queryName("gapstream").outputMode("update").start()
+    // time-ordered feed across non-overlapping micro-batches — the
+    // watermark discipline of a real ingest; cross-batch gaps exercise
+    // the last_ts state carry
+    val ordered = Tables.eventsTs(spark, sfDir)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+      .as[StreamingOps.GapEvent].collect()
+      .sortBy(r => (r.ts_us, r.event_id)).toSeq
+    ordered.grouped(1500).foreach { b => input.addData(b); query.processAllAvailable() }
+    query.stop()
+    // latest (cumulative) emission per type = the row with max n_gaps
+    val streamed = spark.table("gapstream").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).maxBy(_._1) }
+    val batch = graft.SparkEntry.queries("e12_interarrival_stats")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
