@@ -54,42 +54,44 @@ object DedupQueries {
   private val minhashASql: String = graft.functions.MinHashFamily.aSql
   private val minhashBSql: String = graft.functions.MinHashFamily.bSql
 
-  /** per-doc 16-bit SimHash (`doc_id`, `simhash16`) over the distinct
-    * word set: per bit j, sum ±1 votes from each word's md5 bits, sign →
-    * bit. Shared by x3 (hamming-0 groups) and x31 (hamming ≤ 3 blocked
-    * near-match); both aggregations are map-side-combinable sums over
+  /** per-doc `bits`-wide SimHash (`doc_id`, `simhash<bits>`) over the
+    * distinct word set: per bit j, sum ±1 votes from each word's md5
+    * bits, sign → bit. Shared by x3 (16-bit, hamming-0 groups) and x31
+    * (48-bit, hamming ≤ 3 blocked near-match — 16 bits saturates its
+    * bucket space at corpus scale; 48 stays within a positive BIGINT in
+    * both engines). Both aggregations are map-side-combinable sums over
     * (doc, j) / (doc) keys, so the build is two narrow shuffles.
     */
-  private def simhash16(s: SparkSession, dir: String): DataFrame = {
+  private def simhash(s: SparkSession, dir: String, bits: Int): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h4", expr("substring(md5(w), 1, 4)"))
+      .withColumn("hx", expr(s"substring(md5(w), 1, ${bits / 4})"))
     val votes = words.select(col("doc_id"), posexplode(expr(
-      """transform(sequence(0, 15), j ->
-        |  CASE WHEN (shiftright(instr('0123456789abcdef', substring(h4, (j div 4) + 1, 1)) - 1,
+      s"""transform(sequence(0, ${bits - 1}), j ->
+        |  CASE WHEN (shiftright(instr('0123456789abcdef', substring(hx, (j div 4) + 1, 1)) - 1,
         |                        3 - (j % 4)) & 1) = 1 THEN 1 ELSE -1 END)""".stripMargin)))
       .toDF("doc_id", "j", "c")
     votes.groupBy("doc_id", "j").agg(sum("c").as("sj"))
       .withColumn("bit", when(col("sj") >= 0, 1L).otherwise(0L))
       .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bit, 15 - j)")).as("simhash16"))
+      .agg(sum(expr(s"shiftleft(bit, ${bits - 1} - j)")).as(s"simhash$bits"))
   }
 
-  /** DuckDB twin of [[simhash16]] — a `WITH … h` prefix ending at the
+  /** DuckDB twin of [[simhash]] — a `WITH … h` prefix ending at the
     * per-doc hash CTE, shared by the x3 and x31 oracles.
     */
-  private val simhashSql =
-    """WITH w AS (
+  private def simhashSql(bits: Int) =
+    s"""WITH w AS (
       |  SELECT DISTINCT doc_id, w FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
       |v AS (
       |  SELECT doc_id, j,
       |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), (j // 4) + 1, 1)) - 1)
       |               >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS sj
-      |  FROM w, unnest(range(0, 16)) t(j) GROUP BY 1, 2),
+      |  FROM w, unnest(range(0, $bits)) t(j) GROUP BY 1, 2),
       |h AS (
       |  SELECT doc_id,
-      |    CAST(SUM((CASE WHEN sj >= 0 THEN 1 ELSE 0 END) << (15 - j)) AS BIGINT) AS simhash16
+      |    CAST(SUM((CASE WHEN sj >= 0 THEN 1 ELSE 0 END) << (${bits - 1} - j)) AS BIGINT) AS simhash$bits
       |  FROM v GROUP BY 1)""".stripMargin
 
   /** shingles + per-shingle 48-bit bases (`bases`), one md5 per shingle,
@@ -750,14 +752,14 @@ object DedupQueries {
 
     Q("x3_dedup_simhash",
       (s, dir) => {
-        // 16-bit SimHash over the distinct-word set ([[simhash16]]).
+        // 16-bit SimHash over the distinct-word set ([[simhash]]).
         // Hamming-0 groups share a simhash; keep_id = group
         // representative. All aggregation is map-side-combinable.
-        simhash16(s, dir)
+        simhash(s, dir, 16)
           .withColumn("keep_id", min("doc_id").over(Window.partitionBy("simhash16")))
           .orderBy("doc_id")
       },
-      Some(s"""$simhashSql
+      Some(s"""${simhashSql(16)}
              |SELECT doc_id, simhash16, min(doc_id) OVER (PARTITION BY simhash16) AS keep_id
              |FROM h ORDER BY doc_id""".stripMargin)),
 
@@ -766,27 +768,29 @@ object DedupQueries {
         // SimHash near-dup at hamming distance ≤ 3 (Manku et al., WWW'07
         // — the Google crawl near-dup design) — extends x3's exact-match
         // (hamming-0) grouping to NEAR matches without an all-pairs
-        // compare. Pigeonhole blocking: the 16-bit hash splits into 4
-        // nibble blocks, and a pair at hamming ≤ 3 has its ≤ 3 differing
-        // bits in ≤ 3 blocks, so it agrees EXACTLY on ≥ 1 block —
-        // candidates come from equi-joins on (block_id, block_value),
-        // lossless at the threshold by construction. At 64 bits this is
-        // the classic "split into k+1 permuted tables" scheme; candidate
-        // volume rides block-key collision counts, never n². The verify
-        // stage is one codegen'd `bit_count(a ^ b)` per candidate.
-        // Output is per-doc (keep_id = min doc_id over the hamming-≤3
-        // neighborhood, n_near = neighbor count) so the result stays
-        // doc-sized even when near-dup pairs are quadratic-ish; the
-        // DuckDB oracle brute-forces all pairs, so this IS the round-
-        // by-round losslessness check of the blocking scheme.
-        val h = simhash16(s, dir)
-        val blocks = h.select(col("doc_id"), col("simhash16"), posexplode(
-          expr("transform(sequence(0, 3), j -> shiftright(simhash16, 12 - 4 * j) & 15)")))
-          .toDF("doc_id", "simhash16", "blk", "bval")
+        // compare. 48-bit hash (16 bits has only 65,536 buckets — at
+        // corpus scale every bucket collides and blocking stops pruning;
+        // 48 stays a positive BIGINT in both engines). Pigeonhole
+        // blocking: the hash splits into 4 12-bit blocks, and a pair at
+        // hamming ≤ 3 has its ≤ 3 differing bits in ≤ 3 blocks, so it
+        // agrees EXACTLY on ≥ 1 block — candidates come from equi-joins
+        // on (block_id, block_value), lossless at the threshold by
+        // construction; random-pair collision odds per block are 2^-12,
+        // so candidate volume rides true near-dup mass, never n². The
+        // verify stage is one codegen'd `bit_count(a ^ b)` per
+        // candidate. Output is per-doc (keep_id = min doc_id over the
+        // hamming-≤3 neighborhood, n_near = neighbor count) so the
+        // result stays doc-sized even when near-dup pairs are
+        // quadratic-ish; the DuckDB oracle brute-forces all pairs, so
+        // this IS the round-by-round losslessness check of the blocking.
+        val h = simhash(s, dir, 48)
+        val blocks = h.select(col("doc_id"), col("simhash48"), posexplode(
+          expr("transform(sequence(0, 3), j -> shiftright(simhash48, 36 - 12 * j) & 4095)")))
+          .toDF("doc_id", "simhash48", "blk", "bval")
         val pairs = blocks.as("a").join(blocks.as("b"),
             col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
               col("a.doc_id") < col("b.doc_id"))
-          .filter(expr("bit_count(a.simhash16 ^ b.simhash16) <= 3"))
+          .filter(expr("bit_count(a.simhash48 ^ b.simhash48) <= 3"))
           // a pair can agree on up to 4 blocks — dedup before counting
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
@@ -795,19 +799,19 @@ object DedupQueries {
           .groupBy("doc_id")
           .agg(min("nbr").as("min_nbr"), count(lit(1)).as("n_near"))
         h.join(nbrs, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("simhash16"),
+          .select(col("doc_id"), col("simhash48"),
             coalesce(col("n_near"), lit(0L)).as("n_near"),
             coalesce(least(col("doc_id"), col("min_nbr")), col("doc_id")).as("keep_id"))
           .orderBy("doc_id")
       },
       // oracle: brute-force all-pairs hamming — independent of the
       // pigeonhole blocking, so a lossy block scheme would hash-mismatch
-      Some(s"""$simhashSql,
+      Some(s"""${simhashSql(48)},
              |p AS (
              |  SELECT a.doc_id AS doc_id, b.doc_id AS nbr
              |  FROM h a JOIN h b ON a.doc_id <> b.doc_id
-             |  WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3)
-             |SELECT h.doc_id, h.simhash16,
+             |  WHERE bit_count(xor(a.simhash48, b.simhash48)) <= 3)
+             |SELECT h.doc_id, h.simhash48,
              |  CAST(coalesce(s.n_near, 0) AS BIGINT) AS n_near,
              |  CAST(coalesce(least(h.doc_id, s.min_nbr), h.doc_id) AS BIGINT) AS keep_id
              |FROM h LEFT JOIN (
