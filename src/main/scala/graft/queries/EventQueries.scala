@@ -109,6 +109,56 @@ object EventQueries {
              |FROM g WHERE gap_us IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("e13_bounded_conversion",
+      (s, dir) => {
+        // TIME-BOUNDED funnel — e5 asks "did a click ever follow a
+        // view"; the realistic attribution question is "within the
+        // window" (here 1 h). Per view, conversion = any same-user
+        // click in (view_ts, view_ts + 1h] — a user-keyed equi-join
+        // with the interval as a RESIDUAL predicate (the j11 shape:
+        // per-user event counts bound the pair volume, never a time
+        // theta-join across users), LEFT SEMI so each view counts once
+        // no matter how many clicks land in its window. Daily report:
+        // views, converted views, rate (exact longs, one division).
+        val ev = Tables.eventsTs(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"),
+            to_date(col("ts")).cast("string").as("day"))
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "ts_us", "day")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+        val converted = views.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") > col("ts_us") &&
+              col("c_ts") <= col("ts_us") + lit(3600000000L),
+            "left_semi")
+          .groupBy("day").agg(count(lit(1)).as("n_conv"))
+        views.groupBy("day").agg(count(lit(1)).as("n_views"))
+          .join(converted, Seq("day"), "left")
+          .select(col("day"), col("n_views"),
+            coalesce(col("n_conv"), lit(0L)).as("n_conv"))
+          .withColumn("rate", col("n_conv").cast("double") / col("n_views"))
+          .orderBy("day")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |  FROM events WHERE event_type = 'view'),
+             |c AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events WHERE event_type = 'click'),
+             |d AS (
+             |  SELECT CAST(day AS VARCHAR) AS day, count(*) AS n_views,
+             |    CAST(sum(CASE WHEN EXISTS (
+             |      SELECT 1 FROM c WHERE c.user_id = v.user_id
+             |        AND c.ts_us > v.ts_us
+             |        AND c.ts_us <= v.ts_us + 3600000000) THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+             |  FROM v GROUP BY 1)
+             |SELECT day, n_views, n_conv,
+             |  CAST(n_conv AS DOUBLE) / n_views AS rate
+             |FROM d ORDER BY day""".stripMargin)),
+
     Q("e3_json_props",
       (s, dir) => Tables.eventsTs(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
