@@ -544,6 +544,70 @@ object DedupQueries {
               |$lshPairsCteSql
               |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("x32_lsh_recall_report",
+      (s, dir) => {
+        // measure the MEASURER: candidate recall of the x2 LSH banding
+        // against the exact jaccard-≥0.5 pair set — the dedup-quality
+        // metric a production pipeline tracks continuously (a band
+        // config drifting below recall target silently under-dedups the
+        // corpus). Ground truth comes from the inverted-index exact
+        // path (x4's machinery, unblocked: constant lang), candidates
+        // from the band self-join — the two pipelines share NOTHING
+        // past shingling, and the DuckDB twin recomputes both, so the
+        // recall number itself is cross-engine-verified. Report is one
+        // row: |exact|, |candidates|, |hit|, recall (exact longs, one
+        // division). The spec-measured claim (LSH recall 1.000 at 8×2
+        // bands, threshold 0.5) becomes a per-round oracle check here.
+        val sh = graft.corpus.Corpus.withShingles(Tables.documents(s, dir))
+          .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+            lit("all").as("lang"))
+        val exact = ngramJaccardPairsPrefix(sh, 0.5).select("doc_a", "doc_b")
+        val sig = graft.corpus.Corpus.bandSignatures(sh.select("doc_id", "sh"))
+        val cand = sig.as("a").join(sig.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .withColumn("recall",
+            col("n_hit").cast("double") / col("n_exact"))
+      },
+      Some(s"""WITH $lshSigCtesSql,
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sig a JOIN sig b
+              |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+              |      AND a.doc_id < b.doc_id),
+              |exact AS (
+              |  -- brute force with ONLY the mathematical size prune:
+              |  -- jaccard ≥ 0.5 forces max(n) ≤ 2·min(n) (|A∩B| ≤ min,
+              |  -- |A∪B| ≥ max), so the ratio filter is lossless at the
+              |  -- threshold; jaccard via common/(n_a + n_b − common) —
+              |  -- one list_intersect per pair, no list-concat-distinct,
+              |  -- the same arithmetic the Spark exact path runs
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT doc_a, doc_b, ${roundAtSql(
+                     "CAST(common AS DOUBLE) / (na + nb - common)", 6)} AS j
+              |    FROM (
+              |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |        len(list_intersect(a.sh, b.sh)) AS common,
+              |        len(a.sh) AS na, len(b.sh) AS nb
+              |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+              |        AND len(a.sh) <= 2 * len(b.sh)
+              |        AND len(b.sh) <= 2 * len(a.sh))) WHERE j >= 0.5),
+              |hit AS (
+              |  SELECT doc_a, doc_b FROM exact
+              |  INTERSECT SELECT doc_a, doc_b FROM cand)
+              |SELECT (SELECT count(*) FROM exact) AS n_exact,
+              |  (SELECT count(*) FROM cand) AS n_cand,
+              |  (SELECT count(*) FROM hit) AS n_hit,
+              |  CAST((SELECT count(*) FROM hit) AS DOUBLE)
+              |    / (SELECT count(*) FROM exact) AS recall""".stripMargin)),
+
     Q("x11_dedup_clusters",
       (s, dir) => {
         // connected components over the verified duplicate-pair graph —
