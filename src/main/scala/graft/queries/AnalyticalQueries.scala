@@ -414,6 +414,41 @@ object AnalyticalQueries {
              |      FROM lineitem)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("h12_disjunctive_join",
+      (s, dir) => {
+        // TPC-H Q19 shape: an OR-of-ANDs join predicate spanning BOTH
+        // sides (three brand/size/quantity bands) — the stress case for
+        // predicate normalization: the join must stay a p_partkey
+        // equi-join with the disjunction as a residual, while Catalyst's
+        // CNF conversion extracts the single-side implicates
+        // (brand ∈ {…}, size bounds, quantity bounds) and pushes them
+        // into the scans — a naive planner evaluates the OR row-at-a-
+        // time post-join with unfiltered inputs. One aggregate row out.
+        val l = Tables.lineitem(s, dir)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+        def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand &&
+            col("p_size").between(1, sizeHi) &&
+            col("l_quantity").between(qLo, qHi)
+        l.join(p, col("l_partkey") === col("p_partkey") &&
+            (band("Brand#12", 5, 1, 11) ||
+             band("Brand#23", 10, 10, 20) ||
+             band("Brand#34", 15, 20, 30)))
+          .agg(count(lit(1)).as("n"),
+            roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+              .as("revenue"))
+      },
+      Some(s"""SELECT count(*) AS n,
+              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     Q("h3_sql_entrypoint",
       (s, dir) => {
         // the spark.sql(...) surface: same engine, SQL text in — register

@@ -347,4 +347,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("v11_equidepth_histogram")
     assert(p.contains("hashpartitioning(l_returnflag"), p)
   }
+
+  test("h12's OR-of-ANDs is CNF-extracted into BOTH scans; join stays equi") {
+    // the disjunction spans both sides, but each side's implicates
+    // (brand/size bands, quantity bands) must reach the parquet scans as
+    // pushed Or(...) filters — a plan that evaluates the whole predicate
+    // post-join reads both tables unfiltered
+    val p = plan("h12_disjunctive_join")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"), p)
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
 }
