@@ -45,6 +45,7 @@ object Bench {
     "x18_semantic_dedup", "x20_containment_dedup", "x26_semantic_clusters",
     "x27_pagerank", "x28_weighted_jaccard", "o4_native_topk_per_group",
     "t15_segment_dedup", "y3_tfidf_topk", "h1_shipping_priority", "h2_local_supplier_volume",
+    "x31_simhash_hamming", "x32_lsh_recall_report", "f20_fuzzy_pairs_blocked",
     "corpus_curate", "curate_incremental", "etl_close_scale100", "etl_close_scale1000")
 
   private def fmt(v: Double): String =
