@@ -449,6 +449,48 @@ object AnalyticalQueries {
               |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
               |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
 
+    Q("h13_promo_revenue_share",
+      (s, dir) => {
+        // TPC-H Q14 shape: conditional share of a joined measure — what
+        // fraction of one month's discounted revenue came from ECONOMY
+        // parts. Numerator and denominator ride the SAME aggregate pass
+        // (a CASE inside sum — never two scans); the date filter prunes
+        // the fact scan, the part side broadcasts. Both sums go through
+        // exact cent-longs: the ratio divides two order-independent
+        // integers, so the share needs no rounding slack at all (the
+        // h10 discipline), and only the final percentage rounds.
+        def cents(c: org.apache.spark.sql.Column) =
+          sum(floor(c * 100 + lit(0.5)).cast("long"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-03-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount")
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        l.join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            cents(when(col("p_type").contains("ECONOMY"), rev).otherwise(0.0))
+              .as("promo_cents"),
+            cents(rev).as("total_cents"))
+          .withColumn("promo_share_pct", roundAt(
+            lit(100.0) * col("promo_cents").cast("double")
+              / col("total_cents").cast("double"), 6))
+      },
+      Some(s"""SELECT
+              |  CAST(sum(CAST(floor(CASE WHEN p_type LIKE '%ECONOMY%'
+              |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END * 100 + 0.5)
+              |    AS BIGINT)) AS BIGINT) AS promo_cents,
+              |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+              |    AS BIGINT)) AS BIGINT) AS total_cents,
+              |  ${roundAtSql(
+                   "100.0 * CAST(sum(CAST(floor(CASE WHEN p_type LIKE '%ECONOMY%' " +
+                   "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END * 100 + 0.5) AS BIGINT)) AS DOUBLE) " +
+                   "/ CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE)", 6)}
+              |    AS promo_share_pct
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
     Q("h3_sql_entrypoint",
       (s, dir) => {
         // the spark.sql(...) surface: same engine, SQL text in — register
