@@ -118,6 +118,36 @@ object ScaleQueries {
               |  count(*) AS n
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("z9_key_skew_report",
+      (s, dir) => {
+        // the PRE-shuffle skew profiler — the measurement that decides
+        // whether a key needs z1's salting / AQE skew-split before you
+        // pay for the shuffle: per-key row counts (one map-side-combined
+        // agg), summarized to key cardinality, max/avg key weight, and
+        // the skew ratio. All counts are exact longs; avg and ratio are
+        // single divisions of those integers. On a 100 TB fact this runs
+        // on a sample partition or the previous day's stats table — the
+        // report shape is the same.
+        val counts = Tables.lineitem(s, dir)
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        counts.agg(
+            count(lit(1)).as("n_keys"),
+            sum("n").as("n_rows"),
+            max("n").as("max_key_rows"))
+          .withColumn("avg_key_rows",
+            col("n_rows").cast("double") / col("n_keys"))
+          .withColumn("skew_ratio",
+            col("max_key_rows").cast("double") / col("avg_key_rows"))
+          .select("n_keys", "n_rows", "max_key_rows", "avg_key_rows", "skew_ratio")
+      },
+      Some("""WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+             |a AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+             |         max(n) AS max_key_rows FROM c)
+             |SELECT n_keys, n_rows, max_key_rows,
+             |  CAST(n_rows AS DOUBLE) / n_keys AS avg_key_rows,
+             |  CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio
+             |FROM a""".stripMargin)),
+
     Q("z2_repartitioned_colocated_agg",
       (s, dir) => {
         // explicit pre-partitioning on the join/agg key — the bucketing
