@@ -936,6 +936,28 @@ object AnalyticalQueries {
               |  count(*) FILTER (WHERE l_linestatus = 'O') AS O_n
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("a31_multi_distinct",
+      (s, dir) => {
+        // several COUNT(DISTINCT …) over DIFFERENT columns in one
+        // aggregate — Spark compiles this to ONE Expand (each row
+        // replicated per distinct-column with the others nulled) +
+        // two-phase aggregation, so the fact is scanned once however
+        // many distinct measures ride along; the naive plan is one
+        // scan+shuffle per distinct column. Plain count rides the same
+        // pass.
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("nd_parts"),
+            countDistinct("l_suppkey").as("nd_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS nd_parts,
+             |  count(DISTINCT l_suppkey) AS nd_supps,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("a28_corr_matrix",
       (s, dir) => {
         // pairwise Pearson correlation MATRIX over k numeric columns in

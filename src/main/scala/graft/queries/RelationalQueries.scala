@@ -791,6 +791,30 @@ object RelationalQueries {
               |FROM orders GROUP BY 1
               |ORDER BY 2 DESC, 1 LIMIT 8""".stripMargin)),
 
+    Q("o5_keyset_pagination",
+      (s, dir) => {
+        // KEYSET (cursor) pagination — the OFFSET-free pattern an API
+        // over a 100 TB table must use: OFFSET n scans and discards n
+        // rows per page (page 10⁶ costs 10⁶ rows), while a keyset
+        // cursor turns "next page" into a pushed-down range predicate +
+        // top-k. Page = rows strictly after the cursor tuple in
+        // (o_totalprice DESC, o_orderkey ASC) order; the row-value
+        // comparison decomposes into the OR-of-ANDs both engines plan
+        // as a scan filter. Cursor pinned to a constant (the real
+        // caller passes the previous page's last row).
+        val (cPrice, cKey) = (500000.0, 0L)
+        Tables.orders(s, dir)
+          .filter(col("o_totalprice") < cPrice ||
+            (col("o_totalprice") === cPrice && col("o_orderkey") > cKey))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice < 500000.0
+             |   OR (o_totalprice = 500000.0 AND o_orderkey > 0)
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
     // ── §2.7 set ops ────────────────────────────────────────────────────
     Q("u1_union_conformed",
       (s, dir) => {
