@@ -51,6 +51,50 @@ class DedupRecallSpec extends SparkSpec {
     assert(recall >= 0.8, f"LSH recall collapsed: $recall%.3f")
   }
 
+  test("x32 ground-truth sampling is lossless: sampled exact pairs = full exact pairs restricted to the sample") {
+    // the r8 sample gate bounds the one super-linear computation in the
+    // battery; this pins that the gate COMMUTES with the pair
+    // computation (sampling docs then finding pairs ≡ finding pairs
+    // then keeping those with both endpoints sampled), so the sampled
+    // recall is a true recall over the sampled subgraph — and keeps the
+    // UNSAMPLED run alive at small sf as the lossless reference.
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, "/root/testdata/sf0.01")
+    def pairsOf(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val sh = graft.corpus.Corpus.withShingles(docs)
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n"),
+          lit("all").as("lang"))
+      val out = DedupQueries.ngramJaccardPairsPrefix(sh, 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      out
+    }
+    val pct = DedupQueries.x32SamplePct
+    val sampledIds = graft.corpus.Corpus.withBucket(base)
+      .filter(col("bucket") < pct).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sampledIds.nonEmpty && sampledIds.size < 500,
+      s"sample gate degenerate: ${sampledIds.size}/500 docs")
+    val full = pairsOf(base)
+    val sampled = pairsOf(graft.corpus.Corpus.withBucket(base)
+      .filter(col("bucket") < pct).drop("bucket"))
+    val expected = full.filter { case (a, b) =>
+      sampledIds.contains(a) && sampledIds.contains(b) }
+    assert(sampled == expected,
+      s"gate is not lossless: sampled-only=${(sampled -- expected).take(3)} " +
+        s"missing=${(expected -- sampled).take(3)}")
+    info(s"x32 gate at $pct%: ${sampledIds.size}/500 docs, " +
+      s"${expected.size}/${full.size} exact pairs retained")
+    // and the query's own report agrees with the independently-derived
+    // sampled pair count
+    val row = DedupQueries.lshRecallReport(spark, "/root/testdata/sf0.01", pct)
+      .collect().head
+    assert(row.getLong(0) == expected.size.toLong,
+      s"x32 n_exact ${row.getLong(0)} != ${expected.size}")
+    spark.catalog.clearCache()
+  }
+
   test("marker-langid accuracy from the t1 confusion matrix is on the record") {
     val rows = SparkEntry.queries("t1_langid_markers")(spark, dir).collect()
     val total = rows.map(_.getLong(2)).sum
