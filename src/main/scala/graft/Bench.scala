@@ -17,7 +17,9 @@ package graft
   * pass; if REPS exceeds an entry's rep count the trailing passes are
   * headline-only. The 1-minute /proc/loadavg is sampled at the start
   * of each pass and recorded (`loadavg`) so a load-poisoned record is
-  * machine-detectable. The max is retained per query in
+  * machine-detectable; a pass starting above SPARK_GRAFT_BENCH_LOADGATE
+  * (default 8) schedules one extra full pass (≤ 2,
+  * `load_extra_passes`) so the min can land in a quieter window. The max is retained per query in
   * BENCH_LOCAL.json (`spread`), and the worst max/min ratio across
   * entries is summarized in the stdout line (`noise`) so a noisy run
   * is visible in the official record.
@@ -164,11 +166,24 @@ object Bench {
     val failedEntries = scala.collection.mutable.Set.empty[String]
     val loadavgs = scala.collection.mutable.ArrayBuffer.empty[String]
     val maxPass = entries.map { case (n, _) => repsFor(n) }.foldLeft(1)(math.max)
+    // Loadavg gate (r8): r7's official record was taken at loadavg 12.5
+    // and posted noise 24.3 vs the quiet-box 1.70 — min-of-3 can't save
+    // a record when EVERY pass shares the load window. When a pass
+    // starts above the gate, schedule one extra full pass (all entries,
+    // capped at +2) so at least one min candidate may land in a quieter
+    // window; the per-pass loadavg array in the JSON shows whether it did.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "8.0").toDouble
+    var extraPasses = 0
+    var passesPlanned = maxPass
     var pass = 1
-    while (pass <= maxPass) {
-      loadavgs += loadAvg1m()
+    while (pass <= passesPlanned) {
+      val la = loadAvg1m()
+      loadavgs += la
+      if (la.toDoubleOption.exists(_ > loadGate) && extraPasses < 2) {
+        extraPasses += 1; passesPlanned += 1
+      }
       entries.foreach { case (name, body) =>
-        if (pass <= repsFor(name) && !failedEntries(name)) {
+        if ((pass <= repsFor(name) || pass > maxPass) && !failedEntries(name)) {
           // Noise control (r6 showed 9–22× warm spreads on the short ANN
           // entries): a full-GC pause triggered by a heavy NEIGHBOR's
           // accumulated garbage landing inside a short entry's timing
@@ -219,7 +234,9 @@ object Bench {
     // errors present is NOT comparable round-over-round — flag it
     // machine-readably instead of letting a smaller battery read as faster
     val incomplete = if (errors.nonEmpty) """"total_incomplete":true,""" else ""
-    val common = s"""$incomplete$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    val extraJson =
+      if (extraPasses > 0) s""""load_extra_passes":$extraPasses,""" else ""
+    val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val full =

@@ -637,5 +637,11 @@ object StreamingOps {
           GapOut(tpe, n, if (n == 0) 0L else mn, if (n == 0) 0L else mx,
             if (n == 0) 0.0 else sum.toDouble / n)
       }
+      // a type that has seen only ONE event has no gap yet; the batch
+      // twin emits no row for it, so suppress the n_gaps = 0 placeholder
+      // (mapGroupsWithState must return a value per touched group — the
+      // filter is where "don't emit yet" lives) to keep stream ≡ batch
+      // on degenerate inputs
+      .filter(_.n_gaps > 0)
   }
 }

@@ -354,8 +354,18 @@ class PlanAuditSpec extends SparkSpec {
     // pushed Or(...) filters — a plan that evaluates the whole predicate
     // post-join reads both tables unfiltered
     val p = plan("h12_disjunctive_join")
-    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"), p)
-    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    // assert each single-side implicate REACHED PushedFilters, not the
+    // exact rendered Or/And nesting — the optimizer's CNF extraction
+    // order is free to change across Spark versions without a
+    // correctness regression (r7 ADVICE)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    Seq("EqualTo(p_brand,Brand#12)", "EqualTo(p_brand,Brand#23)",
+        "EqualTo(p_brand,Brand#34)").foreach(f =>
+      assert(pushed.contains(f), s"missing part-side implicate $f in:\n$pushed"))
+    Seq("GreaterThanOrEqual(l_quantity,1.0)",
+        "GreaterThanOrEqual(l_quantity,10.0)",
+        "GreaterThanOrEqual(l_quantity,20.0)").foreach(f =>
+      assert(pushed.contains(f), s"missing lineitem-side implicate $f in:\n$pushed"))
     assert(!p.toLowerCase.contains("cartesian"), p)
   }
 }
