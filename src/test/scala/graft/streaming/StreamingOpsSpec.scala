@@ -318,6 +318,65 @@ class StreamingOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental curation survives a kill + restart from the checkpoint: batch 2 on a NEW query equals the sequential run") {
+    // the production contract the replay-idempotence tests only
+    // approximate: the first query is STOPPED after batch 0 commits, a
+    // brand-new StreamingQuery object is started from the same
+    // checkpoint directory, and batch 1 must (a) resume the batchId
+    // sequence from the offset log, (b) see batch 0's published segment
+    // in its dedup set, and (c) produce exactly the sequential batch
+    // composition — no lost, duplicated, or re-numbered work.
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+    val base = tmpDir("stream_curate_crash")
+    val seed = s"$base/seed"
+    graft.corpus.Corpus.writeLshIndex(docsDf.filter($"doc_id" % 2 =!= 0), seed)
+    val newDocs = docsDf.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow]
+      .collect().toSeq.sortBy(_.doc_id)
+    val mid = newDocs(newDocs.size / 2).doc_id
+    val (b1, b2) = newDocs.partition(_.doc_id < mid)
+
+    val input = MemoryStream[StreamingOps.DocRow]
+    val q1 = StreamingOps.curateStreamIncremental(input.toDF(), Seq(seed),
+      s"$base/segments", s"$base/out", s"$base/ckpt")
+    input.addData(b1); q1.processAllAvailable()
+    q1.stop() // "crash": the query object is gone; only ckpt + artifacts remain
+
+    input.addData(b2)
+    val q2 = StreamingOps.curateStreamIncremental(input.toDF(), Seq(seed),
+      s"$base/segments", s"$base/out", s"$base/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val e1 = graft.corpus.Corpus.curateIncremental(
+        docsDf.filter($"doc_id" % 2 === 0 && $"doc_id" < mid),
+        Seq(seed), s"$base/eseg_0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val e2 = graft.corpus.Corpus.curateIncremental(
+        docsDf.filter($"doc_id" % 2 === 0 && $"doc_id" >= mid),
+        Seq(seed, s"$base/eseg_0"), s"$base/eseg_1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (e1 ++ e2),
+      s"restart diverged from sequential: extra=${(got -- (e1 ++ e2)).take(3)} " +
+        s"missing=${((e1 ++ e2) -- got).take(3)}")
+    assert(got.nonEmpty && got.size < newDocs.size,
+      "nothing was deduped — spec is vacuous")
+    // the restarted query CONTINUED the batchId sequence (0 then 1) and
+    // published exactly one segment + one output partition per batch
+    Seq(s"$base/segments/seg_0/signatures", s"$base/segments/seg_1/signatures",
+        s"$base/out/batch_id=0", s"$base/out/batch_id=1").foreach { p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)), p)
+    }
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out/batch_id=2")),
+      "restart re-numbered instead of resuming the offset log")
+    assert(StreamingOps.latestCompleteVersion(s"$base/segments") == Some(1L))
+    spark.catalog.clearCache()
+  }
+
   test("streaming curate-ingest (gate → dedup → normalize) equals its batch execution") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = graft.core.Tables.documents(spark, sfDir)
