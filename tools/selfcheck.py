@@ -47,6 +47,10 @@ def main():
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
+            # driver testdata is a single file; Spark-written fixtures
+            # (e.g. the r8 ScaleUp sf1 dir) are part-file directories
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures, passed, rows_only = [], [], []
