@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"jaccard_similarity expects 2 arguments, got ${children.length}")
         JaccardSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("common_count_at_least"),
+      graft.functions.CommonCountAtLeast.info,
+      children => {
+        require(children.length == 3,
+          s"common_count_at_least expects 3 arguments, got ${children.length}")
+        graft.functions.CommonCountAtLeast(children.head, children(1), children(2))
+      }))
     Seq[(String, ExpressionInfo, Expression => Expression)](
       ("shingles", Shingles.info, Shingles(_)),
       ("minhash_bases", MinHashBases.info, MinHashBases(_)),

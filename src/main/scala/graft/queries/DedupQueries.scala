@@ -349,38 +349,56 @@ object DedupQueries {
     * `sets` must carry (doc_id, lang, sh, n).
     */
   private[queries] def jaccardVerify(cand: DataFrame, sets: DataFrame,
-      t: Double): DataFrame =
+      t: Double): DataFrame = {
+    // native count-only intersect with reach-threshold early exit
+    // (CommonCountAtLeast): j ≥ t − 1e-6 forces c ≥ tEff·(n_a+n_b)/(1+tEff),
+    // so a bailed (−1) pair could never pass the 6-dp-rounded filter
+    // (rounding moves the score by ≤ 5e-7 < 1e-6; the −1e-9 inside ceil
+    // absorbs the double-arithmetic ulp of the bound itself). Survivors
+    // carry the EXACT count — output identical to size(array_intersect).
+    val tEff = t - 1e-6
+    val minReq = ceil(lit(tEff) * (col("sa.n") + col("sb.n"))
+      / lit(1.0 + tEff) - lit(1e-9)).cast("int")
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("common",
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("common", graft.functions.CommonCountAtLeast(
+        col("sa.sh"), col("sb.sh"), minReq).cast("long"))
       .withColumn("jaccard", roundAt(col("common").cast("double")
         / (col("sa.n") + col("sb.n") - col("common")), 6))
-      .filter(col("jaccard") >= t)
+      .filter(col("common") >= 0 && col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("sa.lang").as("lang"), col("jaccard"))
+  }
 
   /** exact-verification stage of the containment pair — both directional
     * containments plus the jaccard for context. `sets` must carry
     * (doc_id, sh, n).
     */
   private[queries] def containmentVerify(cand: DataFrame, sets: DataFrame,
-      t: Double): DataFrame =
+      t: Double): DataFrame = {
+    // early-exit bound for containment: max(c/n_a, c/n_b) = c/min(n_a,n_b),
+    // so a pass at t − 1e-6 forces c ≥ tEff·min — bailed pairs can never
+    // clear the rounded filter (margin argument at [[jaccardVerify]])
+    val tEff = t - 1e-6
+    val minReq = ceil(lit(tEff) * least(col("sa.n"), col("sb.n"))
+      - lit(1e-9)).cast("int")
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("common",
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("common", graft.functions.CommonCountAtLeast(
+        col("sa.sh"), col("sb.sh"), minReq).cast("long"))
       .withColumn("cont_a_in_b",
         roundAt(col("common").cast("double") / col("sa.n"), 6))
       .withColumn("cont_b_in_a",
         roundAt(col("common").cast("double") / col("sb.n"), 6))
-      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= t)
+      .filter(col("common") >= 0 &&
+        greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= t)
       .withColumn("jaccard", roundAt(col("common").cast("double")
         / (col("sa.n") + col("sb.n") - col("common")), 6))
       .select(col("doc_a"), col("doc_b"),
         col("sa.n").cast("long").as("n_a"), col("sb.n").cast("long").as("n_b"),
         col("common"), col("jaccard"), col("cont_a_in_b"), col("cont_b_in_a"))
+  }
 
   /** PPJoin-prefix-filtered exact n-gram Jaccard pairs (j ≥ t), the
     * candidate-then-verify twin of [[ngramJaccardCommon]]'s count-everything
