@@ -278,11 +278,17 @@ object DedupQueries {
       if (withRank) joined.withColumn("rn",
         when(col("df") >= 2,
           sum(when(col("df") >= 2, 1).otherwise(0)).over(byDocRows).cast("int")))
+        // n2 = the doc's df ≥ 2 posting count (= max rank) — the basis of
+        // the positional filter's remainder arithmetic. Same partitioning
+        // as the rank window: one extra sort-pass, no extra shuffle.
+        .withColumn("n2",
+          max(col("rn")).over(Window.partitionBy("doc_id")))
       else joined.withColumn("rn", lit(null).cast("int"))
+        .withColumn("n2", lit(null).cast("int"))
     ranked
       .withColumn("nsalt",
         least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
-      .select("doc_id", "lang", "n", "shingle", "df", "rn", "nsalt")
+      .select("doc_id", "lang", "n", "shingle", "df", "rn", "n2", "nsalt")
   }
 
   /** candidate stage over a pre-built [[indexedPostings]] frame: the
@@ -301,7 +307,7 @@ object DedupQueries {
     val b = postings0
       .filter(col("df") >= 2)
       .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
-      .select("doc_id", "lang", "n", "shingle", "nsalt", "salt", "rn")
+      .select("doc_id", "lang", "n", "shingle", "nsalt", "salt", "rn", "n2")
       .cache()
     val a = b.filter(
       col("rn") <= (floor(col("n") * lit(1.0 - tEff)) + 1).cast("int") &&
