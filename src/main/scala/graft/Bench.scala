@@ -172,7 +172,10 @@ object Bench {
     // starts above the gate, schedule one extra full pass (all entries,
     // capped at +2) so at least one min candidate may land in a quieter
     // window; the per-pass loadavg array in the JSON shows whether it did.
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "8.0").toDouble
+    // toDoubleOption: a malformed env value degrades to the default gate
+    // instead of aborting the whole run before any entry executes
+    val loadGate = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE")
+      .flatMap(_.toDoubleOption).getOrElse(8.0)
     var extraPasses = 0
     var passesPlanned = maxPass
     var pass = 1

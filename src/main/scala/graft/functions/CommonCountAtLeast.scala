@@ -116,8 +116,21 @@ case class CommonCountAtLeast(first: Expression, second: Expression,
 }
 
 object CommonCountAtLeast {
+  // usage/extended surface through DESCRIBE FUNCTION — the SET-input
+  // precondition must be visible to external SQL users, not only in the
+  // scaladoc internal callers read (ADVICE r8)
   val info: ExpressionInfo = new ExpressionInfo(
-    classOf[CommonCountAtLeast].getName, "common_count_at_least")
+    classOf[CommonCountAtLeast].getName, null, "common_count_at_least",
+    "common_count_at_least(a, b, min_required) - Returns the number of " +
+      "common elements of the two array<string> inputs when it is >= " +
+      "min_required, and -1 as soon as the remaining scan provably " +
+      "cannot reach min_required (pass min_required <= 0 for a plain " +
+      "count).",
+    "PRECONDITION: both arrays must be DISTINCT-element sets (e.g. " +
+      "built with array_distinct). A duplicated element on the scanned " +
+      "(larger) side is counted once per occurrence, so on multiset " +
+      "inputs the result diverges from size(array_intersect(a, b)) and " +
+      "can depend on which input is larger. NULL if any input is NULL.")
 
   /** registry-free `Column` form (see [[JaccardSimilarity.apply]]). */
   def apply(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,

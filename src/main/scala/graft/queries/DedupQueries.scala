@@ -278,9 +278,10 @@ object DedupQueries {
       if (withRank) joined.withColumn("rn",
         when(col("df") >= 2,
           sum(when(col("df") >= 2, 1).otherwise(0)).over(byDocRows).cast("int")))
-        // n2 = the doc's df ≥ 2 posting count (= max rank) — the basis of
-        // the positional filter's remainder arithmetic. Same partitioning
-        // as the rank window: one extra sort-pass, no extra shuffle.
+        // n2 = the doc's df ≥ 2 posting count (= max rank) — consumed by
+        // the positional filter's remainder arithmetic in
+        // [[containmentCandidatesFrom]]. Same partitioning as the rank
+        // window: one extra sort-pass, no extra shuffle.
         .withColumn("n2",
           max(col("rn")).over(Window.partitionBy("doc_id")))
       else joined.withColumn("rn", lit(null).cast("int"))
@@ -298,7 +299,8 @@ object DedupQueries {
     * recomputed per query.
     */
   private[queries] def containmentCandidatesFrom(postings0: DataFrame,
-      t: Double, maxLenRatio: Option[Double] = None): DataFrame = {
+      t: Double, maxLenRatio: Option[Double] = None,
+      posFilter: Boolean = true): DataFrame = {
     val tEff = t - 1e-6
     // one physical posting build feeds both sides (x4's cache pattern):
     // the replicated full index is cached; the probe side is its
@@ -333,7 +335,25 @@ object DedupQueries {
       col("a.doc_id") =!= col("b.doc_id")
     val cond = maxLenRatio.fold(baseCond)(r => baseCond &&
       greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * lit(r))
-    a.as("a").join(b.as("b"), cond)
+    // PPJoin positional filter (Xiao et al., WWW'08 §3.2): a match at
+    // ranks (rn_a, rn_b) within the df ≥ 2 posting lists of sizes
+    // (n2_a, n2_b) bounds the pair's total common count by
+    // 1 + min(n2_a − rn_a, n2_b − rn_b) — both lists are ordered by the
+    // SAME global (df, shingle) order, so the common shingles after this
+    // one occupy distinct higher ranks on each side. Any qualifying pair
+    // needs c ≥ ⌈tEff·min(n_a, n_b)⌉ (containment; jaccard needs more),
+    // and its FIRST common shingle — minimal rank on both sides, inside
+    // the probing side's prefix because prefixes are down-sets of the
+    // rank order — yields a bound ≥ c, so at least one of the pair's
+    // match rows always survives: dropping the failing rows BEFORE the
+    // distinct is lossless (pinned vs unpruned in DedupSaltSpec) while
+    // it thins the distinct shuffle and the verify join's input.
+    val posBound = lit(1) +
+      least(col("a.n2") - col("a.rn"), col("b.n2") - col("b.rn"))
+    val posReq = ceil(lit(tEff) * least(col("a.n"), col("b.n")) - lit(1e-9))
+      .cast("int")
+    a.as("a").join(b.as("b"),
+      if (posFilter) cond && posBound >= posReq else cond)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
@@ -467,10 +487,10 @@ object DedupQueries {
       p
     }
 
-  private def sharedShingledDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sharedShingledDocs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(sharedIndexPath(s, dir) + "/docs")
 
-  private def sharedIndexedPostings(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sharedIndexedPostings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(sharedIndexPath(s, dir) + "/postings")
 
   /** one materialized cluster table per (session, sf dir) for x17: the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * families can be measured one decade above the largest driver-provided
   * sf (TESTDATA.md tops out at sf0.1). Usage:
   *
-  * {{{ runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <k> }}}
+  * {{{ runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <k> [skewPct] }}}
   *
   * Replication is REPLICA-TAGGED so the copy scales like a larger corpus
   * rather than a pathological one:
@@ -18,34 +18,71 @@ import org.apache.spark.sql.functions._
   *    count scales exactly K× (untagged copies would make every doc an
   *    exact dup of K−1 others: pair work K²×, which no real corpus
   *    growth looks like). Within a replica the dup structure is the
-  *    original's. Caveat recorded in BASELINE.md: per-shingle df stays
-  *    flat under tagging, while a real K× corpus also grows hot-key
-  *    df's — that axis is covered by the salt fan-out's own specs
-  *    (DedupSaltSpec) and the z9 skew profiler, not by this fixture.
+  *    original's. The source corpus is asserted to contain no word that
+  *    already starts with a replica tag (`r<digits>x…`) — such a word in
+  *    replica 0 would collide with a tagged replica word and silently
+  *    break the cross-replica-disjointness the K×-true-pairs claim
+  *    rests on.
+  *  - `skewPct` (default 0): HOT-KEY GROWTH mode. With skewPct = p > 0,
+  *    a deterministic p% of the vocabulary (hash-selected per word, so
+  *    the same word is shared in every replica — the shape of corpus-wide
+  *    boilerplate) is left UNTAGGED in all replicas. A shingle whose two
+  *    words are both shared is then identical across replicas and its
+  *    document frequency grows ~K× — exactly the axis the pure-tagging
+  *    fixture flattens (plain mode keeps per-shingle df constant while
+  *    the corpus grows K×, so posting-list salting never faces a K×
+  *    hotter key). Skew mode trades the exact K×-true-pairs guarantee
+  *    for K×-hotter posting lists: cross-replica candidate pairs now
+  *    exist through the hot keys (that is the stress), while verified
+  *    near-dup pairs stay dominated by the within-replica structure
+  *    because only ~(p/100)² of a doc's shingles are shared.
   *  - `embeddings`: replica r offsets `vec_id` by r·10⁷ and perturbs
   *    each component by a deterministic hash-derived ±0.005 so replica
   *    twins are near but not identical (ANN/KNN/centroid costs stay
   *    honest; exact-duplicate vectors would collapse distance ties).
   *
-  * Deterministic end-to-end (hash-based perturbation, no RNG), so two
-  * runs produce byte-identical fixtures.
+  * Deterministic end-to-end (hash-based word selection and perturbation,
+  * no RNG), so two runs produce byte-identical fixtures.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.tools.ScaleUp <srcSfDir> <dstDir> <k> [skewPct]")
+      sys.exit(2)
+    }
     val Array(src, dst, kStr) = args.take(3)
     val k = kStr.toInt
     require(k >= 1, s"k must be >= 1, got $k")
+    val skewPct = args.lift(3).map(_.toInt).getOrElse(0)
+    require(skewPct >= 0 && skewPct <= 100,
+      s"skewPct must be in [0, 100], got $skewPct")
     val spark = graft.core.Sessions.local("graft-scaleup",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", graft.core.Sessions.cpus))
     val offset = 10000000L
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // cross-replica-disjointness guard: a source word already shaped like
+    // a replica tag ('r1xfoo') in replica 0 would collide with replica
+    // 1's tagged 'foo' — one cheap pass before anything is written
+    require(docs.filter(col("text").rlike("(^| )r\\d+x")).isEmpty,
+      "source corpus contains a word matching the replica tag ^r\\d+x; " +
+        "the cross-replica jaccard-0 guarantee would not hold")
+    // skew mode: a word is SHARED (left untagged in every replica) when
+    // its content hash lands under skewPct — per-word, corpus-global,
+    // deterministic. tagWords rewrites text for replica r accordingly.
+    def tagWords(r: Int) =
+      if (skewPct == 0)
+        concat(lit(s"r${r}x"), regexp_replace(col("text"), " ", s" r${r}x"))
+      else
+        array_join(transform(split(col("text"), " "), w =>
+          when(pmod(hash(w), lit(100)) < lit(skewPct), w)
+            .otherwise(concat(lit(s"r${r}x"), w))), " ")
     val docReplicas = (0 until k).map { r =>
       if (r == 0) docs
       else docs
         .withColumn("doc_id", col("doc_id") + lit(r * offset))
-        .withColumn("text",
-          concat(lit(s"r${r}x"), regexp_replace(col("text"), " ", s" r${r}x")))
+        .withColumn("text", tagWords(r))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     docReplicas.reduce(_ unionByName _)
@@ -81,6 +118,7 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     println(s"""{"scaleup":{"src":"$src","dst":"$dst","k":$k,""" +
+      s""""skew_pct":$skewPct,""" +
       s""""docs":${spark.read.parquet(s"$dst/documents.parquet").count()},""" +
       s""""embeddings":${spark.read.parquet(s"$dst/embeddings.parquet").count()}}}""")
     spark.stop()

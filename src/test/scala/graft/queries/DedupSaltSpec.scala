@@ -230,6 +230,35 @@ class DedupSaltSpec extends SparkSpec {
       s"prefix filter reduced nothing: $candidates vs $unpruned")
   }
 
+  test("positional filter is lossless: candidate pairs with it are a subset, surviving verified pairs identical") {
+    // PPJoin's positional filter (containmentCandidatesFrom posFilter):
+    // the bound 1 + min(n2−rn) at a prefix match can only DROP candidate
+    // rows, and never a row of a qualifying pair (the first common
+    // shingle's row always clears the bound) — so candidates shrink or
+    // stay equal while the verified output is bit-identical.
+    def cands(pos: Boolean): Set[(Long, Long)] = {
+      val got = DedupQueries.containmentCandidatesFrom(
+          DedupQueries.indexedPostings(shingled), 0.4, posFilter = pos)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      got
+    }
+    val on = cands(pos = true)
+    val off = cands(pos = false)
+    assert(on.subsetOf(off), s"positional filter ADDED pairs: ${on -- off}")
+    def verified(pos: Boolean): Set[(Long, Long)] = {
+      val got = DedupQueries.containmentVerify(
+          DedupQueries.containmentCandidatesFrom(
+            DedupQueries.indexedPostings(shingled), 0.4, posFilter = pos),
+          shingled.select(col("doc_id"), col("sh"), col("n")), 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      got
+    }
+    assert(verified(pos = true) == verified(pos = false))
+    info(s"candidates with filter ${on.size} vs without ${off.size}")
+  }
+
   test("the tiny chunk really engages the fan-out (corpus has df > 2 keys)") {
     val maxDf = shingled
       .select(col("lang"), explode(col("sh")).as("shingle"))
