@@ -1345,6 +1345,82 @@ object DedupQueries {
               |SELECT cluster_size, count(*) AS n_clusters,
               |  cluster_size * count(*) AS n_docs
               |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("x33_url_snapshot_dedup",
+      (s, dir) => {
+        // Common-Crawl-shaped URL/snapshot dedup: canonicalize each
+        // fetched URL — strip scheme, leading www., and the tracking
+        // query params (utm_*/ref) via built-in regexp_replace, no UDF —
+        // then keep the LATEST revision per canonical key with ONE
+        // max-over-(ts, id)-struct aggregate (e8's pattern): a single
+        // map-side-combinable shuffle on the canonical key and NO window,
+        // so a boilerplate URL with millions of snapshots costs one
+        // combiner cell per map task instead of a single-partition sort
+        // (t15's segment dedup is the text-side sibling of this keeper).
+        // The synthetic url derives deterministically from the events
+        // table — (user_id, ts) standing in for (url, fetch_ts) — with
+        // scheme/www/tracking variants so the canonicalizer collapses
+        // genuinely-different raw strings.
+        val url = concat(
+          when(pmod(col("event_id"), lit(2)) === 0, "https://").otherwise("http://"),
+          when(pmod(col("user_id"), lit(5)) === 0, "www.").otherwise(""),
+          lit("site"), pmod(col("user_id"), lit(40)).cast("string"), lit(".com/"),
+          col("event_type"), lit("/"), pmod(col("user_id"), lit(7)).cast("string"),
+          when(pmod(col("event_id"), lit(3)) === 0,
+            concat(lit("?utm_source=feed&page="),
+              pmod(col("event_id"), lit(4)).cast("string")))
+          .when(pmod(col("event_id"), lit(3)) === 1,
+            concat(lit("?page="), pmod(col("event_id"), lit(4)).cast("string"),
+              lit("&utm_campaign=x&ref=tw")))
+          .otherwise(lit("")))
+        Tables.eventsTs(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            url.as("url"))
+          .withColumn("curl",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("url"), "^https?://(www\\.)?", ""),
+                "(utm_[a-z]+|ref)=[^&]*&?", ""),
+              "[?&]+$", ""))
+          .groupBy("curl")
+          .agg(count(lit(1)).as("n_snapshots"),
+            min("ts_us").as("first_ts_us"),
+            max(struct(col("ts_us"), col("event_id"))).as("kept"))
+          .select(col("curl"), col("n_snapshots"), col("first_ts_us"),
+            col("kept.ts_us").as("kept_ts_us"),
+            col("kept.event_id").as("kept_event_id"))
+          .orderBy("curl")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    (CASE WHEN event_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+             |    (CASE WHEN user_id % 5 = 0 THEN 'www.' ELSE '' END) ||
+             |    'site' || CAST(user_id % 40 AS VARCHAR) || '.com/' ||
+             |    event_type || '/' || CAST(user_id % 7 AS VARCHAR) ||
+             |    (CASE WHEN event_id % 3 = 0
+             |          THEN '?utm_source=feed&page=' || CAST(event_id % 4 AS VARCHAR)
+             |          WHEN event_id % 3 = 1
+             |          THEN '?page=' || CAST(event_id % 4 AS VARCHAR) || '&utm_campaign=x&ref=tw'
+             |          ELSE '' END) AS url
+             |  FROM events),
+             |c AS (
+             |  SELECT event_id, ts_us,
+             |    regexp_replace(regexp_replace(regexp_replace(url,
+             |      '^https?://(www\.)?', '', 'g'),
+             |      '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+             |      '[?&]+$', '', 'g') AS curl
+             |  FROM e),
+             |r AS (
+             |  SELECT curl, ts_us, event_id, ROW_NUMBER() OVER (
+             |    PARTITION BY curl ORDER BY ts_us DESC, event_id DESC) AS rn
+             |  FROM c),
+             |a AS (
+             |  SELECT curl, count(*) AS n_snapshots, min(ts_us) AS first_ts_us
+             |  FROM c GROUP BY 1)
+             |SELECT a.curl, a.n_snapshots, a.first_ts_us,
+             |  r.ts_us AS kept_ts_us, r.event_id AS kept_event_id
+             |FROM a JOIN r ON r.curl = a.curl AND r.rn = 1
+             |ORDER BY a.curl""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

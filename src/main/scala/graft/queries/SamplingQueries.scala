@@ -379,6 +379,107 @@ object SamplingQueries {
              |  FROM documents)
              |WHERE sample_rank <= 10 ORDER BY doc_id""".stripMargin)),
 
+    Q("y11_importance_sampling",
+      (s, dir) => {
+        // DSIR-style importance resampling (Xie et al. 2023, "Data
+        // Selection for Language Models via Importance Resampling"):
+        // hashed-unigram bucket features (B = 64, md5-folded —
+        // content-addressed, engine-portable, no RNG), a bucket-level
+        // log-likelihood ratio between the target slice (lang = 'en',
+        // standing in for the curated target corpus) and the raw corpus
+        // with +1 smoothing, per-doc importance weight = Σ count_b ·
+        // log-ratio_b, and a deterministic Gumbel acceptance gate — the
+        // Gumbel top-k trick with the noise derived from md5(doc_id)
+        // and a FIXED threshold instead of a global k, so no global
+        // sort/window exists (a production run calibrates the threshold
+        // from a weight sketch, z5's machinery).
+        // Cross-engine float contract: each bucket log-ratio is fixed
+        // to integer micro-units (floor(x·1e6 + 0.5)), so the per-doc Σ
+        // is EXACT bigint arithmetic — immune to summation order; only
+        // the final render divides by 1e6 and adds the Gumbel term,
+        // rounded at 6 dp (t7's ln precedent).
+        // Plan at scale: token explode → (doc, bucket) count with
+        // map-side combine (≤ 64 bucket cells survive per doc), the
+        // 64-row ratio table broadcast back, one doc-key agg — the
+        // corpus is never joined to itself and every wide frame is
+        // keyed by doc_id.
+        val B = 64
+        val fold6 = (h: String) =>
+          s"""aggregate(transform(sequence(1, 6),
+             |  i -> instr('0123456789abcdef', substring($h, i, 1)) - 1),
+             |  cast(0 as bigint), (b, c) -> b * 16 + c)""".stripMargin
+        val db = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .withColumn("h6", substring(md5(col("w")), 1, 6))
+          .withColumn("bucket", pmod(expr(fold6("h6")), lit(B)))
+          .groupBy("doc_id", "lang", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          // the (doc, bucket) feature frame feeds the ratio build AND
+          // the scoring join — cache it so the token explode runs ONCE
+          // (the materialize-the-feature-table shape a production DSIR
+          // pass uses; ≤ B cells per doc, so it is far smaller than the
+          // corpus). Released by spark.catalog.clearCache().
+          .cache()
+        val bk = db.groupBy("bucket").agg(
+          sum("cnt").as("cr"),
+          sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+        val tot = bk.agg(sum("cr").as("totr"), sum("ct").as("tott"))
+        val ratio = bk.crossJoin(broadcast(tot)) // single-row scalar
+          .withColumn("li", floor(
+            (log((col("ct") + 1.0) / (col("tott") + lit(B.toDouble))) -
+             log((col("cr") + 1.0) / (col("totr") + lit(B.toDouble))))
+              * lit(1e6) + lit(0.5)).cast("long"))
+          .select("bucket", "li")
+        db.join(broadcast(ratio), Seq("bucket"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("li")).as("sm"))
+          .withColumn("h6d", substring(md5(col("doc_id").cast("string")), 1, 6))
+          .withColumn("u",
+            (expr(fold6("h6d")) + lit(0.5)) / lit(16777216.0))
+          .withColumn("weight", roundAt(col("sm") / lit(1e6) / col("n_tokens"), 6))
+          .withColumn("skey", roundAt(col("sm") / lit(1e6) - log(-log(col("u"))), 6))
+          .withColumn("accepted", when(col("skey") > 0, 1L).otherwise(0L))
+          .select("doc_id", "lang", "n_tokens", "weight", "skey", "accepted")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              |  FROM documents),
+              |tb AS (
+              |  SELECT doc_id, lang,
+              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 AS BIGINT)
+              |                 for i in range(1, 7)], (b, c) -> b * 16 + c) % 64 AS bucket,
+              |    count(*) AS cnt
+              |  FROM tok GROUP BY 1, 2, 3),
+              |bk AS (
+              |  SELECT bucket, sum(cnt) AS cr,
+              |    sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct
+              |  FROM tb GROUP BY 1),
+              |tot AS (SELECT sum(cr) AS totr, sum(ct) AS tott FROM bk),
+              |ratio AS (
+              |  SELECT bucket,
+              |    CAST(floor((ln((ct + 1.0) / (tott + 64.0)) -
+              |      ln((cr + 1.0) / (totr + 64.0))) * 1e6 + 0.5) AS BIGINT) AS li
+              |  FROM bk CROSS JOIN tot),
+              |scored AS (
+              |  SELECT tb.doc_id, tb.lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              |    CAST(sum(cnt * li) AS BIGINT) AS sm
+              |  FROM tb JOIN ratio USING (bucket) GROUP BY 1, 2),
+              |gated AS (
+              |  SELECT doc_id, lang, n_tokens, sm,
+              |    (list_reduce([CAST(strpos('0123456789abcdef',
+              |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+              |      for i in range(1, 7)], (b, c) -> b * 16 + c) + 0.5)
+              |      / 16777216.0 AS u
+              |  FROM scored)
+              |SELECT doc_id, lang, n_tokens,
+              |  ${roundAtSql("sm / 1e6 / n_tokens", 6)} AS weight,
+              |  ${roundAtSql("sm / 1e6 - ln(-ln(u))", 6)} AS skey,
+              |  CAST(CASE WHEN ${roundAtSql("sm / 1e6 - ln(-ln(u))", 6)} > 0
+              |       THEN 1 ELSE 0 END AS BIGINT) AS accepted
+              |FROM gated ORDER BY doc_id""".stripMargin)),
+
     Q("y10_sequence_spans",
       (s, dir) => {
         // fixed-length training-example assembly — the step AFTER y4's

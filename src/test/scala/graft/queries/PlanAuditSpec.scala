@@ -225,6 +225,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"y9 unexpectedly aggregates:\n$p")
   }
 
+  test("y11 importance sampling: one bounded explode, ratio table broadcast, corpus never self-joined") {
+    // DSIR's plan claims: the only Generate is the token explode feeding
+    // the (doc, bucket) count; the 64-row log-ratio table and the 1-row
+    // totals ride broadcasts; no corpus-sized frame ever joins another
+    // corpus-sized frame (x4's self-join shape would be quadratic here)
+    val p = plan("y11_importance_sampling")
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size == 1,
+      s"y11 explodes more than the token feature map:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"y11 lost the broadcast ratio join:\n$p")
+    assert("""\(\d+\) SortMergeJoin""".r.findAllIn(p).isEmpty &&
+      """\(\d+\) ShuffledHashJoin""".r.findAllIn(p).isEmpty,
+      s"y11 shuffles a corpus-sized join side:\n$p")
+  }
+
+  test("x33 url snapshot keeper is an aggregate, never a url-partitioned window") {
+    // t15's keeper claim applied to URLs: latest-revision selection must
+    // be max(struct(ts, id)) inside the ONE grouped aggregation — a
+    // row_number window would sort every hot URL's snapshots in one
+    // partition
+    val p = plan("x33_url_snapshot_dedup")
+    assert(!p.contains("(Window"), s"x33 regressed to a window:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, // group-agg + output sort
+      s"x33 shuffles more than groupBy + orderBy:\n$p")
+  }
+
   test("z7's sketch cells are a broadcast, never a corpus shuffle") {
     // the 256-cell CMS table is bounded by construction (K×W), so the
     // estimate lookup must be a broadcast join; the only corpus-keyed
