@@ -22,6 +22,9 @@ import graft.core.Sessions
   *       --out D [--threshold 0.5] [--quality-gate false]
   *       # incremental batch curation against persisted index segments;
   *       # survivors' signatures land as a new segment for the next run
+  *   posting-index --documents D --out D [--salt-chunk N]
+  *       # persist the x4/x20/x28 prefix-filter posting index
+  *       # (Corpus.writePostingIndex layout: docs + postings)
   *   ann-index --embeddings D --out D  # train + persist the IVF-PQ index
   *   ann-append --index D --embeddings D
   *       # FAISS add(): fold new vectors into a persisted index with no
@@ -150,6 +153,14 @@ object Cli {
         EtlIO.writePartitionedParquet(curated, opts("out"), Seq("split"))
         println(s"curated=${opts("out")} segment=${opts("append-segment")}")
       }
+    case Some("posting-index") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        graft.corpus.Corpus.writePostingIndex(
+          spark.read.parquet(opts("documents")), opts("out"),
+          opts.getOrElse("salt-chunk", "1024").toLong)
+        println(s"posting-index=${opts("out")}")
+      }
     case Some("ann-index") =>
       val opts = parse(args.tail)
       withSession { spark =>
@@ -227,8 +238,8 @@ object Cli {
       }
     case _ =>
       System.err.println(
-        "usage: run|generate|curate|curate-inc|index|ann-index|ann-append|" +
-          "pagerank|cluster-update|zorder|vacuum|stream-demo|version (see Scaladoc)")
+        "usage: run|generate|curate|curate-inc|index|posting-index|ann-index|" +
+          "ann-append|pagerank|cluster-update|zorder|vacuum|stream-demo|version (see Scaladoc)")
       sys.exit(2)
   }
 

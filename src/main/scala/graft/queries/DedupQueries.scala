@@ -265,32 +265,12 @@ object DedupQueries {
     * among df ≥ 2 rows) — one window pass instead of a filter + union.
     */
   private[queries] def indexedPostings(docs: DataFrame,
-      saltChunk: Long = 1024L, withRank: Boolean = true): DataFrame = {
-    val postings = docs.select(col("doc_id"), col("lang"), col("n"),
-      explode(col("sh")).as("shingle"))
-    val dfCounts = postings.groupBy("lang", "shingle")
-      .agg(count(lit(1)).as("df"))
-    val byDocRows = Window.partitionBy("doc_id")
-      .orderBy(col("df"), col("shingle"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = postings.join(dfCounts, Seq("lang", "shingle"))
-    val ranked =
-      if (withRank) joined.withColumn("rn",
-        when(col("df") >= 2,
-          sum(when(col("df") >= 2, 1).otherwise(0)).over(byDocRows).cast("int")))
-        // n2 = the doc's df ≥ 2 posting count (= max rank) — consumed by
-        // the positional filter's remainder arithmetic in
-        // [[containmentCandidatesFrom]]. Same partitioning as the rank
-        // window: one extra sort-pass, no extra shuffle.
-        .withColumn("n2",
-          max(col("rn")).over(Window.partitionBy("doc_id")))
-      else joined.withColumn("rn", lit(null).cast("int"))
-        .withColumn("n2", lit(null).cast("int"))
-    ranked
-      .withColumn("nsalt",
-        least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
-      .select("doc_id", "lang", "n", "shingle", "df", "rn", "n2", "nsalt")
-  }
+      saltChunk: Long = 1024L, withRank: Boolean = true): DataFrame =
+    // single implementation lives on the library surface (r9 — the
+    // artifact is CLI-materializable via Corpus.writePostingIndex; n2 =
+    // the doc's df ≥ 2 posting count, consumed by the positional
+    // filter's remainder arithmetic in [[containmentCandidatesFrom]])
+    graft.corpus.Corpus.postingIndex(docs, saltChunk, withRank)
 
   /** candidate stage over a pre-built [[indexedPostings]] frame: the
     * threshold-dependent prefix cut + salted self-join. Split from
@@ -479,19 +459,18 @@ object DedupQueries {
     builtOnce(sharedIndexDirs, dir, lockTag = "dedupidx") {
       val p = graft.core.Scratch.dir(
         "dedup_shindex_" + graft.core.Scratch.sanitize(dir))
-      withShingles(Tables.documents(s, dir))
-        .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
-        .write.mode("overwrite").parquet(s"$p/docs")
-      indexedPostings(s.read.parquet(s"$p/docs"))
-        .write.mode("overwrite").parquet(s"$p/postings")
+      // first-class artifact build (r9): Corpus.writePostingIndex owns
+      // the layout, the `posting-index` CLI subcommand materializes the
+      // same artifact for cross-JVM reuse (CliSpec pins reload parity)
+      graft.corpus.Corpus.writePostingIndex(Tables.documents(s, dir), p)
       p
     }
 
   private[queries] def sharedShingledDocs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(sharedIndexPath(s, dir) + "/docs")
+    graft.corpus.Corpus.readPostingDocs(s, sharedIndexPath(s, dir))
 
   private[queries] def sharedIndexedPostings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(sharedIndexPath(s, dir) + "/postings")
+    graft.corpus.Corpus.readPostingIndex(s, sharedIndexPath(s, dir))
 
   /** one materialized cluster table per (session, sf dir) for x17: the
     * keeper POLICY is a window over an existing cluster table, and in

@@ -51,6 +51,36 @@ class CliSpec extends SparkSpec {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("posting-index builds a reusable on-disk artifact: reload parity and candidate-stage consumption") {
+    // the artifact contract: plain parquet, no session-scoped state — a
+    // LATER JVM reading `path/docs` + `path/postings` sees exactly what
+    // an in-process build computes (here: same shared test session, but
+    // the only channel is the on-disk layout the CLI wrote; nothing is
+    // cached or registered). Reload parity vs a from-scratch build plus
+    // the x20-shaped candidate stage running off the artifact pin the
+    // cross-run reuse x4/x20/x28's sharedIndexPath relies on.
+    val base = tmpDir("cli_postidx")
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.parquet(s"$base/docs")
+    run("posting-index", "--documents", s"$base/docs", "--out", s"$base/pidx")
+
+    val docs = spark.read.parquet(s"$base/docs")
+    val fresh = graft.corpus.Corpus.postingIndex(
+      graft.corpus.Corpus.withShingles(docs)
+        .select(col("doc_id"), col("lang"), col("sh"),
+          org.apache.spark.sql.functions.size(col("sh")).as("n")))
+    val reloaded = graft.corpus.Corpus.readPostingIndex(spark, s"$base/pidx")
+    assert(reloaded.count() == fresh.count())
+    assert(reloaded.exceptAll(fresh).isEmpty && fresh.exceptAll(reloaded).isEmpty,
+      "persisted posting index diverges from a from-scratch build")
+
+    // the shingled-docs half serves the verify stages
+    val rd = graft.corpus.Corpus.readPostingDocs(spark, s"$base/pidx")
+    assert(rd.columns.toSeq == Seq("doc_id", "lang", "sh", "n"))
+    assert(rd.count() == docs.count())
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("ann-append, pagerank, cluster-update, and vacuum drive the maintenance surfaces") {
     val base = tmpDir("cli_maint")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
