@@ -1,0 +1,145 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Dev tool: streaming THROUGHPUT record for the incremental-curation and
+  * CDC-upsert loops plus the RocksDB-backed stateful sessionizer, at
+  * SPARK_GRAFT_SF_DIR input rates. Correctness of these paths is pinned
+  * in StreamingOpsSpec (stream ≡ batch, checkpoint recovery); this tool
+  * supplies the other half of the production contract — micro-batch
+  * duration, rows/sec, artifact/state growth — and its numbers are
+  * recorded in BASELINE.md §streaming.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.StreamBench
+  */
+object StreamBench {
+  final case class CdcChange(c_custkey: Long, c_name: String,
+      c_mktsegment: String, c_acctbal: Double, op: String)
+
+  /** (batchId, actualRows, triggerMs) — rows come from the driver-side
+    * feed sizes, NOT progress.numInputRows: inside foreachBatch each
+    * action re-scans the memory source, so Spark's numInputRows counts
+    * every re-read (x4 for the curation loop) and would inflate the
+    * throughput number.
+    */
+  private def batchStats(q: StreamingQuery,
+      fed: Seq[Int]): Seq[(Long, Long, Long)] = {
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      .map(p => (p.batchId,
+        p.durationMs.getOrDefault("triggerExecution", 0L).longValue()))
+      .sortBy(_._1)
+    prog.zip(fed).map { case ((b, ms), n) => (b, n.toLong, ms) }
+  }
+
+  private def fmt(name: String, stats: Seq[(Long, Long, Long)],
+      extra: String = ""): String = {
+    val rows = stats.map(_._2).sum
+    val ms = stats.map(_._3).sum
+    val per = stats.map { case (b, r, m) => s"""{"batch":$b,"rows":$r,"ms":$m}""" }
+    s""""$name":{"batches":[${per.mkString(",")}],"rows":$rows,"total_ms":$ms,""" +
+      s""""rows_per_sec":${if (ms > 0) rows * 1000L / ms else -1}$extra}"""
+  }
+
+  private def du(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(c => du(c.getPath)).sum).getOrElse(0L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Sessions.local("stream-bench",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", graft.core.Sessions.cpus))
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = graft.core.Scratch.dir("stream_bench")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "5").toInt
+
+    // ---- 1. incremental curation: seed index = odd docs, stream evens
+    val docs = graft.core.Tables.documents(spark, dir)
+    graft.corpus.Corpus.writeLshIndex(
+      docs.filter(col("doc_id") % 2 =!= 0), s"$base/seed")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[graft.streaming.StreamingOps.DocRow]
+      .collect().toSeq.sortBy(_.doc_id)
+    val chunk = math.max(1, evens.size / nBatches)
+    val curIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
+    val curQ = graft.streaming.StreamingOps.curateStreamIncremental(
+      curIn.toDF(), Seq(s"$base/seed"),
+      s"$base/segments", s"$base/out", s"$base/ckpt_cur")
+    val curFed = evens.grouped(chunk).map { b =>
+      curIn.addData(b); curQ.processAllAvailable(); b.size
+    }.toSeq
+    val curStats = batchStats(curQ, curFed)
+    curQ.stop()
+    val segBytes = du(s"$base/segments")
+
+    // ---- 2. CDC upsert stream: seed snapshot = customer, stream U/D/I
+    val cust = graft.core.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    cust.write.parquet(s"$base/cdc_seed")
+    val nCust = cust.count()
+    val per = (nCust / nBatches).toInt
+    val changes = cust.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    val cdcIn = MemoryStream[CdcChange]
+    val cdcQ = graft.streaming.StreamingOps.cdcUpsertStream(
+      cdcIn.toDF(), s"$base/cdc_seed", s"$base/snapshots", s"$base/ckpt_cdc",
+      "c_custkey")
+    val cdcFed = changes.grouped(per).take(nBatches).map { b =>
+      val rows = b.map { case (k, n, m, a) =>
+        (k % 3) match {
+          case 0 => CdcChange(k, n, m, a + 1.0, "U")
+          case 1 => CdcChange(k, n, m, a, "D")
+          case _ => CdcChange(k + 10000000L, n, m, a, "I")
+        }
+      }
+      cdcIn.addData(rows); cdcQ.processAllAvailable(); rows.size
+    }.toSeq
+    val cdcStats = batchStats(cdcQ, cdcFed)
+    cdcQ.stop()
+    val snapBytes = du(s"$base/snapshots")
+
+    // ---- 3. RocksDB-backed stateful sessionizer over the event stream
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = graft.core.Tables.eventsTs(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.StreamingOps.Event]
+      .collect().toSeq.sortBy(_.ts.getTime)
+    val sessIn = MemoryStream[graft.streaming.StreamingOps.Event]
+    val sessQ = graft.streaming.StreamingOps.sessionizeStateful(sessIn.toDS())
+      .writeStream.format("memory").queryName("sb_sessions")
+      .option("checkpointLocation", s"$base/ckpt_sess")
+      .outputMode("append").start()
+    val sessFed = events.grouped(math.max(1, events.size / nBatches)).map { b =>
+      sessIn.addData(b); sessQ.processAllAvailable(); b.size
+    }.toSeq
+    val sessStats = batchStats(sessQ, sessFed)
+    val stateRows = sessQ.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    val rocksMem = sessQ.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      .flatMap(so => scala.jdk.CollectionConverters
+        .MapHasAsScala(so.customMetrics).asScala.toSeq)
+      .collect { case (k, v)
+        if k.toLowerCase.contains("rocksdb") &&
+          k.toLowerCase.contains("memory") => v.longValue() }
+      .maxOption.getOrElse(-1L)
+    sessQ.stop()
+
+    println("{" +
+      fmt("curate_stream_incremental", curStats,
+        s""","segments_bytes":$segBytes""") + "," +
+      fmt("cdc_upsert_stream", cdcStats,
+        s""","snapshots_bytes":$snapBytes""") + "," +
+      fmt("sessionize_stateful_rocksdb", sessStats,
+        s""","state_rows":$stateRows,"rocksdb_mem_bytes":$rocksMem""") +
+      s""","sf_dir":"$dir","n_batches":$nBatches}""")
+    spark.stop()
+  }
+}
