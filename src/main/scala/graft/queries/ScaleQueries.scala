@@ -390,6 +390,88 @@ object ScaleQueries {
             .as("quartiles"))
         .orderBy("l_returnflag"),
       None),
+
+    Q("z10_kmv_distinct",
+      (s, dir) => {
+        // KMV (K-minimum-values) distinct-count sketch (Bar-Yossef et al.
+        // 2002; Beyer et al. 2007 "On Synopses for Distinct-Value
+        // Estimation") over per-source trigram-shingle vocabularies —
+        // the "distinct n-grams per source" diversity profile a corpus
+        // report wants. Unlike z3/z5/z8 (HLL/GK internal state → no
+        // oracle), KMV over md5 is FULLY deterministic: the sketch IS
+        // the k smallest hash values, so the estimate (k−1)/F(h_k) is
+        // hash-exact cross-engine — a sketch family with a first-class
+        // DuckDB oracle. Mergeability is demonstrated IN the query: the
+        // '__all__' row is computed from the per-source sketch rows only
+        // (union → distinct → k smallest), never from the raw data —
+        // the sketch algebra a 100 TB rollup uses. Plan shape at scale:
+        // one distinct on (source, h) with map-side partial agg (shuffle
+        // bounded by distinct-type count), then the native TopKPerKey
+        // operator (o4's plan — bounded per-key heaps map-side, ≤ k rows
+        // per key cross the exchange, no sort) keeps the k minima; the
+        // per-source sketch table is #sources × k rows. When a group has
+        // fewer than k distinct values the sketch degrades to the exact
+        // count by construction (the n_sketch < k branch).
+        val K = 64
+        val sh = Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("source"), explode(expr(
+            """CASE WHEN size(w) >= 3
+              |  THEN transform(sequence(0, size(w) - 3),
+              |    i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+              |  ELSE array() END""".stripMargin)).as("sh"))
+        val h = sh.select(col("source"), expr(
+            """aggregate(transform(sequence(1, 12),
+              |  i -> instr('0123456789abcdef', substring(md5(sh), i, 1)) - 1),
+              |  cast(0 as bigint), (b, c) -> b * 16 + c)""".stripMargin).as("h12"))
+          .distinct()
+        // the sketch table is #sources × k rows; cache it so the
+        // per-source branch and the '__all__' merge branch of the union
+        // don't each re-run the corpus-wide distinct+heap pass
+        val sk = graft.plans.TopK.perKey(h, Seq("source"), Seq(col("h12").asc), k = K)
+          .cache()
+        val per = sk.groupBy("source")
+          .agg(count(lit(1)).as("n_sketch"), max("h12").as("hmax"))
+        val allRow = sk.select("h12").distinct().orderBy("h12").limit(K)
+          .agg(count(lit(1)).as("n_sketch"), max("h12").as("hmax"))
+          .select(lit("__all__").as("source"), col("n_sketch"), col("hmax"))
+        per.unionByName(allRow)
+          .select(col("source"), col("n_sketch"),
+            when(col("n_sketch") < K, col("n_sketch").cast("double"))
+              .otherwise(roundAt(lit((K - 1) * 281474976710656.0) / col("hmax"), 6))
+              .as("est_distinct"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+              |g AS (
+              |  SELECT source,
+              |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+              |            for i in range(1, len(w) - 1)]) AS sh
+              |  FROM d),
+              |h AS (
+              |  SELECT DISTINCT source,
+              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1
+              |                      AS BIGINT) for i in range(1, 13)],
+              |                (b, c) -> b * 16 + c) AS h12
+              |  FROM g),
+              |sk AS (
+              |  SELECT source, h12 FROM (
+              |    SELECT source, h12,
+              |      row_number() OVER (PARTITION BY source ORDER BY h12) AS rn
+              |    FROM h) WHERE rn <= 64),
+              |persrc AS (
+              |  SELECT source, count(*) AS n_sketch, max(h12) AS hmax FROM sk GROUP BY 1),
+              |allsk AS (
+              |  SELECT h12 FROM (SELECT DISTINCT h12 FROM sk) ORDER BY h12 LIMIT 64),
+              |allrow AS (
+              |  SELECT '__all__' AS source, count(*) AS n_sketch, max(h12) AS hmax
+              |  FROM allsk),
+              |u AS (SELECT * FROM persrc UNION ALL SELECT * FROM allrow)
+              |SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
+              |  CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+              |       ELSE ${roundAtSql("(64 - 1) * 281474976710656.0 / hmax", 6)}
+              |  END AS est_distinct
+              |FROM u ORDER BY source""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -574,6 +574,106 @@ object TextQueries {
              |  coalesce(string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1), '')
              |    AS text_dedup
              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("t16_stupid_backoff",
+      (s, dir) => {
+        // Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+        // Language Models in Machine Translation") — the backoff that was
+        // designed FOR distributed web-scale corpora: no discounting
+        // renormalization, so the model is nothing but count tables and
+        // scoring is a pure count-table join. S(w|v) = c(vw)/c(v·) when
+        // the bigram was seen in the training slice, else α·c(w)/N with
+        // α = 0.4 (the paper's constant) and a 1/N OOV floor. The model
+        // trains on the lang='en' slice and scores EVERY doc (CCNet's
+        // held-in/held-out shape — t7's unigram scorer's bigram sibling;
+        // unlike t7, scoring off-slice docs genuinely exercises backoff,
+        // reported as backoff_fraction). Plan shape at scale: doc
+        // bigrams pre-combined to (doc, v, w, c) so the model join
+        // carries bigram TYPES not tokens, the (v,w)-keyed join is a
+        // shuffle join both sides AQE-sized (the model table is
+        // corpus-bigram-type-bounded — exactly the shard-by-ngram layout
+        // the paper serves from), one doc-key rollup, no self-join of
+        // the corpus. Float contract: counts are exact ints; each ln is
+        // one IEEE op on one division; the per-doc weighted mean is
+        // rounded at 6 dp (t7/y3's cross-engine summation contract) and
+        // ppl exponentiates the ROUNDED mean.
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        val bigrams = toks
+          .select(col("doc_id"), col("lang"), explode(expr(
+            """CASE WHEN size(w) >= 2
+              |  THEN transform(sequence(0, size(w) - 2),
+              |    i -> struct(w[i] AS pw, w[i + 1] AS cw))
+              |  ELSE array() END""".stripMargin)).as("b"))
+          .select(col("doc_id"), col("lang"), col("b.pw"), col("b.cw"))
+        val big = bigrams.filter(col("lang") === "en")
+          .groupBy("pw", "cw").agg(count(lit(1)).as("bc"))
+        val ctx = big.groupBy("pw").agg(sum("bc").as("cc"))
+        val uniT = toks.filter(col("lang") === "en").select(explode(col("w")).as("cw"))
+        val uni = uniT.groupBy("cw").agg(count(lit(1)).as("uc"))
+        val nScalar = uniT.agg(count(lit(1)).as("n_train"))
+        val db = bigrams.groupBy("doc_id", "pw", "cw").agg(count(lit(1)).as("c"))
+        val scored = db
+          .join(big.join(ctx, Seq("pw")).select("pw", "cw", "bc", "cc"),
+            Seq("pw", "cw"), "left")
+          .join(uni, Seq("cw"), "left")
+          .crossJoin(broadcast(nScalar)) // single-row scalar
+          .withColumn("lp",
+            when(col("bc").isNotNull, log(col("bc").cast("double") / col("cc")))
+              .otherwise(log(lit(0.4) * coalesce(col("uc"), lit(1L)).cast("double")
+                / col("n_train"))))
+          .withColumn("bo", when(col("bc").isNotNull, lit(0L)).otherwise(col("c")))
+        val perDoc = scored.groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"),
+            roundAt(sum(col("lp") * col("c")) / sum("c"), 6).as("avg_logscore"),
+            roundAt(sum("bo").cast("double") / sum("c"), 6).as("backoff_fraction"))
+          .withColumn("ppl", roundAt(exp(-col("avg_logscore")), 6))
+        Tables.documents(s, dir).select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("backoff_fraction"), lit(0.0)).as("backoff_fraction"),
+            coalesce(col("avg_logscore"), lit(0.0)).as("avg_logscore"),
+            coalesce(col("ppl"), lit(1.0)).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+              |bg AS (
+              |  SELECT doc_id, lang, b['pw'] AS pw, b['cw'] AS cw
+              |  FROM (SELECT doc_id, lang,
+              |      unnest([{'pw': w[i], 'cw': w[i + 1]} for i in range(1, len(w))]) AS b
+              |    FROM d)),
+              |big AS (
+              |  SELECT pw, cw, count(*) AS bc FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+              |ctx AS (SELECT pw, sum(bc) AS cc FROM big GROUP BY 1),
+              |uni_t AS (SELECT unnest(w) AS cw FROM d WHERE lang = 'en'),
+              |uni AS (SELECT cw, count(*) AS uc FROM uni_t GROUP BY 1),
+              |n AS (SELECT count(*) AS n_train FROM uni_t),
+              |db AS (SELECT doc_id, pw, cw, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+              |scored AS (
+              |  SELECT db.doc_id, db.c,
+              |    CASE WHEN big.bc IS NOT NULL
+              |         THEN ln(CAST(big.bc AS DOUBLE) / ctx.cc)
+              |         ELSE ln(0.4 * CAST(coalesce(uni.uc, 1) AS DOUBLE) / n.n_train)
+              |    END AS lp,
+              |    CASE WHEN big.bc IS NOT NULL THEN 0 ELSE db.c END AS bo
+              |  FROM db
+              |  LEFT JOIN big ON big.pw = db.pw AND big.cw = db.cw
+              |  LEFT JOIN ctx ON ctx.pw = db.pw
+              |  LEFT JOIN uni ON uni.cw = db.cw
+              |  CROSS JOIN n),
+              |perdoc AS (
+              |  SELECT doc_id, sum(c) AS n_bigrams,
+              |    ${roundAtSql("sum(lp * c) / sum(c)", 6)} AS avg_logscore,
+              |    ${roundAtSql("CAST(sum(bo) AS DOUBLE) / sum(c)", 6)} AS backoff_fraction
+              |  FROM scored GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              |  coalesce(p.backoff_fraction, 0.0) AS backoff_fraction,
+              |  coalesce(p.avg_logscore, 0.0) AS avg_logscore,
+              |  coalesce(${roundAtSql("exp(-p.avg_logscore)", 6)}, 1.0) AS ppl
+              |FROM d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

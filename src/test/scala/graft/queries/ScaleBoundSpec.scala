@@ -149,4 +149,61 @@ class ScaleBoundSpec extends SparkSpec {
     assert(errs.forall(_ <= 0.05),
       f"HLL relative error exceeded 5%%: max ${errs.max}%.4f")
   }
+
+  test("z10: KMV estimates within 3σ of the exact distinct-shingle counts; exact branch when n < k") {
+    // KMV theory (Beyer et al. 2007): with k minima the estimator's
+    // relative standard error is ~1/sqrt(k-2) — k=64 → σ ≈ 12.7%, so a
+    // 3σ gate is 38%. Every per-source group AND the sketch-merged
+    // '__all__' row must land inside; a group with fewer than k distinct
+    // shingles must return its exact count (the sketch's lossless
+    // degenerate case).
+    val got = graft.SparkEntry.queries("z10_kmv_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(0, size(w) - 3),
+          |    i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+          |  ELSE array() END""".stripMargin)).as("sh"))
+    val exactPer = docs.groupBy("source").agg(countDistinct("sh").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = docs.select("sh").distinct().count()
+    (exactPer + ("__all__" -> exactAll)).foreach { case (src, exact) =>
+      val (nSketch, est) = got(src)
+      if (exact < 64) {
+        assert(nSketch == exact && est == exact.toDouble,
+          s"$src: n=$exact < k must take the exact branch, got ($nSketch, $est)")
+      } else {
+        val rel = math.abs(est - exact) / exact
+        info(f"$src: est=$est%.1f exact=$exact rel_err=$rel%.4f")
+        assert(rel <= 0.38, f"$src: KMV error $rel%.4f exceeds 3σ (38%%)")
+      }
+    }
+  }
+
+  test("t16: stupid backoff never fires on the training slice; off-slice OOV bigrams score below seen ones") {
+    // The backoff contract: every bigram of a lang='en' doc is in the
+    // en-trained count tables by construction → backoff_fraction 0 and
+    // a finite avg_logscore; and since the score of a backed-off bigram
+    // is 0.4·unigram (strictly below any seen-bigram MLE of the same
+    // context in expectation), docs that do back off must carry
+    // higher perplexity than the en median — the quality-filter signal
+    // the operator exists for.
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val got = graft.SparkEntry.queries("t16_stupid_backoff")(spark, dir)
+      .join(docs, Seq("doc_id"))
+    val en = got.filter(col("lang") === "en")
+    assert(en.count() > 0)
+    assert(en.filter(col("backoff_fraction") =!= 0.0).count() == 0,
+      "a lang='en' doc backed off — its bigrams are all in the training slice")
+    val backed = got.filter(col("backoff_fraction") > 0.0)
+    if (backed.count() > 0) {
+      val enMedianPpl = en.stat.approxQuantile("ppl", Array(0.5), 0.0).head
+      val backedAvg = backed.agg(avg("ppl")).head.getDouble(0)
+      info(f"en median ppl=$enMedianPpl%.2f, backed-off docs avg ppl=$backedAvg%.2f")
+      assert(backedAvg > enMedianPpl,
+        "docs that back off should score worse (higher ppl) than the en median")
+    }
+  }
 }
