@@ -411,65 +411,63 @@ object ScaleQueries {
         // per key cross the exchange, no sort) keeps the k minima; the
         // per-source sketch table is #sources × k rows. When a group has
         // fewer than k distinct values the sketch degrades to the exact
-        // count by construction (the n_sketch < k branch).
+        // count by construction (the n_sketch < k branch). Hashing rides
+        // the native shingles→minhash_bases codegen chain (one fused JVM
+        // pass per row — the r7 natives; interpreted HOF folds cost
+        // ~20µs/shingle), so the estimated universe is the distinct
+        // per-source bigram-shingle BASES (48-bit md5 fold mod
+        // P=1e9+7, the repo-wide cross-engine hash contract; mod-P
+        // collisions are ≤ n²/2P ≈ 1e-4 at sf0.1 — inside any hashed
+        // sketch's noise floor).
         val K = 64
-        val sh = Tables.documents(s, dir)
-          .withColumn("w", split(col("text"), " "))
-          .select(col("source"), explode(expr(
-            """CASE WHEN size(w) >= 3
-              |  THEN transform(sequence(0, size(w) - 3),
-              |    i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
-              |  ELSE array() END""".stripMargin)).as("sh"))
-        val h = sh.select(col("source"), expr(
-            """aggregate(transform(sequence(1, 12),
-              |  i -> instr('0123456789abcdef', substring(md5(sh), i, 1)) - 1),
-              |  cast(0 as bigint), (b, c) -> b * 16 + c)""".stripMargin).as("h12"))
+        val h = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(graft.functions.MinHashBases(
+              graft.functions.Shingles(col("text")))).as("h"))
           .distinct()
         // the sketch table is #sources × k rows; cache it so the
         // per-source branch and the '__all__' merge branch of the union
         // don't each re-run the corpus-wide distinct+heap pass
-        val sk = graft.plans.TopK.perKey(h, Seq("source"), Seq(col("h12").asc), k = K)
+        val sk = graft.plans.TopK.perKey(h, Seq("source"), Seq(col("h").asc), k = K)
           .cache()
         val per = sk.groupBy("source")
-          .agg(count(lit(1)).as("n_sketch"), max("h12").as("hmax"))
-        val allRow = sk.select("h12").distinct().orderBy("h12").limit(K)
-          .agg(count(lit(1)).as("n_sketch"), max("h12").as("hmax"))
+          .agg(count(lit(1)).as("n_sketch"), max("h").as("hmax"))
+        val allRow = sk.select("h").distinct().orderBy("h").limit(K)
+          .agg(count(lit(1)).as("n_sketch"), max("h").as("hmax"))
           .select(lit("__all__").as("source"), col("n_sketch"), col("hmax"))
         per.unionByName(allRow)
           .select(col("source"), col("n_sketch"),
             when(col("n_sketch") < K, col("n_sketch").cast("double"))
-              .otherwise(roundAt(lit((K - 1) * 281474976710656.0) / col("hmax"), 6))
+              .otherwise(roundAt(lit((K - 1) * 1000000007.0) / col("hmax"), 6))
               .as("est_distinct"))
           .orderBy("source")
       },
-      Some(s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
-              |g AS (
+      Some(s"""WITH d AS (
               |  SELECT source,
-              |    unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
-              |            for i in range(1, len(w) - 1)]) AS sh
-              |  FROM d),
+              |    list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS sh
+              |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
               |h AS (
               |  SELECT DISTINCT source,
-              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1
+              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
               |                      AS BIGINT) for i in range(1, 13)],
-              |                (b, c) -> b * 16 + c) AS h12
-              |  FROM g),
+              |                (b, c) -> b * 16 + c) % 1000000007 AS h
+              |  FROM (SELECT source, unnest(sh) AS t FROM d)),
               |sk AS (
-              |  SELECT source, h12 FROM (
-              |    SELECT source, h12,
-              |      row_number() OVER (PARTITION BY source ORDER BY h12) AS rn
+              |  SELECT source, h FROM (
+              |    SELECT source, h,
+              |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
               |    FROM h) WHERE rn <= 64),
               |persrc AS (
-              |  SELECT source, count(*) AS n_sketch, max(h12) AS hmax FROM sk GROUP BY 1),
+              |  SELECT source, count(*) AS n_sketch, max(h) AS hmax FROM sk GROUP BY 1),
               |allsk AS (
-              |  SELECT h12 FROM (SELECT DISTINCT h12 FROM sk) ORDER BY h12 LIMIT 64),
+              |  SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT 64),
               |allrow AS (
-              |  SELECT '__all__' AS source, count(*) AS n_sketch, max(h12) AS hmax
+              |  SELECT '__all__' AS source, count(*) AS n_sketch, max(h) AS hmax
               |  FROM allsk),
               |u AS (SELECT * FROM persrc UNION ALL SELECT * FROM allrow)
               |SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
               |  CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
-              |       ELSE ${roundAtSql("(64 - 1) * 281474976710656.0 / hmax", 6)}
+              |       ELSE ${roundAtSql("(64 - 1) * 1000000007.0 / hmax", 6)}
               |  END AS est_distinct
               |FROM u ORDER BY source""".stripMargin)),
   )

@@ -251,6 +251,42 @@ class PlanAuditSpec extends SparkSpec {
       s"x33 shuffles more than groupBy + orderBy:\n$p")
   }
 
+  test("t16 stupid backoff joins count tables, never the corpus to itself") {
+    // the Brants plan claim: scoring is doc-bigram-TYPES ⨝ model tables
+    // (each derived by its own bounded explode+agg pass) plus one 1-row
+    // scalar broadcast — no window, and the explode count stays at the
+    // five model/score passes (more would mean the corpus re-entered
+    // the plan as a join side)
+    val p = plan("t16_stupid_backoff")
+    assert(!p.contains("(Window"), s"t16 grew a window:\n$p")
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size <= 5,
+      s"t16 explodes more than the five model/score passes:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"t16 lost the broadcast scalar join:\n$p")
+  }
+
+  test("z10's sketch is the heap operator over a partial-agg'd distinct, never a sort") {
+    // the KMV plan claim, pinned on the query's own sketch construction
+    // (the query caches the tiny sketch frame, which hides its subtree
+    // behind an InMemoryTableScan in the final plan): per-key minima
+    // come from the TopKPerKey partial→exchange→final pair, the distinct
+    // carries a map-side partial aggregate, and nothing sorts the corpus
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(graft.functions.MinHashBases(
+          graft.functions.Shingles(
+            org.apache.spark.sql.functions.col("text")))).as("h"))
+      .distinct()
+    val sk = graft.plans.TopK.perKey(docs, Seq("source"),
+      Seq(org.apache.spark.sql.functions.col("h").asc), k = 64)
+    val p = sk.queryExecution.explainString(FormattedMode)
+    assert("""\(\d+\) TopKPerKey""".r.findAllIn(p).size == 2,
+      s"z10 lost the partial/final heap pair:\n$p")
+    assert(!p.contains("(Sort"), s"z10 sorts where the heap should bound:\n$p")
+    assert(p.contains("partial_") || p.contains("HashAggregate"),
+      s"z10's distinct lost its map-side partial:\n$p")
+  }
+
   test("z7's sketch cells are a broadcast, never a corpus shuffle") {
     // the 256-cell CMS table is bounded by construction (K×W), so the
     // estimate lookup must be a broadcast join; the only corpus-keyed

@@ -159,16 +159,12 @@ class ScaleBoundSpec extends SparkSpec {
     // degenerate case).
     val got = graft.SparkEntry.queries("z10_kmv_distinct")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val docs = Tables.documents(spark, dir)
-      .withColumn("w", split(col("text"), " "))
-      .select(col("source"), explode(expr(
-        """CASE WHEN size(w) >= 3
-          |  THEN transform(sequence(0, size(w) - 3),
-          |    i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
-          |  ELSE array() END""".stripMargin)).as("sh"))
-    val exactPer = docs.groupBy("source").agg(countDistinct("sh").as("n")).collect()
+    val hashes = Tables.documents(spark, dir)
+      .select(col("source"), explode(graft.functions.MinHashBases(
+        graft.functions.Shingles(col("text")))).as("h"))
+    val exactPer = hashes.groupBy("source").agg(countDistinct("h").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exactAll = docs.select("sh").distinct().count()
+    val exactAll = hashes.select("h").distinct().count()
     (exactPer + ("__all__" -> exactAll)).foreach { case (src, exact) =>
       val (nSketch, est) = got(src)
       if (exact < 64) {
