@@ -78,5 +78,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         RollingHashWindows(children.head, width)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      graft.functions.SimHash.info,
+      children => {
+        require(children.length == 2,
+          s"simhash expects 2 arguments (text, bits), got ${children.length}")
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val bits = children(1) match {
+          case e if e.foldable &&
+              Seq(IntegerType, LongType, ShortType, ByteType).contains(e.dataType) =>
+            e.eval() match {
+              case null => throw new IllegalArgumentException(
+                "simhash bits must be a non-null integer literal")
+              case n: Number =>
+                val v = n.longValue()
+                // ≤ 63 keeps the packed hash a positive BIGINT (x31 note)
+                if (v < 1 || v > 63) throw new IllegalArgumentException(
+                  s"simhash bits must be in [1, 63], got $v")
+                v.toInt
+            }
+          case other => throw new IllegalArgumentException(
+            s"simhash bits must be an integer literal, got $other")
+        }
+        graft.functions.SimHash(children.head, bits)
+      }))
   }
 }

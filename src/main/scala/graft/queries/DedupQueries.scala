@@ -62,20 +62,18 @@ object DedupQueries {
     * both engines). Both aggregations are map-side-combinable sums over
     * (doc, j) / (doc) keys, so the build is two narrow shuffles.
     */
-  private def simhash(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("hx", expr(s"substring(md5(w), 1, ${bits / 4})"))
-    val votes = words.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(0, ${bits - 1}), j ->
-        |  CASE WHEN (shiftright(instr('0123456789abcdef', substring(hx, (j div 4) + 1, 1)) - 1,
-        |                        3 - (j % 4)) & 1) = 1 THEN 1 ELSE -1 END)""".stripMargin)))
-      .toDF("doc_id", "j", "c")
-    votes.groupBy("doc_id", "j").agg(sum("c").as("sj"))
-      .withColumn("bit", when(col("sj") >= 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(expr(s"shiftleft(bit, ${bits - 1} - j)")).as(s"simhash$bits"))
-  }
+  private def simhash(s: SparkSession, dir: String, bits: Int): DataFrame =
+    // the native codegen kernel ([[graft.functions.SimHash]]): the same
+    // distinct-word ±1 vote sums, folded per row — the relational
+    // formulation (distinct-explode → bits× posexplode → two shuffled
+    // aggs) multiplied the corpus by words×bits before the first
+    // exchange; the hash of a doc never needs to leave its row.
+    // SimHashParitySpec pins bit-equality against that formulation;
+    // the DuckDB oracle CTE ([[simhashSql]]) still computes it
+    // relationally, so every x3/x31 run re-proves the kernel
+    // cross-engine.
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.functions.SimHash(col("text"), bits).as(s"simhash$bits"))
 
   /** DuckDB twin of [[simhash]] — a `WITH … h` prefix ending at the
     * per-doc hash CTE, shared by the x3 and x31 oracles.
