@@ -103,5 +103,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.SimHash(children.head, bits)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_fold"),
+      graft.functions.Md5Fold.info,
+      children => {
+        require(children.length == 3,
+          s"md5_fold expects 3 arguments (str, start, digits), got ${children.length}")
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable &&
+              Seq(IntegerType, LongType, ShortType, ByteType).contains(l.dataType) =>
+            l.eval() match {
+              case null => throw new IllegalArgumentException(
+                s"md5_fold $what must be a non-null integer literal")
+              case n: Number =>
+                val v = n.longValue()
+                // bound BEFORE toInt — a LongType literal like 2^32+8
+                // would otherwise intValue() to 8 and silently pass
+                if (v < 1 || v > 32) throw new IllegalArgumentException(
+                  s"md5_fold $what must be in [1, 32], got $v")
+                v.toInt
+            }
+          case other => throw new IllegalArgumentException(
+            s"md5_fold $what must be an integer literal, got $other")
+        }
+        // window bounds re-checked by the case class require
+        graft.functions.Md5Fold(children.head,
+          intLit(children(1), "start"), intLit(children(2), "digits"))
+      }))
   }
 }

@@ -635,12 +635,11 @@ object Corpus {
     * bucket on every run, on any cluster.
     */
   def withBucket(docs: DataFrame): DataFrame =
-    docs.withColumn("h8", substring(md5(col("doc_id").cast("string")), 1, 8))
-      .withColumn("bucket", expr(
-        """aggregate(transform(sequence(1, 8),
-          |  i -> instr('0123456789abcdef', substring(h8, i, 1)) - 1),
-          |  cast(0 as bigint), (b, c) -> b * 16 + c) % 100""".stripMargin))
-      .drop("h8")
+    // the native md5_fold kernel — value-identical to the interpreted
+    // `instr` hex fold this replaced (Md5FoldParitySpec), which every
+    // split/sample DuckDB oracle still computes relationally
+    docs.withColumn("bucket",
+      graft.functions.Md5Fold(col("doc_id").cast("string"), 1, 8) % 100)
 
   /** deterministic train/val/test assignment (80/10/10) — adds
     * `bucket` + `split`; reproducible and incremental (new docs never

@@ -214,8 +214,7 @@ object SamplingQueries {
         // shuffle of the big side.
         val d = Tables.documents(s, dir)
           .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"),
-            substring(md5(col("doc_id").cast("string")), 1, 6).as("h6"))
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
         val tot = d.groupBy("source").agg(sum("n_tokens").as("t"))
         val sc = tot.agg(
           roundAt(sum(sqrt(col("t").cast("double"))), 6).as("ss"),
@@ -226,10 +225,8 @@ object SamplingQueries {
               * (lit(0.5) * col("tt")) / col("t")), 6))
           .select("source", "rate")
         d.join(rates, Seq("source"))
-          .withColumn("h6i", expr(
-            """aggregate(transform(sequence(1, 6),
-              |  i -> instr('0123456789abcdef', substring(h6, i, 1)) - 1),
-              |  cast(0 as bigint), (b, c) -> b * 16 + c)""".stripMargin))
+          .withColumn("h6i",
+            graft.functions.Md5Fold(col("doc_id").cast("string"), 1, 6))
           .filter(col("h6i") < floor(col("rate") * 16777216).cast("long"))
           .select("source", "doc_id", "n_tokens", "rate")
           .orderBy("source", "doc_id")
@@ -404,15 +401,14 @@ object SamplingQueries {
         // corpus is never joined to itself and every wide frame is
         // keyed by doc_id.
         val B = 64
-        val fold6 = (h: String) =>
-          s"""aggregate(transform(sequence(1, 6),
-             |  i -> instr('0123456789abcdef', substring($h, i, 1)) - 1),
-             |  cast(0 as bigint), (b, c) -> b * 16 + c)""".stripMargin
         val db = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("w"))
-          .withColumn("h6", substring(md5(col("w")), 1, 6))
-          .withColumn("bucket", pmod(expr(fold6("h6")), lit(B)))
+          // per-TOKEN hash: the native md5_fold kernel (one fused digest
+          // read vs 6 interpreted lambdas + the 32-char hex string per
+          // token — the hot scalar stage of this query)
+          .withColumn("bucket",
+            pmod(graft.functions.Md5Fold(col("w"), 1, 6), lit(B)))
           .groupBy("doc_id", "lang", "bucket")
           .agg(count(lit(1)).as("cnt"))
           // the (doc, bucket) feature frame feeds the ratio build AND
@@ -434,9 +430,9 @@ object SamplingQueries {
         db.join(broadcast(ratio), Seq("bucket"))
           .groupBy("doc_id", "lang")
           .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("li")).as("sm"))
-          .withColumn("h6d", substring(md5(col("doc_id").cast("string")), 1, 6))
           .withColumn("u",
-            (expr(fold6("h6d")) + lit(0.5)) / lit(16777216.0))
+            (graft.functions.Md5Fold(col("doc_id").cast("string"), 1, 6)
+              + lit(0.5)) / lit(16777216.0))
           .withColumn("weight", roundAt(col("sm") / lit(1e6) / col("n_tokens"), 6))
           .withColumn("skey", roundAt(col("sm") / lit(1e6) - log(-log(col("u"))), 6))
           .withColumn("accepted", when(col("skey") > 0, 1L).otherwise(0L))

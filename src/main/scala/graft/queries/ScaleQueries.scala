@@ -14,16 +14,18 @@ object ScaleQueries {
   import RelationalQueries.{Q, QFn}
 
   /** z6's hash construction, shared with the parameterized measurement
-    * below: two positions per key from the two md5 hex halves.
+    * below: two positions per key from the two md5 hex halves (digits
+    * 1–8 and 9–16), via the native md5_fold kernel — values identical
+    * to the interpreted `instr` fold the DuckDB oracle still runs.
+    * Expects the raw key string in column `k`.
     */
-  private def bloomFoldHex(a: Int, b: Int): String =
-    s"""aggregate(transform(sequence($a, $b),
-       |  i -> instr('0123456789abcdef', substring(hex, i, 1)) - 1),
-       |  cast(0 as bigint), (x, c) -> x * 16 + c)""".stripMargin
-
   private def bloomPositions(df: DataFrame, mBits: Int): DataFrame = df
-    .withColumn("p1", expr(s"${bloomFoldHex(1, 8)} % $mBits"))
-    .withColumn("p2", expr(s"${bloomFoldHex(9, 16)} % $mBits"))
+    // ONE raw 16-digit fold per key (one digest), halves bit-sliced out:
+    // digits 1–8 are the unsigned high 32 bits, digits 9–16 the low 32
+    .withColumn("f16", graft.functions.Md5Fold(col("k"), 1, 16))
+    .withColumn("p1", shiftrightunsigned(col("f16"), 32) % mBits)
+    .withColumn("p2", col("f16").bitwiseAND(lit(0xFFFFFFFFL)) % mBits)
+    .drop("f16")
 
   /** z7's count-min sketch over the event stream, returning EVERY key's
     * (user_id, cms_n, exact_n): K=4 rows × W=64 buckets, md5-fold base +
@@ -36,11 +38,10 @@ object ScaleQueries {
     import graft.functions.MinHashFamily.{P => p}
     val W = 64
     val ev = Tables.events(s, dir).select(col("user_id"))
-      .withColumn("hhex", md5(col("user_id").cast("string")))
-      .withColumn("base", expr(
-        s"""aggregate(transform(sequence(1, 12),
-           |  i -> instr('0123456789abcdef', substring(hhex, i, 1)) - 1),
-           |  cast(0 as bigint), (b, c) -> b * 16 + c) % $p""".stripMargin))
+      // per-EVENT base via the native md5_fold kernel (one fused digest
+      // read vs 12 interpreted lambdas per row)
+      .withColumn("base",
+        graft.functions.Md5Fold(col("user_id").cast("string"), 1, 12) % p)
     val hashed = ev.select(col("user_id"), col("base"),
       posexplode(array((0 until 4).map(k =>
         expr(s"(${graft.functions.MinHashFamily.a(k)} * base + " +
@@ -69,7 +70,7 @@ object ScaleQueries {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     val bloom = bloomPositions(urgentKeys
-        .withColumn("hex", md5(col("o_orderkey").cast("string"))), mBits)
+        .withColumn("k", col("o_orderkey").cast("string")), mBits)
       .select(explode(array(col("p1"), col("p2"))).as("p"))
       .select(expr("p div 32").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
@@ -77,7 +78,7 @@ object ScaleQueries {
     val nonMembers = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
       .join(urgentKeys, col("l_orderkey") === col("o_orderkey"), "left_anti")
     val probed = bloomPositions(nonMembers
-        .withColumn("hex", md5(col("l_orderkey").cast("string"))), mBits)
+        .withColumn("k", col("l_orderkey").cast("string")), mBits)
       .withColumn("w1", expr("p1 div 32"))
       .withColumn("m1", expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))"))
       .withColumn("w2", expr("p2 div 32"))
@@ -248,14 +249,14 @@ object ScaleQueries {
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_orderkey"))
         val bloom = positions(urgentKeys
-            .withColumn("hex", md5(col("o_orderkey").cast("string"))))
+            .withColumn("k", col("o_orderkey").cast("string")))
           .select(explode(array(col("p1"), col("p2"))).as("p"))
           .select(expr("p div 32").as("w"),
             expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
           .groupBy("w").agg(expr("bit_or(m)").as("word"))
         val li = positions(Tables.lineitem(s, dir)
             .select(col("l_orderkey"))
-            .withColumn("hex", md5(col("l_orderkey").cast("string"))))
+            .withColumn("k", col("l_orderkey").cast("string")))
           .withColumn("w1", expr("p1 div 32"))
           .withColumn("m1", expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))"))
           .withColumn("w2", expr("p2 div 32"))
