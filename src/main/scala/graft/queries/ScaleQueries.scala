@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -471,6 +472,122 @@ object ScaleQueries {
               |       ELSE ${roundAtSql("(64 - 1) * 1000000007.0 / hmax", 6)}
               |  END AS est_distinct
               |FROM u ORDER BY source""".stripMargin)),
+
+    Q("z11_kmv_set_ops",
+      (s, dir) => {
+        // KMV sketch SET ALGEBRA (Beyer et al. 2007 §5): pairwise
+        // union/intersection CARDINALITY estimates between sources,
+        // computed from the per-source K-minimum-value sketches alone.
+        // x16 answers "how similar are two sources" (MinHash signature
+        // agreement ratio); this answers "how MANY shingles do they
+        // share / span" — the overlap matrix a corpus report derives
+        // from its sketch store without ever joining raw data. KMV is
+        // closed under union: the merged pair sketch is the k smallest
+        // of the two sketches' union; with ρ = |values present in BOTH
+        // sketches among the merged k minima| / k (the unbiased Jaccard
+        // estimator), inter_est = ρ · union_est. A merged distinct
+        // count < k proves both sketches were complete vocabularies, so
+        // every number degrades to EXACT by construction (and ρ's
+        // denominator becomes the exact union size). Plan at scale: the
+        // ONLY corpus-wide work is the (source, h) distinct (map-side
+        // partial agg) + the native TopKPerKey heap (≤ k rows per
+        // source cross the exchange, no sort); all pair algebra runs on
+        // #sources × k sketch rows — |sources|²·k tiny rows at worst,
+        // independent of corpus size. Hashing rides the native
+        // shingles→minhash_bases codegen chain (the repo-wide mod-P md5
+        // contract), so the whole query is hash-exact cross-engine.
+        val K = 64
+        val h = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(graft.functions.MinHashBases(
+              graft.functions.Shingles(col("text")))).as("h"))
+          .distinct()
+        val sk = graft.plans.TopK.perKey(h, Seq("source"), Seq(col("h").asc), k = K)
+          .cache()
+        val srcs = sk.select("source").distinct()
+        // sketch-level pair enumeration: |sources|² rows, never corpus
+        val pairs = srcs.as("x").join(srcs.as("y"),
+            col("x.source") < col("y.source"))
+          .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        val aSide = pairs.join(sk.withColumnRenamed("source", "src_a"), Seq("src_a"))
+          .select(col("src_a"), col("src_b"), col("h"),
+            lit(1).as("in_a"), lit(0).as("in_b"))
+        val bSide = pairs.join(sk.withColumnRenamed("source", "src_b"), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("h"),
+            lit(0).as("in_a"), lit(1).as("in_b"))
+        // distinct h per pair with membership flags (a shared shingle
+        // hash arrives from both sides and must count once)
+        val merged = aSide.unionByName(bSide)
+          .groupBy("src_a", "src_b", "h")
+          .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+        val ranked = merged.withColumn("rn", row_number().over(
+            Window.partitionBy("src_a", "src_b").orderBy("h")))
+          .filter(col("rn") <= K)
+        ranked.groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_merged"), max("h").as("hmax"),
+            sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+              .otherwise(0L)).as("n_common"))
+          .withColumn("union_est",
+            when(col("n_merged") < K, col("n_merged").cast("double"))
+              .otherwise(roundAt(lit((K - 1) * 1000000007.0) / col("hmax"), 6)))
+          .withColumn("inter_est",
+            when(col("n_merged") < K, col("n_common").cast("double"))
+              .otherwise(roundAt(
+                col("n_common").cast("double") / col("n_merged") * col("union_est"), 6)))
+          .withColumn("jaccard_est",
+            roundAt(col("n_common").cast("double") / col("n_merged"), 6))
+          .select("src_a", "src_b", "n_common", "union_est", "inter_est",
+            "jaccard_est")
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT source,
+              |    list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS sh
+              |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+              |h AS (
+              |  SELECT DISTINCT source,
+              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+              |                      AS BIGINT) for i in range(1, 13)],
+              |                (b, c) -> b * 16 + c) % 1000000007 AS h
+              |  FROM (SELECT source, unnest(sh) AS t FROM d)),
+              |sk AS (
+              |  SELECT source, h FROM (
+              |    SELECT source, h,
+              |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              |    FROM h) WHERE rn <= 64),
+              |srcs AS (SELECT DISTINCT source FROM sk),
+              |pairs AS (
+              |  SELECT x.source AS src_a, y.source AS src_b
+              |  FROM srcs x JOIN srcs y ON x.source < y.source),
+              |m AS (
+              |  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+              |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+              |    FROM pairs p JOIN sk s ON s.source = p.src_a
+              |    UNION ALL
+              |    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+              |    FROM pairs p JOIN sk s ON s.source = p.src_b)
+              |  GROUP BY 1, 2, 3),
+              |r AS (
+              |  SELECT * FROM (
+              |    SELECT m.*, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+              |    FROM m) WHERE rn <= 64),
+              |agg AS (
+              |  SELECT src_a, src_b, count(*) AS n_merged, max(h) AS hmax,
+              |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_common
+              |  FROM r GROUP BY 1, 2),
+              |est AS (
+              |  SELECT src_a, src_b, n_common, n_merged,
+              |    CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+              |         ELSE ${roundAtSql("(64 - 1) * 1000000007.0 / hmax", 6)}
+              |    END AS union_est
+              |  FROM agg)
+              |SELECT src_a, src_b, n_common, union_est,
+              |  CASE WHEN n_merged < 64 THEN CAST(n_common AS DOUBLE)
+              |       ELSE ${roundAtSql("CAST(n_common AS DOUBLE) / n_merged * union_est", 6)}
+              |  END AS inter_est,
+              |  ${roundAtSql("CAST(n_common AS DOUBLE) / n_merged", 6)} AS jaccard_est
+              |FROM est ORDER BY src_a, src_b""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -287,6 +287,18 @@ class PlanAuditSpec extends SparkSpec {
       s"z10's distinct lost its map-side partial:\n$p")
   }
 
+  test("z11's pair algebra runs on the cached sketch — one corpus scan, no document pair join") {
+    // the set-algebra claim: the only corpus-wide work is the sketch
+    // build (scanned ONCE, then cached); the |sources|²·k pair stage
+    // reuses the in-memory sketch on every branch (pair enumeration +
+    // both membership sides) and never rescans or self-joins documents
+    val p = plan("z11_kmv_set_ops")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      s"z11 rescans the corpus instead of reusing the cached sketch:\n$p")
+    assert("""InMemoryTableScan""".r.findAllIn(p).size >= 3,
+      s"z11 lost the shared cached sketch (srcs + both pair sides):\n$p")
+  }
+
   test("z7's sketch cells are a broadcast, never a corpus shuffle") {
     // the 256-cell CMS table is bounded by construction (K×W), so the
     // estimate lookup must be a broadcast join; the only corpus-keyed

@@ -178,6 +178,51 @@ class ScaleBoundSpec extends SparkSpec {
     }
   }
 
+  test("z11: KMV set-algebra estimates within 3σ of the exact pair overlap; degrade branch exact") {
+    // estimator theory for the pair algebra: the union estimate carries
+    // KMV's ~1/sqrt(k−2) relative SE (k=64 → 3σ ≈ 38%); the Jaccard
+    // ratio ρ̂ = n_common/k is a binomial proportion with
+    // σ = sqrt(ρ(1−ρ)/k); the intersection estimate compounds both, so
+    // its gate is the SUM of the two 3σ terms. A pair whose merged
+    // distinct count is under k must return every number exact.
+    val got = graft.SparkEntry.queries("z11_kmv_set_ops")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("source"), explode(graft.functions.MinHashBases(
+        graft.functions.Shingles(col("text")))).as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (s0, rs) => s0 -> rs.map(_.getLong(1)).toSet }
+    val srcs = bySrc.keys.toSeq.sorted
+    var worstU, worstI, worstJ = 0.0
+    for (a <- srcs; b <- srcs if a < b) {
+      val (sa, sb) = (bySrc(a), bySrc(b))
+      val exU = (sa | sb).size.toDouble
+      val exI = sa.intersect(sb).size.toDouble
+      val rho = exI / exU
+      val (_, unionEst, interEst, jacEst) = got((a, b))
+      if (exU < 64) {
+        assert(unionEst == exU && interEst == exI,
+          s"($a,$b): merged < k must be exact, got ($unionEst, $interEst) vs ($exU, $exI)")
+      } else {
+        val relU = math.abs(unionEst - exU) / exU
+        val sigJ = 3 * math.sqrt(rho * (1 - rho) / 64) + 1.0 / 64
+        val relI = if (exI > 0) math.abs(interEst - exI) / exI else 0.0
+        worstU = worstU max relU; worstJ = worstJ max math.abs(jacEst - rho)
+        assert(relU <= 0.38, f"($a,$b): union rel err $relU%.4f > 3σ (38%%)")
+        assert(math.abs(jacEst - rho) <= sigJ,
+          f"($a,$b): jaccard abs err ${math.abs(jacEst - rho)}%.4f > $sigJ%.4f")
+        if (exI > 0) {
+          worstI = worstI max relI
+          assert(relI <= 0.38 + sigJ / rho,
+            f"($a,$b): intersection rel err $relI%.4f > ${0.38 + sigJ / rho}%.4f")
+        }
+      }
+    }
+    info(f"pairs=${got.size} worst rel err: union=$worstU%.4f inter=$worstI%.4f jaccard(abs)=$worstJ%.4f")
+    assert(got.size == srcs.combinations(2).size)
+  }
+
   test("t16: stupid backoff never fires on the training slice; off-slice OOV bigrams score below seen ones") {
     // The backoff contract: every bigram of a lang='en' doc is in the
     // en-trained count tables by construction → backoff_fraction 0 and
