@@ -109,6 +109,41 @@ object EventQueries {
              |FROM g WHERE gap_us IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("e14_sliding_window",
+      (s, dir) => {
+        // HOPPING/SLIDING window aggregation (1 h windows every 15 min)
+        // through Spark's BUILT-IN `window()` operator — the API a user
+        // migrating from the reference actually calls. e4 pins the
+        // window-assignment ARITHMETIC (hand-derived explode, epoch
+        // seconds); this pins that the engine's own windowing (the
+        // internal Expand + struct window key, epoch-aligned slide
+        // origin, rendered window.start) produces the identical
+        // assignment — API-level parity on top of e4's math-level one,
+        // with the per-type value rollup e4's count-only shape omits.
+        // Each event lands in exactly windowDuration/slide = 4 windows
+        // (a BOUNDED engine-internal explode), then one
+        // map-side-combinable agg keyed by (window, type); at 100 TB the
+        // shuffle is 4× the tumbling one, never quadratic.
+        Tables.eventsTs(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), roundAt(sum("value"), 6).as("sum_value"))
+          .select(col("window.start").cast("string").as("win_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("win_start", "event_type")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+              |  FROM events),
+              |x AS (
+              |  SELECT make_timestamp(
+              |      (ts_us // 900000000 - CAST(k AS BIGINT)) * 900000000) AS win_start,
+              |    event_type, value
+              |  FROM e, unnest([0, 1, 2, 3]) t(k))
+              |SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,
+              |  count(*) AS n, ${roundAtSql("sum(value)", 6)} AS sum_value
+              |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("e13_bounded_conversion",
       (s, dir) => {
         // TIME-BOUNDED funnel — e5 asks "did a click ever follow a
