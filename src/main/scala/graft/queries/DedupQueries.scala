@@ -571,7 +571,7 @@ object DedupQueries {
     * (lockTag + key) string, so different artifact families for the
     * SAME dir still build concurrently.
     */
-  private def builtOnce[V](map: java.util.concurrent.ConcurrentHashMap[String, V],
+  private[queries] def builtOnce[V](map: java.util.concurrent.ConcurrentHashMap[String, V],
       key: String, lockTag: String)(build: => V): V = {
     val existing = map.get(key)
     if (existing != null) existing
