@@ -599,6 +599,52 @@ object StreamingOps {
       }
   }
 
+  final case class KmvOut(source: String, n_sketch: Long, est_distinct: Double)
+
+  /** per-source K-minimum-values distinct sketches maintained
+    * INCREMENTALLY as documents stream in — the streaming twin of the
+    * batch z10 KMV build. State per source is the k smallest DISTINCT
+    * shingle-hash values (a sorted array, ≤ k longs — bounded regardless
+    * of stream length, the property that lets a 100 TB firehose keep a
+    * live per-source vocabulary-diversity estimate; contrast the
+    * [[minhashSketchStream]] signature state, which answers similarity,
+    * not cardinality). Hashing is the shared [[graft.functions.MinHashFamily]]
+    * md5 fold mod P, so a stream that has seen the same documents holds
+    * the EXACT batch sketch: the spec pins the final emissions against
+    * z10's per-source (n_sketch, est_distinct) rows, and re-ingesting a
+    * duplicate document cannot move the sketch (inserting a present
+    * value is a set no-op). Emission is z10's estimator: exact count
+    * below k, (k−1)·P/h_k at 6 dp (the same floor-round arithmetic as
+    * the batch column) once the sketch is full.
+    */
+  def kmvSketchStream(docs: Dataset[DocRow], k: Int = 64): Dataset[KmvOut] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.MinHashFamily
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[Array[Long], KmvOut](GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[DocRow], state: GroupState[Array[Long]]) =>
+          val seen = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(seen ++= _)
+          rows.foreach { r =>
+            MinHashFamily.shingles(r.text).foreach { t =>
+              val h = MinHashFamily.base(t)
+              if (seen.size < k) seen += h
+              else if (h < seen.last && !seen.contains(h)) {
+                seen += h
+                seen -= seen.last
+              }
+            }
+          }
+          val arr = seen.toArray
+          state.update(arr)
+          val est =
+            if (arr.length < k) arr.length.toDouble
+            else math.floor(
+              (k - 1).toDouble * MinHashFamily.P / arr.last * 1e6 + 0.5) / 1e6
+          KmvOut(source, arr.length.toLong, est)
+      }
+  }
+
   // ---- streaming inter-arrival gap profile -------------------------------
 
   final case class GapEvent(event_type: String, event_id: Long, ts_us: Long)

@@ -438,6 +438,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(again == want)
   }
 
+  test("streaming KMV sketches equal the batch z10 rows; duplicate re-ingest is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow].collect().toSeq
+    val input = MemoryStream[StreamingOps.DocRow]
+    val query = StreamingOps.kmvSketchStream(input.toDS())
+      .writeStream.format("memory").queryName("kmvstream").outputMode("update").start()
+    // two batches exercise the cross-batch k-minima state merge
+    val (b1, b2) = docs.partition(_.doc_id % 2 == 0)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    def lastPerSource = spark.table("kmvstream").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).zipWithIndex
+      .groupBy(_._1._1).map { case (src, rows) => src -> rows.maxBy(_._2)._1._2 }
+    val got = lastPerSource
+    // batch truth: the oracle-checked z10 per-source rows (the '__all__'
+    // merge row is sketch algebra over those rows, not a stream key)
+    val want = graft.SparkEntry.queries("z10_kmv_distinct")(spark, sfDir)
+      .collect().filter(_.getString(0) != "__all__")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+    // a full duplicate re-ingest cannot move any k-minimum
+    input.addData(docs); query.processAllAvailable()
+    val again = lastPerSource
+    query.stop()
+    assert(again == want)
+    spark.catalog.clearCache()
+  }
+
   test("streaming count-min cells equal the batch sketch, and the z7 estimates read off them") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.MinHashFamily
