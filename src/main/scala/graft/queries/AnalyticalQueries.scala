@@ -786,8 +786,11 @@ object AnalyticalQueries {
         // of one edge⨝rank join + one map-side-combinable sum per
         // round, ranks rounded to a 1e-10 grid per round so the
         // unrolled-CTE oracle reproduces every iteration bit-for-bit.
+        // cached: the distinct (order, part) frame feeds BOTH self-join
+        // sides and the node list — without it the lineitem scan +
+        // distinct shuffle runs three times. Released by clearCache().
         val items = Tables.lineitem(s, dir)
-          .select("l_orderkey", "l_partkey").distinct()
+          .select("l_orderkey", "l_partkey").distinct().cache()
         val edges = items.as("a").join(items.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") =!= col("b.l_partkey"))
