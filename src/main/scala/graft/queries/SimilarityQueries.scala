@@ -301,16 +301,28 @@ object SimilarityQueries {
     * centroid id asc) — one narrow pass against the 8-row broadcast.
     */
   private[graft] def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val assignW = Window.partitionBy("cand_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
+    // the centroid table is quantizer-sized (8 rows) by construction — a
+    // dim-sized collect under the repo collect policy. Inlining it as
+    // literals turns the previous n×8 broadcast join + cand_id-window
+    // SHUFFLE (every row carrying its full vector through the exchange)
+    // into ONE narrow projection: per row, an 8-element array of
+    // (rounded cosine, −centroid_id) structs reduced by array_max —
+    // lexicographic struct max = highest ccos then lowest centroid id,
+    // bit-identical to the window's (ccos DESC, centroid_id ASC) rank-1
+    // row the DuckDB twin still computes relationally.
+    val cents = centroids.select(col("centroid_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        roundAt(graft.functions.CosineSimilarity(typedLit(cv), col("v")), 6)
+          .as("ccos"),
+        lit(-cid).as("negid"))
+    }
     e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
-      .as("c").join(broadcast(centroids.as("q")))
-      .withColumn("ccos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
-      .select(col("c.cand_id").as("cand_id"), col("c.v").as("v"),
-        col("c.norm").as("norm"), col("q.centroid_id").as("centroid_id"), col("ccos"))
-      .withColumn("arnk", row_number().over(assignW))
-      .filter(col("arnk") === 1)
-      .select("cand_id", "v", "norm", "centroid_id")
+      .withColumn("best", array_max(array(scored.toSeq: _*)))
+      .select(col("cand_id"), col("v"), col("norm"),
+        (-col("best.negid")).as("centroid_id"))
   }
 
   /** oracle twin of [[assignNearest]] over [[lloydCtesSql]]'s final
