@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -371,6 +371,13 @@ object SimilarityQueries {
     * cross-engine tie contract), ties by centroid id.
     */
   private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    // NOTE (r9): a literal-inlined argmin (the assignNearest rewrite:
+    // collect the 128-row codebook, per-row array_min over K structs
+    // under an 8-branch CASE on s) was tried here and REVERTED — at
+    // M·K = 128 the expression tree is ~3000 nodes, codegen degrades
+    // and the measured cost was 4–8× WORSE than this join+window form
+    // (x14 2.4 → 10.7–18 s at sf0.1). The K=8 centroid assignment is
+    // small enough to inline; the PQ codebook is not.
     val w = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("cid"))
     subs.as("c").join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
       .withColumn("dist", roundAt(expr(

@@ -287,6 +287,19 @@ class PlanAuditSpec extends SparkSpec {
       s"z10's distinct lost its map-side partial:\n$p")
   }
 
+  test("e14's hop assignment is the engine's bounded Expand, not a Generate explode") {
+    // the built-in window(ts, 1h, 15m) must compile to the internal
+    // Expand (4 fixed projections per row) feeding one partial+final
+    // agg — never a Generate (sequence explode) and never more than the
+    // one (window, type)-keyed exchange
+    val p = plan("e14_sliding_window")
+    assert(p.contains("(Expand") || p.contains("Expand "),
+      s"e14 lost the engine-internal hop Expand:\n$p")
+    assert(!p.contains("Generate"), s"e14 explodes instead of Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"e14 lost the map-side partial agg:\n$p")
+  }
+
   test("z11's pair algebra runs on the cached sketch — one corpus scan, no document pair join") {
     // the set-algebra claim: the only corpus-wide work is the sketch
     // build (scanned ONCE, then cached); the |sources|²·k pair stage
