@@ -132,13 +132,33 @@ object StreamBench {
       .maxOption.getOrElse(-1L)
     sessQ.stop()
 
+    // ---- 4. streaming KMV distinct sketches over the full doc stream
+    // (bounded k-minima state per source, on the same RocksDB provider
+    // loop 3 configured — the sketch state a long-running ingest holds)
+    val allDocs = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[graft.streaming.StreamingOps.DocRow].collect().toSeq.sortBy(_.doc_id)
+    val kmvIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
+    val kmvQ = graft.streaming.StreamingOps.kmvSketchStream(kmvIn.toDS())
+      .writeStream.format("memory").queryName("sb_kmv")
+      .option("checkpointLocation", s"$base/ckpt_kmv")
+      .outputMode("update").start()
+    val kmvFed = allDocs.grouped(math.max(1, allDocs.size / nBatches)).map { b =>
+      kmvIn.addData(b); kmvQ.processAllAvailable(); b.size
+    }.toSeq
+    val kmvStats = batchStats(kmvQ, kmvFed)
+    val kmvStateRows = kmvQ.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    kmvQ.stop()
+
     println("{" +
       fmt("curate_stream_incremental", curStats,
         s""","segments_bytes":$segBytes""") + "," +
       fmt("cdc_upsert_stream", cdcStats,
         s""","snapshots_bytes":$snapBytes""") + "," +
       fmt("sessionize_stateful_rocksdb", sessStats,
-        s""","state_rows":$stateRows,"rocksdb_mem_bytes":$rocksMem""") +
+        s""","state_rows":$stateRows,"rocksdb_mem_bytes":$rocksMem""") + "," +
+      fmt("kmv_sketch_stream", kmvStats,
+        s""","state_rows":$kmvStateRows""") +
       s""","sf_dir":"$dir","n_batches":$nBatches}""")
     spark.stop()
   }
