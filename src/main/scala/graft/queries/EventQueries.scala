@@ -144,6 +144,49 @@ object EventQueries {
               |  count(*) AS n, ${roundAtSql("sum(value)", 6)} AS sum_value
               |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("e15_session_window",
+      (s, dir) => {
+        // the BUILT-IN `session_window(ts, 30m)` operator — e2 pins
+        // gap-sessionization via hand-rolled lag/prefix-sum arithmetic;
+        // this pins the engine's own merging session operator (the
+        // UpdatingSessions path) against a DuckDB twin of its DOCUMENTED
+        // semantics: each event spans [ts, ts+gap), sessions merge on
+        // OVERLAP, so a gap of exactly 30 min starts a NEW session
+        // (>= in the twin — one fencepost STRICTER than e2's > rule,
+        // which is e2's own self-consistent contract) and the session
+        // end is last_ts + gap. Scale shape: one (user, session)-keyed
+        // agg — Spark sorts within user partitions to merge, never
+        // globally.
+        Tables.eventsTs(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("session_window.start").cast("string").as("sess_start"),
+            col("session_window.end").cast("string").as("sess_end"),
+            col("user_id"), col("n_events"))
+          .orderBy("user_id", "sess_start")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+             |m AS (
+             |  SELECT user_id, ts_us,
+             |    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts_us,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM m),
+             |agg AS (
+             |  SELECT user_id, sess_id, min(ts_us) AS start_us,
+             |    max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT CAST(make_timestamp(start_us) AS VARCHAR) AS sess_start,
+             |  CAST(make_timestamp(end_us) AS VARCHAR) AS sess_end,
+             |  user_id, n_events
+             |FROM agg ORDER BY user_id, sess_start""".stripMargin)),
+
     Q("e13_bounded_conversion",
       (s, dir) => {
         // TIME-BOUNDED funnel — e5 asks "did a click ever follow a
