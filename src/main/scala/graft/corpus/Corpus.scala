@@ -82,6 +82,17 @@ object Corpus {
   private def nearDupPairsCached(docs: DataFrame,
       threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sh = withShingles(docs).select("doc_id", "sh").cache()
+    val (pairs, cached) = nearDupPairsFrom(sh, threshold)
+    (pairs, sh +: cached)
+  }
+
+  /** [[nearDupPairsCached]] over a PRE-SHINGLED cached (doc_id, sh)
+    * frame — lets [[updateClustersWithStats]] share ONE shingled batch
+    * between the in-batch pair stage and the index cross-edge stage
+    * (each previously shingled the same docs independently).
+    */
+  private def nearDupPairsFrom(sh: DataFrame,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sig = bandSignatures(sh).cache()
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -97,7 +108,7 @@ object Corpus {
           JaccardSimilarity(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    (pairs, Seq(sh, sig))
+    (pairs, Seq(sig))
   }
 
   /** LSH-verified near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
@@ -337,10 +348,14 @@ object Corpus {
   def updateClustersWithStats(oldClusters: DataFrame, newDocs: DataFrame,
       indexPaths: Seq[String], threshold: Double = 0.5): (DataFrame, Int) = {
     val oldLab = oldClusters.select(col("doc_id"), col("cluster_id"))
-    val crossEdges = dedupAgainstIndex(newDocs, indexPaths, threshold)
+    // ONE shingled+cached batch frame feeds both pair stages (the
+    // cross-edge probe against the index and the in-batch self-pairs) —
+    // each previously re-shingled the same documents independently
+    val shNew = withShingles(newDocs).select("doc_id", "sh").cache()
+    val crossEdges = dedupAgainstIndexFrom(shNew, indexPaths, threshold)
       .join(oldLab.withColumnRenamed("doc_id", "index_id"), "index_id")
       .select(col("new_id").as("a"), col("cluster_id").as("b"))
-    val batchEdges = nearDupPairs(newDocs, threshold)
+    val batchEdges = nearDupPairsFrom(shNew, threshold)._1
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val touched = crossEdges.select(col("b").as("id")).distinct()
     val nodes = touched
@@ -578,9 +593,16 @@ object Corpus {
     * prior batch contributed one immutable segment.
     */
   def dedupAgainstIndex(newDocs: DataFrame, indexPaths: Seq[String],
+      threshold: Double): DataFrame =
+    dedupAgainstIndexFrom(
+      withShingles(newDocs).select("doc_id", "sh").cache(), indexPaths, threshold)
+
+  /** [[dedupAgainstIndex]] over a PRE-SHINGLED cached (doc_id, sh) frame
+    * (see [[nearDupPairsFrom]] — the shared-batch path).
+    */
+  private def dedupAgainstIndexFrom(sh: DataFrame, indexPaths: Seq[String],
       threshold: Double): DataFrame = {
-    val spark = newDocs.sparkSession
-    val sh = withShingles(newDocs).select("doc_id", "sh").cache()
+    val spark = sh.sparkSession
     val cand = bandSignatures(sh).as("a")
       .join(readIndexSignatures(spark, indexPaths).as("b"),
         col("a.band_id") === col("b.band_id") &&
