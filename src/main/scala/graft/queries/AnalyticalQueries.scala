@@ -795,7 +795,10 @@ object AnalyticalQueries {
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") =!= col("b.l_partkey"))
           .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-          .distinct()
+          // cached: pageRank's degree pass and its edge⨝degree build
+          // both consume the edge set — uncached, the basket self-join
+          // + distinct runs twice inside the one eDeg materialization
+          .distinct().cache()
         val nodes = items.select(col("l_partkey").as("id")).distinct()
         graft.corpus.Corpus.pageRank(nodes, edges, iters = 3, damping = 0.85)
           .select(col("id").as("part"), col("rank"))
