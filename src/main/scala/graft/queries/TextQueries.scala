@@ -674,6 +674,104 @@ object TextQueries {
               |  coalesce(p.avg_logscore, 0.0) AS avg_logscore,
               |  coalesce(${roundAtSql("exp(-p.avg_logscore)", 6)}, 1.0) AS ppl
               |FROM d LEFT JOIN perdoc p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+    Q("t17_token_estimator_train",
+      (s, dir) => {
+        // TRAIN a model INSIDE the engine: the token-count estimator a
+        // 100 TB pipeline uses for shard sizing and tokenizer-cost
+        // planning BEFORE paying for tokenization — tokens predicted
+        // from cheap byte-level stats. A 2-feature + intercept linear
+        // model fit by the closed-form normal equations: a20 fits
+        // per-group single-feature lines with the built-in regr_*
+        // aggregates; this is the MULTI-feature solve those can't
+        // express — the 3×3 system inverted via Cramer's rule on 9
+        // sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂²,
+        // Σx₁y, Σx₂y), each a map-side-combinable sum. The 100 TB
+        // shape: training is ONE partial+final agg whose exchange
+        // carries 9 doubles — no iterative solver, no driver-side data,
+        // no MLlib; prediction is a narrow map under a 1-row broadcast
+        // of the weights. Determinism: features and every statistic are
+        // 6-dp-rounded (the repo float contract) BEFORE the solve and
+        // the predictions after it, so the whole train→predict pipeline
+        // is hash-exact cross-engine. Features: x₁ = chars/100 (the
+        // byte length), x₂ = duplicate-word fraction (whose near-zero
+        // trained weight is the solve correctly discounting a
+        // no-signal feature); y = exact token count.
+        val d = Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"),
+            roundAt(length(col("text")).cast("double") / 100.0, 6).as("x1"),
+            roundAt(lit(1.0) -
+              size(array_distinct(col("w"))).cast("double") /
+                size(col("w")).cast("double"), 6).as("x2"),
+            size(col("w")).cast("double").as("y"))
+        val sums = d.agg(
+          count(lit(1)).cast("double").as("n"),
+          roundAt(sum("x1"), 6).as("s1"), roundAt(sum("x2"), 6).as("s2"),
+          roundAt(sum("y"), 6).as("sy"),
+          roundAt(sum(col("x1") * col("x1")), 6).as("s11"),
+          roundAt(sum(col("x1") * col("x2")), 6).as("s12"),
+          roundAt(sum(col("x2") * col("x2")), 6).as("s22"),
+          roundAt(sum(col("x1") * col("y")), 6).as("s1y"),
+          roundAt(sum(col("x2") * col("y")), 6).as("s2y"))
+        // Cramer's rule on the 3×3 normal matrix — the SAME expression
+        // structure (operand order included) as the DuckDB twin, so the
+        // IEEE arithmetic is step-identical from the rounded inputs
+        val det = col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+          col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+          col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+        val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+          col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+          col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+        val det1 = col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+          col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+          col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+        val det2 = col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+          col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+          col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+        val w = sums.select(
+          roundAt(det0 / det, 6).as("w0"),
+          roundAt(det1 / det, 6).as("w1"),
+          roundAt(det2 / det, 6).as("w2"))
+        d.crossJoin(broadcast(w))
+          .withColumn("pred", roundAt(
+            col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 6))
+          .select(col("doc_id"), col("y").cast("long").as("n_tokens"),
+            col("pred"), roundAt(col("y") - col("pred"), 6).as("resid"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val det = "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
+        val det0 = "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))"
+        val det1 = "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))"
+        val det2 = "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))"
+        s"""WITH feats AS (
+           |  SELECT doc_id,
+           |    ${roundAtSql("CAST(length(text) AS DOUBLE) / 100.0", 6)} AS x1,
+           |    ${roundAtSql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)", 6)} AS x2,
+           |    CAST(len(w) AS DOUBLE) AS y
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+           |sums AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    ${roundAtSql("sum(x1)", 6)} AS s1, ${roundAtSql("sum(x2)", 6)} AS s2,
+           |    ${roundAtSql("sum(y)", 6)} AS sy,
+           |    ${roundAtSql("sum(x1 * x1)", 6)} AS s11,
+           |    ${roundAtSql("sum(x1 * x2)", 6)} AS s12,
+           |    ${roundAtSql("sum(x2 * x2)", 6)} AS s22,
+           |    ${roundAtSql("sum(x1 * y)", 6)} AS s1y,
+           |    ${roundAtSql("sum(x2 * y)", 6)} AS s2y
+           |  FROM feats),
+           |w AS (
+           |  SELECT ${roundAtSql(s"$det0 / $det", 6)} AS w0,
+           |    ${roundAtSql(s"$det1 / $det", 6)} AS w1,
+           |    ${roundAtSql(s"$det2 / $det", 6)} AS w2
+           |  FROM sums)
+           |SELECT doc_id, n_tokens, pred, ${roundAtSql("y - pred", 6)} AS resid
+           |FROM (
+           |  SELECT doc_id, CAST(y AS BIGINT) AS n_tokens, y,
+           |    ${roundAtSql("w0 + w1 * x1 + w2 * x2", 6)} AS pred
+           |  FROM feats CROSS JOIN w)
+           |ORDER BY doc_id""".stripMargin
+      }),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

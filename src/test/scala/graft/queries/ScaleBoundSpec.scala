@@ -223,6 +223,25 @@ class ScaleBoundSpec extends SparkSpec {
     assert(got.size == srcs.combinations(2).size)
   }
 
+  test("t17: the trained token estimator actually fits (R² ≥ 0.95) and is near-unbiased") {
+    // the correctness oracle proves train→predict is hash-exact; this
+    // pins that the closed-form solve produces a MODEL — tokens are
+    // genuinely predictable from byte length on any text corpus, so an
+    // R² collapse here means the normal equations regressed
+    val rows = graft.SparkEntry.queries("t17_token_estimator_train")(spark, dir)
+      .collect().map(r => (r.getLong(1).toDouble, r.getDouble(3)))
+    val n = rows.length
+    val ybar = rows.map(_._1).sum / n
+    val ssRes = rows.map { case (_, e) => e * e }.sum
+    val ssTot = rows.map { case (y, _) => (y - ybar) * (y - ybar) }.sum
+    val r2 = 1.0 - ssRes / ssTot
+    val meanResid = rows.map(_._2).sum / n
+    info(f"n=$n R²=$r2%.4f mean_resid=$meanResid%.4f")
+    assert(r2 >= 0.95, f"token estimator R² collapsed: $r2%.4f")
+    assert(math.abs(meanResid) <= 0.5,
+      f"OLS with intercept must be near-unbiased, mean resid $meanResid%.4f")
+  }
+
   test("t16: stupid backoff never fires on the training slice; off-slice OOV bigrams score below seen ones") {
     // The backoff contract: every bigram of a lang='en' doc is in the
     // en-trained count tables by construction → backoff_fraction 0 and
