@@ -24,7 +24,7 @@ object SamplingQueries {
     * digits of the id string folded to an int (one md5 per row, hoisted
     * as `h8`), mod 100.
     */
-  private val bucketDuckSql =
+  private[queries] val bucketDuckSql =
     """list_reduce([CAST(strpos('0123456789abcdef', substr(h8, i, 1)) - 1 AS BIGINT)
       |             for i in range(1, 9)], (b, c) -> b * 16 + c) % 100""".stripMargin
 

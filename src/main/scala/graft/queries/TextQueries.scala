@@ -695,16 +695,21 @@ object TextQueries {
         // is hash-exact cross-engine. Features: x₁ = chars/100 (the
         // byte length), x₂ = duplicate-word fraction (whose near-zero
         // trained weight is the solve correctly discounting a
-        // no-signal feature); y = exact token count.
-        val d = Tables.documents(s, dir)
+        // no-signal feature); y = exact token count. Honest evaluation:
+        // the model trains ONLY on the content-addressed 80% train
+        // split (Corpus.withSplit's md5 bucket — no leakage by
+        // construction) and predicts EVERY doc, so held-out rows carry
+        // a TRUE generalization residual (ScaleBoundSpec pins the
+        // test-slice R²).
+        val d = graft.corpus.Corpus.withSplit(Tables.documents(s, dir))
           .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("split"),
             roundAt(length(col("text")).cast("double") / 100.0, 6).as("x1"),
             roundAt(lit(1.0) -
               size(array_distinct(col("w"))).cast("double") /
                 size(col("w")).cast("double"), 6).as("x2"),
             size(col("w")).cast("double").as("y"))
-        val sums = d.agg(
+        val sums = d.filter(col("split") === "train").agg(
           count(lit(1)).cast("double").as("n"),
           roundAt(sum("x1"), 6).as("s1"), roundAt(sum("x2"), 6).as("s2"),
           roundAt(sum("y"), 6).as("sy"),
@@ -735,7 +740,8 @@ object TextQueries {
         d.crossJoin(broadcast(w))
           .withColumn("pred", roundAt(
             col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 6))
-          .select(col("doc_id"), col("y").cast("long").as("n_tokens"),
+          .select(col("doc_id"), col("split"),
+            col("y").cast("long").as("n_tokens"),
             col("pred"), roundAt(col("y") - col("pred"), 6).as("resid"))
           .orderBy("doc_id")
       },
@@ -746,10 +752,17 @@ object TextQueries {
         val det2 = "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))"
         s"""WITH feats AS (
            |  SELECT doc_id,
+           |    CASE WHEN bucket < 80 THEN 'train'
+           |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
            |    ${roundAtSql("CAST(length(text) AS DOUBLE) / 100.0", 6)} AS x1,
            |    ${roundAtSql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)", 6)} AS x2,
            |    CAST(len(w) AS DOUBLE) AS y
-           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)),
+           |  FROM (
+           |    SELECT doc_id, text, string_split(text, ' ') AS w,
+           |      ${SamplingQueries.bucketDuckSql} AS bucket
+           |    FROM (SELECT doc_id, text,
+           |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+           |          FROM documents))),
            |sums AS (
            |  SELECT CAST(count(*) AS DOUBLE) AS n,
            |    ${roundAtSql("sum(x1)", 6)} AS s1, ${roundAtSql("sum(x2)", 6)} AS s2,
@@ -759,15 +772,15 @@ object TextQueries {
            |    ${roundAtSql("sum(x2 * x2)", 6)} AS s22,
            |    ${roundAtSql("sum(x1 * y)", 6)} AS s1y,
            |    ${roundAtSql("sum(x2 * y)", 6)} AS s2y
-           |  FROM feats),
+           |  FROM feats WHERE split = 'train'),
            |w AS (
            |  SELECT ${roundAtSql(s"$det0 / $det", 6)} AS w0,
            |    ${roundAtSql(s"$det1 / $det", 6)} AS w1,
            |    ${roundAtSql(s"$det2 / $det", 6)} AS w2
            |  FROM sums)
-           |SELECT doc_id, n_tokens, pred, ${roundAtSql("y - pred", 6)} AS resid
+           |SELECT doc_id, split, n_tokens, pred, ${roundAtSql("y - pred", 6)} AS resid
            |FROM (
-           |  SELECT doc_id, CAST(y AS BIGINT) AS n_tokens, y,
+           |  SELECT doc_id, split, CAST(y AS BIGINT) AS n_tokens, y,
            |    ${roundAtSql("w0 + w1 * x1 + w2 * x2", 6)} AS pred
            |  FROM feats CROSS JOIN w)
            |ORDER BY doc_id""".stripMargin
