@@ -300,6 +300,20 @@ class PlanAuditSpec extends SparkSpec {
       s"e14 lost the map-side partial agg:\n$p")
   }
 
+  test("t17's training is one partial+final agg; weights ride a 1-row broadcast; no window") {
+    // the in-engine-training claim: the normal-equation sums must be a
+    // map-side-combinable aggregate pair (the 9-double exchange), the
+    // weight row must reach the scoring map as a broadcast, and nothing
+    // windows or explodes the corpus
+    val p = plan("t17_token_estimator_train")
+    assert(!p.contains("(Window"), s"t17 grew a window:\n$p")
+    assert(!p.contains("Generate"), s"t17 explodes the corpus:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"t17's statistics lost their map-side partial:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"t17's weight row is not broadcast:\n$p")
+  }
+
   test("z11's pair algebra runs on the cached sketch — one corpus scan, no document pair join") {
     // the set-algebra claim: the only corpus-wide work is the sketch
     // build (scanned ONCE, then cached); the |sources|²·k pair stage
