@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,43 @@ import graft.functions.MoneyFunctions._
   */
 object ScaleQueries {
   import RelationalQueries.{Q, QFn}
+
+  /** the K=64 per-source KMV sketch shared by z10 and z11 (one
+    * definition so the hash contract, k, and the heap shape can never
+    * diverge between the two): corpus-wide (source, h) distinct on the
+    * native shingle→base chain, then the TopKPerKey heap. Cached —
+    * released by spark.catalog.clearCache().
+    */
+  private[queries] val KmvK = 64
+  private def kmvSketch(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.MinHashBases(
+          graft.functions.Shingles(col("text")))).as("h"))
+      .distinct()
+    graft.plans.TopK.perKey(h, Seq("source"), Seq(col("h").asc), k = KmvK)
+      .cache()
+  }
+
+  /** DuckDB twin of [[kmvSketch]] (CTEs d → h → sk), shared by the z10
+    * and z11 oracles.
+    */
+  private val kmvSketchCtesSql: String =
+    s"""d AS (
+       |  SELECT source,
+       |    list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS sh
+       |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
+       |                      AS BIGINT) for i in range(1, 13)],
+       |                (b, c) -> b * 16 + c) % 1000000007 AS h
+       |  FROM (SELECT source, unnest(sh) AS t FROM d)),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM h) WHERE rn <= $KmvK)""".stripMargin
 
   /** z6's hash construction, shared with the parameterized measurement
     * below: two positions per key from the two md5 hex halves (digits
@@ -421,17 +458,11 @@ object ScaleQueries {
         // P=1e9+7, the repo-wide cross-engine hash contract; mod-P
         // collisions are ≤ n²/2P ≈ 1e-4 at sf0.1 — inside any hashed
         // sketch's noise floor).
-        val K = 64
-        val h = Tables.documents(s, dir)
-          .select(col("source"),
-            explode(graft.functions.MinHashBases(
-              graft.functions.Shingles(col("text")))).as("h"))
-          .distinct()
-        // the sketch table is #sources × k rows; cache it so the
-        // per-source branch and the '__all__' merge branch of the union
-        // don't each re-run the corpus-wide distinct+heap pass
-        val sk = graft.plans.TopK.perKey(h, Seq("source"), Seq(col("h").asc), k = K)
-          .cache()
+        val K = KmvK
+        // the sketch table is #sources × k rows; kmvSketch caches it so
+        // the per-source branch and the '__all__' merge branch of the
+        // union don't each re-run the corpus-wide distinct+heap pass
+        val sk = kmvSketch(s, dir)
         val per = sk.groupBy("source")
           .agg(count(lit(1)).as("n_sketch"), max("h").as("hmax"))
         val allRow = sk.select("h").distinct().orderBy("h").limit(K)
@@ -444,32 +475,18 @@ object ScaleQueries {
               .as("est_distinct"))
           .orderBy("source")
       },
-      Some(s"""WITH d AS (
-              |  SELECT source,
-              |    list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS sh
-              |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
-              |h AS (
-              |  SELECT DISTINCT source,
-              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
-              |                      AS BIGINT) for i in range(1, 13)],
-              |                (b, c) -> b * 16 + c) % 1000000007 AS h
-              |  FROM (SELECT source, unnest(sh) AS t FROM d)),
-              |sk AS (
-              |  SELECT source, h FROM (
-              |    SELECT source, h,
-              |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-              |    FROM h) WHERE rn <= 64),
+      Some(s"""WITH $kmvSketchCtesSql,
               |persrc AS (
               |  SELECT source, count(*) AS n_sketch, max(h) AS hmax FROM sk GROUP BY 1),
               |allsk AS (
-              |  SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT 64),
+              |  SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT $KmvK),
               |allrow AS (
               |  SELECT '__all__' AS source, count(*) AS n_sketch, max(h) AS hmax
               |  FROM allsk),
               |u AS (SELECT * FROM persrc UNION ALL SELECT * FROM allrow)
               |SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
-              |  CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
-              |       ELSE ${roundAtSql("(64 - 1) * 1000000007.0 / hmax", 6)}
+              |  CASE WHEN n_sketch < $KmvK THEN CAST(n_sketch AS DOUBLE)
+              |       ELSE ${roundAtSql(s"($KmvK - 1) * 1000000007.0 / hmax", 6)}
               |  END AS est_distinct
               |FROM u ORDER BY source""".stripMargin)),
 
@@ -496,14 +513,8 @@ object ScaleQueries {
         // independent of corpus size. Hashing rides the native
         // shingles→minhash_bases codegen chain (the repo-wide mod-P md5
         // contract), so the whole query is hash-exact cross-engine.
-        val K = 64
-        val h = Tables.documents(s, dir)
-          .select(col("source"),
-            explode(graft.functions.MinHashBases(
-              graft.functions.Shingles(col("text")))).as("h"))
-          .distinct()
-        val sk = graft.plans.TopK.perKey(h, Seq("source"), Seq(col("h").asc), k = K)
-          .cache()
+        val K = KmvK
+        val sk = kmvSketch(s, dir)
         val srcs = sk.select("source").distinct()
         // sketch-level pair enumeration: |sources|² rows, never corpus
         val pairs = srcs.as("x").join(srcs.as("y"),
@@ -540,21 +551,7 @@ object ScaleQueries {
             "jaccard_est")
           .orderBy("src_a", "src_b")
       },
-      Some(s"""WITH d AS (
-              |  SELECT source,
-              |    list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS sh
-              |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
-              |h AS (
-              |  SELECT DISTINCT source,
-              |    list_reduce([CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1
-              |                      AS BIGINT) for i in range(1, 13)],
-              |                (b, c) -> b * 16 + c) % 1000000007 AS h
-              |  FROM (SELECT source, unnest(sh) AS t FROM d)),
-              |sk AS (
-              |  SELECT source, h FROM (
-              |    SELECT source, h,
-              |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-              |    FROM h) WHERE rn <= 64),
+      Some(s"""WITH $kmvSketchCtesSql,
               |srcs AS (SELECT DISTINCT source FROM sk),
               |pairs AS (
               |  SELECT x.source AS src_a, y.source AS src_b
@@ -570,7 +567,7 @@ object ScaleQueries {
               |r AS (
               |  SELECT * FROM (
               |    SELECT m.*, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
-              |    FROM m) WHERE rn <= 64),
+              |    FROM m) WHERE rn <= $KmvK),
               |agg AS (
               |  SELECT src_a, src_b, count(*) AS n_merged, max(h) AS hmax,
               |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -578,12 +575,12 @@ object ScaleQueries {
               |  FROM r GROUP BY 1, 2),
               |est AS (
               |  SELECT src_a, src_b, n_common, n_merged,
-              |    CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
-              |         ELSE ${roundAtSql("(64 - 1) * 1000000007.0 / hmax", 6)}
+              |    CASE WHEN n_merged < $KmvK THEN CAST(n_merged AS DOUBLE)
+              |         ELSE ${roundAtSql(s"($KmvK - 1) * 1000000007.0 / hmax", 6)}
               |    END AS union_est
               |  FROM agg)
               |SELECT src_a, src_b, n_common, union_est,
-              |  CASE WHEN n_merged < 64 THEN CAST(n_common AS DOUBLE)
+              |  CASE WHEN n_merged < $KmvK THEN CAST(n_common AS DOUBLE)
               |       ELSE ${roundAtSql("CAST(n_common AS DOUBLE) / n_merged * union_est", 6)}
               |  END AS inter_est,
               |  ${roundAtSql("CAST(n_common AS DOUBLE) / n_merged", 6)} AS jaccard_est

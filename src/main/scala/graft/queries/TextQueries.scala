@@ -611,7 +611,10 @@ object TextQueries {
         val ctx = big.groupBy("pw").agg(sum("bc").as("cc"))
         val uniT = toks.filter(col("lang") === "en").select(explode(col("w")).as("cw"))
         val uni = uniT.groupBy("cw").agg(count(lit(1)).as("uc"))
-        val nScalar = uniT.agg(count(lit(1)).as("n_train"))
+        // n_train = Σuc over the vocabulary-bounded unigram table — the
+        // exact same integer as re-counting the exploded token stream,
+        // without a second corpus-wide explode
+        val nScalar = uni.agg(sum("uc").as("n_train"))
         val db = bigrams.groupBy("doc_id", "pw", "cw").agg(count(lit(1)).as("c"))
         val scored = db
           .join(big.join(ctx, Seq("pw")).select("pw", "cw", "bc", "cc"),
@@ -701,6 +704,10 @@ object TextQueries {
         // construction) and predicts EVERY doc, so held-out rows carry
         // a TRUE generalization residual (ScaleBoundSpec pins the
         // test-slice R²).
+        // cached: the doc-grain feature frame feeds BOTH the training
+        // sums and the predict-every-doc projection — uncached, the
+        // corpus scan + tokenization would run twice. Released by
+        // spark.catalog.clearCache().
         val d = graft.corpus.Corpus.withSplit(Tables.documents(s, dir))
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), col("split"),
@@ -709,6 +716,7 @@ object TextQueries {
               size(array_distinct(col("w"))).cast("double") /
                 size(col("w")).cast("double"), 6).as("x2"),
             size(col("w")).cast("double").as("y"))
+          .cache()
         val sums = d.filter(col("split") === "train").agg(
           count(lit(1)).cast("double").as("n"),
           roundAt(sum("x1"), 6).as("s1"), roundAt(sum("x2"), 6).as("s2"),

@@ -59,14 +59,17 @@ object CloseScale {
         s"$base/raw", s"$base/curated_$r", s"$base/ref")
       val sec = (System.nanoTime() - s0) / 1e9
       if (record) {
-        // listener bus is async; give queued job-end events a moment
-        Thread.sleep(500)
+        // listener bus is async; DRAIN it (a fixed sleep silently drops
+        // late job-end events on a loaded box → undercounted attribution)
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .waitUntilEmpty(spark.sparkContext)
         spark.sparkContext.removeSparkListener(listener)
       }
       sec
     }
 
-    val byDesc = jobs.groupBy(j => execDesc.getOrElse(j._2, j._2)).map {
+    val byDesc = jobs.synchronized(jobs.toList)
+      .groupBy(j => execDesc.getOrElse(j._2, j._2)).map {
       case (d, js) => (d, js.size, js.map(_._3).sum)
     }.toSeq.sortBy(-_._3)
     val top = byDesc.take(12).map { case (d, n, ms) =>

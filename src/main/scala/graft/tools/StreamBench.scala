@@ -83,7 +83,7 @@ object StreamBench {
         col("c_acctbal"))
     cust.write.parquet(s"$base/cdc_seed")
     val nCust = cust.count()
-    val per = (nCust / nBatches).toInt
+    val per = math.max(1, (nCust / nBatches).toInt)
     val changes = cust.collect().map(r => (r.getLong(0), r.getString(1),
       r.getString(2), r.getDouble(3))).toSeq.sortBy(_._1)
     val cdcIn = MemoryStream[CdcChange]
