@@ -42,6 +42,10 @@ object ShuffleProfile {
     val spark = Sessions.local("shuffle-profile",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.cpus))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the partition-sizing lever (runtime-settable conf): lets the sf1
+    // spill-boundary record show the fix measured, not just named
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     val names = if (args.nonEmpty) args.toSeq
       else sys.env.get("SPARK_GRAFT_PROFILE_ONLY")
         .map(_.split(",").toSeq).getOrElse(defaults)
