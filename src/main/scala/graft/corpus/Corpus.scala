@@ -438,6 +438,25 @@ object Corpus {
     * idf-weighted index. Construction notes live with the single
     * implementation ([[graft.queries.DedupQueries.indexedPostings]]
     * delegates here).
+    *
+    * The rank pass (withRank = true) also carries the WEIGHTED prefix
+    * columns (r10 — Bayardo et al. WWW'07 §3 generalized to weighted
+    * overlap): `w` = N_docs / df (the idf weight, one IEEE division —
+    * bit-identical across engines), `wsum` = the doc's full weighted
+    * size Σw including its df = 1 singletons, and `wrem` = the weight
+    * of this df ≥ 2 posting PLUS every later one in the same ascending
+    * (df, shingle) order (null on df = 1 rows — a df = 1 shingle can
+    * co-occur with nothing, so it never carries intersection weight).
+    * `wrem` is the weighted analog of the positional remainder
+    * `n2 − rn + 1`: a qualifying weighted-jaccard pair at threshold t
+    * has intersection weight wc ≥ t·max(wsum_a, wsum_b), and all of wc
+    * sits at ranks ≥ the pair's first common shingle — so postings with
+    * wrem < t·wsum can never hold a qualifying pair's first match, and
+    * the probe prefix is exactly the down-set {wrem ≥ t·wsum}
+    * (DedupQueries.weightedJaccardPairs). Computed in the SAME
+    * window sort as rn/n2 (one exchange, one sort, five aggregates) —
+    * the columns are threshold-independent, so the persisted artifact
+    * still serves every t.
     */
   def postingIndex(docs: DataFrame, saltChunk: Long = 1024L,
       withRank: Boolean = true): DataFrame = {
@@ -449,19 +468,42 @@ object Corpus {
     val byDocRows = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("shingle"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // whole-doc frame over the SAME (df, shingle) sort, so per-doc sums
+    // of doubles accumulate in a deterministic order (an orderBy-less
+    // partition frame would sum in nondeterministic row order — run-to-
+    // run wsum jitter below the 6-dp rounding, but why carry it)
+    val byDocAll = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("shingle"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val joined = postings.join(dfCounts, Seq("lang", "shingle"))
     val ranked =
-      if (withRank) joined.withColumn("rn",
-        when(col("df") >= 2,
-          sum(when(col("df") >= 2, 1).otherwise(0)).over(byDocRows).cast("int")))
-        .withColumn("n2",
-          max(col("rn")).over(Window.partitionBy("doc_id")))
-      else joined.withColumn("rn", lit(null).cast("int"))
+      if (withRank) {
+        // corpus size folded into the plan as a broadcast 1-row
+        // aggregate (column pruning → metadata-cheap scan), not a
+        // driver-side count() job
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+        val w2 = when(col("df") >= 2, col("w")).otherwise(lit(0.0))
+        joined.crossJoin(broadcast(nDocs))
+          .withColumn("w", col("__n_docs") / col("df")).drop("__n_docs")
+          .withColumn("rn",
+            when(col("df") >= 2,
+              sum(when(col("df") >= 2, 1).otherwise(0)).over(byDocRows).cast("int")))
+          .withColumn("n2", max(col("rn")).over(byDocAll))
+          .withColumn("wsum", sum(col("w")).over(byDocAll))
+          // wrem = (df ≥ 2 total) − (df ≥ 2 running sum) + w, i.e. this
+          // posting's weight plus everything after it in rank order
+          .withColumn("wrem", when(col("df") >= 2,
+            sum(w2).over(byDocAll) - sum(w2).over(byDocRows) + col("w")))
+      } else joined.withColumn("rn", lit(null).cast("int"))
         .withColumn("n2", lit(null).cast("int"))
+        .withColumn("w", lit(null).cast("double"))
+        .withColumn("wsum", lit(null).cast("double"))
+        .withColumn("wrem", lit(null).cast("double"))
     ranked
       .withColumn("nsalt",
         least(ceil(col("df") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
-      .select("doc_id", "lang", "n", "shingle", "df", "rn", "n2", "nsalt")
+      .select("doc_id", "lang", "n", "shingle", "df", "rn", "n2", "nsalt",
+        "w", "wsum", "wrem")
   }
 
   /** persist the dedup posting index as a first-class on-disk artifact:

@@ -337,6 +337,89 @@ object DedupQueries {
       .distinct()
   }
 
+  /** weighted-jaccard pairs (wj ≥ t) via a WEIGHTED prefix filter —
+    * Bayardo et al. (WWW'07 §3)'s All-Pairs bound generalized to
+    * idf-weighted overlap, replacing x28's count-everything inverted
+    * index (the r9 verdict's one measured scale-killer: 390× shuffle
+    * growth at sf1, 9.5 GB spill, because nothing shrank Σ df²).
+    *
+    * Validity. wj = wc / (W_a + W_b − wc) ≥ t with wc ≤ min(W_a, W_b)
+    * forces wc ≥ t·W_a AND wc ≥ t·W_b individually (same algebra as
+    * the unweighted case, weights in place of counts). All of wc sits
+    * on df ≥ 2 shingles (a df = 1 shingle co-occurs with nothing), at
+    * ranks ≥ the pair's first common shingle in the global ascending
+    * (df, shingle) order — so if every common shingle of doc A had
+    * suffix-inclusive weight wrem < t·W_a, then wc ≤ wrem(first) <
+    * t·W_a, a contradiction. Hence at least one common shingle lies in
+    * A's weighted prefix {wrem ≥ t·W_a} (a down-set of the rank
+    * order), and probing prefixes against the FULL index loses
+    * nothing. The ascending-df order makes this prefix cheap twice
+    * over: rare shingles carry the LARGEST weights (w = N/df), so the
+    * suffix weight drains within a few rank steps — short prefixes —
+    * and those few probe postings have the SMALLEST df — short posting
+    * lists. Probe volume rides Σ_prefix df, not Σ df².
+    *
+    * Positional filter, weighted (x4's Xiao et al. bound with weight
+    * remainders replacing counts): for the pair's FIRST common shingle
+    * — minimal rank on both sides, because both lists share the global
+    * order — all intersection weight sits at this rank or later on
+    * BOTH sides, so wc ≤ min(wrem_a, wrem_b). Rows failing
+    * min(wrem_a, wrem_b) ≥ t·max(W_a, W_b) are dropped BEFORE the
+    * distinct: a qualifying pair's first-match row always passes (wc
+    * sits inside both remainders and wc ≥ t·max), so the prune is
+    * lossless while it thins the distinct shuffle.
+    *
+    * Thresholds are tightened to t − 1e-6 (so 6-dp rounding of the
+    * final score can never admit a pair the prefix discarded) and the
+    * weight comparisons get a further 1e-9 RELATIVE slack (the running
+    * double sums carry O(n·ulp) error; slack only LENGTHENS the
+    * prefix, and the exact verify decides membership — over-inclusion
+    * costs candidates, never correctness).
+    *
+    * Verification re-joins the candidate pairs to the df ≥ 2 postings
+    * (two doc-keyed joins + one grouped sum) — exact wc, common, and
+    * the carried sizes, at a cost riding the prefix-bounded candidate
+    * count, not Σ df². Salt fan-out and the one-physical-build cache
+    * pattern are x4's ([[containmentCandidatesFrom]]).
+    */
+  private[queries] def weightedJaccardPairs(postings0: DataFrame,
+      t: Double): DataFrame = {
+    val tEff = t - 1e-6
+    val b = postings0
+      .filter(col("df") >= 2)
+      .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
+      .select("doc_id", "lang", "shingle", "nsalt", "salt", "wrem", "wsum")
+      .cache()
+    val slack = lit(tEff - 1e-9)
+    val a = b.filter(
+      col("wrem") >= slack * col("wsum") &&
+      col("salt") === pmod(col("doc_id"), col("nsalt")))
+    val cond = col("a.lang") === col("b.lang") &&
+      col("a.shingle") === col("b.shingle") &&
+      col("a.salt") === col("b.salt") &&
+      col("a.doc_id") =!= col("b.doc_id") &&
+      least(col("a.wrem"), col("b.wrem")) >=
+        slack * greatest(col("a.wsum"), col("b.wsum"))
+    val cand = a.as("a").join(b.as("b"), cond)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val p = postings0.filter(col("df") >= 2)
+      .select("doc_id", "lang", "n", "shingle", "w", "wsum")
+    cand
+      .join(p.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(p.as("pb"),
+        col("doc_b") === col("pb.doc_id") &&
+        col("pa.lang") === col("pb.lang") &&
+        col("pa.shingle") === col("pb.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"),
+        sum(col("pa.w")).as("wc"),
+        max(col("pa.n")).as("n_a"), max(col("pb.n")).as("n_b"),
+        max(col("pa.wsum")).as("w_a"), max(col("pb.wsum")).as("w_b"),
+        max(col("pa.lang")).as("lang"))
+  }
+
   private[queries] def containmentCandidates(docs0: DataFrame, t: Double,
       saltChunk: Long = 1024L, maxLenRatio: Option[Double] = None): DataFrame = {
     // shingle-once cache — rationale at [[ngramJaccardCommon]]; here the
@@ -1144,20 +1227,19 @@ object DedupQueries {
         // overlap; on template-heavy web corpora the unweighted score
         // saturates). Weighted sizes W_a/W_b include each doc's df = 1
         // singletons (computed before the index prune) and ride the
-        // postings as constant columns — no doc-sizes re-join. Same
-        // salted (lang, shingle) inverted index as x4/x20 (×2 length
-        // prune OFF: it is unweighted-jaccard-specific); weights are one
-        // IEEE division each, bit-identical across engines. The measured
-        // sf0.01 score distribution gaps at [0.16, 0.67], so the 0.3
-        // threshold sits well inside the margin.
-        // scalar N in the weight formula is folded into the plan as a
-        // broadcast 1-row aggregate inside ngramJaccardCommon — no
-        // separate driver-side count() job
-        // r8: df's and postings come from the shared persisted artifact
-        // (x4's note); the weight projection + pair join are query-own.
-        val docs = sharedShingledDocs(s, dir).cache()
-        ngramJaccardCommonFrom(docs, sharedIndexedPostings(s, dir),
-          lengthFilter = false, idfWeighted = true)
+        // postings as constant columns — no doc-sizes re-join. The
+        // measured sf0.01 score distribution gaps at [0.16, 0.67], so
+        // the 0.3 threshold sits well inside the margin.
+        // r10: WEIGHTED prefix filter (Bayardo WWW'07 §3 generalized —
+        // see weightedJaccardPairs) replaces the count-everything
+        // index, the r9 verdict's one measured scale-killer (sf1: 390×
+        // shuffle growth, 9.5 GB spill). Candidates ride Σ_prefix df;
+        // exact verify rides the candidate count. Weights/prefix
+        // remainders come precomputed on the shared persisted artifact
+        // (one IEEE division each, bit-identical across engines; the
+        // corpus-size scalar is folded into the index build as a
+        // broadcast 1-row aggregate — no driver-side count() job).
+        weightedJaccardPairs(sharedIndexedPostings(s, dir), 0.3)
           .withColumn("wjaccard", roundAt(
             col("wc") / (col("w_a") + col("w_b") - col("wc")), 6))
           .filter(col("wjaccard") >= 0.3)

@@ -259,6 +259,81 @@ class DedupSaltSpec extends SparkSpec {
     info(s"candidates with filter ${on.size} vs without ${off.size}")
   }
 
+  test("weighted prefix path (x28's r10 engine) is salt-invariant and lossless vs the count-everything index") {
+    // The weighted generalization of the two x4/x20 contracts: (1) the
+    // salted build never changes the answer, (2) the WEIGHTED prefix
+    // filter (wrem ≥ t·wsum down-set, Bayardo WWW'07 §3) plus the
+    // weighted positional filter is LOSSLESS — every pair the unpruned
+    // Σdf² weighted join scores ≥ t survives, with identical wc/common.
+    // t = 0.15 (below x28's 0.3) so near-threshold pairs exist on the
+    // tiny corpus and the equality is non-vacuous.
+    import graft.functions.MoneyFunctions.roundAt
+    val t = 0.15
+    def pairs(chunk: Long): Set[(Long, Long, Long, Double)] = {
+      val got = DedupQueries.weightedJaccardPairs(
+          DedupQueries.indexedPostings(shingled, chunk), t)
+        .withColumn("wj", roundAt(
+          col("wc") / (col("w_a") + col("w_b") - col("wc")), 6))
+        .filter(col("wj") >= t)
+        .select("doc_a", "doc_b", "common", "wj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      spark.catalog.clearCache()
+      got
+    }
+    val salted = pairs(2L)
+    val default = pairs(1024L)
+    assert(salted == default)
+    assert(salted.nonEmpty)
+    // ground truth: the count-everything weighted inverted index (x28's
+    // pre-r10 engine)
+    val full = DedupQueries.ngramJaccardCommon(shingled,
+        lengthFilter = false, idfWeighted = true)
+      .withColumn("wj", roundAt(
+        col("wc") / (col("w_a") + col("w_b") - col("wc")), 6))
+      .filter(col("wj") >= t)
+      .select("doc_a", "doc_b", "common", "wj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    spark.catalog.clearCache()
+    assert(default == full,
+      s"weighted prefix path dropped/added pairs: only-prefix=${default -- full}, only-full=${full -- default}")
+  }
+
+  test("weighted prefix filter shrinks the candidate volume vs the unpruned weighted join") {
+    // the scale claim behind x28's r10 rewrite, measured twice over:
+    // (1) probe JOIN volume — Σ df over probe postings vs over the full
+    // df ≥ 2 index (each posting meets ~df partners, so this is the
+    // pair-row volume the join actually emits; the {wrem ≥ t·wsum}
+    // down-set under ascending-df order keeps the LARGEST weights,
+    // which sit on the SMALLEST posting lists, so the volume ratio
+    // beats the row ratio); (2) distinct candidate pairs vs the
+    // distinct co-occurring pairs the count-everything engine
+    // aggregated and scored.
+    val t = 0.3
+    val idx = DedupQueries.indexedPostings(shingled).filter(col("df") >= 2)
+      .cache()
+    val volAll = idx.agg(sum("df")).first().getLong(0)
+    val probe = idx.filter(col("wrem") >= lit(t - 1e-6 - 1e-9) * col("wsum"))
+    val volProbe = probe.agg(sum("df")).first().getLong(0)
+    val nAll = idx.count()
+    val nProbe = probe.count()
+    val candidates = DedupQueries.weightedJaccardPairs(
+        DedupQueries.indexedPostings(shingled), t)
+      .count()
+    spark.catalog.clearCache()
+    val unpruned = DedupQueries.ngramJaccardCommon(shingled,
+      lengthFilter = false, idfWeighted = true).count()
+    spark.catalog.clearCache()
+    info(f"probe postings $nProbe/$nAll rows (${100.0 * nProbe / nAll}%.1f%%), " +
+      f"join volume Σdf $volProbe/$volAll (${100.0 * volProbe / volAll}%.1f%%), " +
+      f"verified pairs $candidates vs unpruned co-occurring $unpruned " +
+      f"(${100.0 * candidates / unpruned}%.1f%%)")
+    assert(volProbe < volAll, s"probe volume not reduced: $volProbe vs $volAll")
+    assert(candidates < unpruned,
+      s"weighted prefix reduced nothing: $candidates vs $unpruned")
+  }
+
   test("the tiny chunk really engages the fan-out (corpus has df > 2 keys)") {
     val maxDf = shingled
       .select(col("lang"), explode(col("sh")).as("shingle"))
