@@ -30,7 +30,7 @@ object AnalyticalQueries {
           .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
           .select("l_orderkey", "l_extendedprice", "l_discount")
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"),
             col("o_orderdate").cast("date").cast("string").as("order_date"),
             col("o_orderpriority"))
@@ -68,7 +68,7 @@ object AnalyticalQueries {
           .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
         val nation = Tables.nation(s, dir).select("n_nationkey", "n_name")
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
             roundAt(col("c_acctbal"), 2).as("c_acctbal"))
@@ -92,8 +92,12 @@ object AnalyticalQueries {
 
     Q("h2_local_supplier_volume",
       (s, dir) => {
-        // TPC-H Q5 shape: a 6-way join — 4 broadcast dims + the
-        // orders⨝lineitem shuffle — grouped by nation.
+        // TPC-H Q5 shape: a 6-way join grouped by nation. Only the
+        // truly bounded dims (region, nation) carry broadcast hints;
+        // customer/supplier are SF-scaled, so their join strategy is
+        // left to AQE — it broadcasts them at bench scale (pinned in
+        // PlanAuditSpec) and switches to shuffle joins at the scale
+        // where a forced broadcast would OOM the executors.
         val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
         val nation = Tables.nation(s, dir)
           .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
@@ -105,9 +109,9 @@ object AnalyticalQueries {
         Tables.lineitem(s, dir)
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
           .join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey")),
+          .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -146,7 +150,7 @@ object AnalyticalQueries {
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
         big.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate").cast("date").cast("string").as("order_date"),
             roundAt(col("o_totalprice"), 2).as("total_price"),
@@ -184,8 +188,8 @@ object AnalyticalQueries {
           .select("p_partkey", "p_brand", "p_type", "p_size")
         Tables.lineitem(s, dir)
           .select("l_partkey", "l_suppkey")
-          .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
-          .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
+          .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(partDim, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -216,7 +220,7 @@ object AnalyticalQueries {
           .filter(col("p_brand") === "Brand#4").select("p_partkey")
         val liBrand = Tables.lineitem(s, dir)
           .select("l_partkey", "l_quantity", "l_extendedprice")
-          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(parts, col("l_partkey") === col("p_partkey"))
         val byPart = Window.partitionBy("l_partkey")
         liBrand
           .withColumn("avg_qty", avg("l_quantity").over(byPart))
@@ -263,7 +267,7 @@ object AnalyticalQueries {
           .join(otherReturned,
             col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"),
             "left_anti")
-          .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+          .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
@@ -466,7 +470,7 @@ object AnalyticalQueries {
             col("l_shipdate") < lit("1996-04-01"))
           .select("l_partkey", "l_extendedprice", "l_discount")
         val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-        l.join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        l.join(Tables.part(s, dir).select("p_partkey", "p_type"),
             col("l_partkey") === col("p_partkey"))
           .agg(
             cents(when(col("p_type").contains("ECONOMY"), rev).otherwise(0.0))
@@ -749,8 +753,8 @@ object AnalyticalQueries {
           .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
-          .join(broadcast(itemCnt.select(col("l_partkey").as("p1"), col("cnt").as("c1"))), "p1")
-          .join(broadcast(itemCnt.select(col("l_partkey").as("p2"), col("cnt").as("c2"))), "p2")
+          .join(itemCnt.select(col("l_partkey").as("p1"), col("cnt").as("c1")), "p1")
+          .join(itemCnt.select(col("l_partkey").as("p2"), col("cnt").as("c2")), "p2")
           .crossJoin(broadcast(nOrders))
           .withColumn("lift", roundAt(
             col("support").cast("double") * col("n_orders") / (col("c1") * col("c2")), 6))

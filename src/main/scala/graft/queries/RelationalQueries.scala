@@ -239,7 +239,7 @@ object RelationalQueries {
           .filter(col("s_acctbal") > 5000)
           .select(col("s_suppkey"), roundAt(col("s_acctbal") / 10000d, 4).as("rate"))
         Tables.lineitem(s, dir)
-          .join(broadcast(rates), col("l_suppkey") === col("s_suppkey"), "left")
+          .join(rates, col("l_suppkey") === col("s_suppkey"), "left")
           .select(col("l_orderkey"), col("l_linenumber"),
             money(col("l_extendedprice") * coalesce(col("rate"), lit(1.0))).as("amount_base"))
           .orderBy("l_orderkey", "l_linenumber")
@@ -254,7 +254,7 @@ object RelationalQueries {
 
     Q("j2_dim_enrich_agg",
       (s, dir) => Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
         .orderBy("p_brand"),
@@ -284,13 +284,13 @@ object RelationalQueries {
 
     Q("j5_surrogate_key_join",
       (s, dir) => {
-        // surrogate-key dim build + broadcast re-join (reference
+        // surrogate-key dim build + re-join (reference
         // export_powerbi_star_schema.py:218–236): dense keys via
         // row_number over the sorted dim, never monotonically_increasing_id.
         val brands = Tables.part(s, dir).select("p_brand").distinct()
           .withColumn("brand_key", row_number().over(Window.orderBy("p_brand")))
         Tables.lineitem(s, dir)
-          .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
             col("l_partkey") === col("p_partkey"))
           .join(broadcast(brands), Seq("p_brand"))
           .groupBy("brand_key", "p_brand")
@@ -313,7 +313,7 @@ object RelationalQueries {
         // rows whose key is NOT in the dim.
         val dim = Tables.part(s, dir).filter(col("p_size") <= 10).select("p_partkey")
         Tables.lineitem(s, dir)
-          .join(broadcast(dim), col("l_partkey") === col("p_partkey"), "left_anti")
+          .join(dim, col("l_partkey") === col("p_partkey"), "left_anti")
           .groupBy("l_returnflag").agg(count(lit(1)).as("n_violations"))
           .orderBy("l_returnflag")
       },
