@@ -72,8 +72,15 @@ object DedupQueries {
     // the DuckDB oracle CTE ([[simhashSql]]) still computes it
     // relationally, so every x3/x31 run re-proves the kernel
     // cross-engine.
-    Tables.documents(s, dir).select(col("doc_id"),
-      graft.functions.SimHash(col("text"), bits).as(s"simhash$bits"))
+    // Null text is dropped BEFORE hashing (r10 ADVICE): the kernel is
+    // null-intolerant (NULL in → NULL hash row out), but the relational
+    // formulation — and the oracle CTE — explode the word set, so a
+    // null-text doc vanishes from their output entirely. A corpus with
+    // null text would diverge between engines without this filter;
+    // SimHashParitySpec pins the dropped-doc semantics.
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHash(col("text"), bits).as(s"simhash$bits"))
 
   /** DuckDB twin of [[simhash]] — a `WITH … h` prefix ending at the
     * per-doc hash CTE, shared by the x3 and x31 oracles.

@@ -717,15 +717,30 @@ object TextQueries {
                 size(col("w")).cast("double"), 6).as("x2"),
             size(col("w")).cast("double").as("y"))
           .cache()
+        // sufficient statistics accumulate in DECIMAL, not double (r10
+        // ADVICE): a double Σx₁y at sf0.1 is already ~1e6 and grows with
+        // SF, where partial-agg ORDER (a partition-layout accident)
+        // moves the low bits — 6-dp rounding of the sum cannot neutralize
+        // that once the sum is large, so the old cross-engine pin was
+        // empirical. The 6-dp features are EXACT in decimal(18,6), their
+        // products exact in decimal(37,12), and decimal sums are
+        // order-independent by construction in both engines — the
+        // statistics are now identical bit-for-bit regardless of
+        // partitioning, at any SF (y11's integer-micro-unit argument,
+        // decimal-typed so sf100 magnitudes cannot overflow).
+        val x1d = col("x1").cast("decimal(18,6)")
+        val x2d = col("x2").cast("decimal(18,6)")
+        val yd = col("y").cast("decimal(18,6)")
         val sums = d.filter(col("split") === "train").agg(
           count(lit(1)).cast("double").as("n"),
-          roundAt(sum("x1"), 6).as("s1"), roundAt(sum("x2"), 6).as("s2"),
-          roundAt(sum("y"), 6).as("sy"),
-          roundAt(sum(col("x1") * col("x1")), 6).as("s11"),
-          roundAt(sum(col("x1") * col("x2")), 6).as("s12"),
-          roundAt(sum(col("x2") * col("x2")), 6).as("s22"),
-          roundAt(sum(col("x1") * col("y")), 6).as("s1y"),
-          roundAt(sum(col("x2") * col("y")), 6).as("s2y"))
+          roundAt(sum(x1d).cast("double"), 6).as("s1"),
+          roundAt(sum(x2d).cast("double"), 6).as("s2"),
+          roundAt(sum(yd).cast("double"), 6).as("sy"),
+          roundAt(sum(x1d * x1d).cast("double"), 6).as("s11"),
+          roundAt(sum(x1d * x2d).cast("double"), 6).as("s12"),
+          roundAt(sum(x2d * x2d).cast("double"), 6).as("s22"),
+          roundAt(sum(x1d * yd).cast("double"), 6).as("s1y"),
+          roundAt(sum(x2d * yd).cast("double"), 6).as("s2y"))
         // Cramer's rule on the 3×3 normal matrix — the SAME expression
         // structure (operand order included) as the DuckDB twin, so the
         // IEEE arithmetic is step-identical from the rounded inputs
@@ -771,16 +786,23 @@ object TextQueries {
            |    FROM (SELECT doc_id, text,
            |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
            |          FROM documents))),
+           |decf AS (
+           |  SELECT split,
+           |    CAST(x1 AS DECIMAL(18,6)) AS x1d,
+           |    CAST(x2 AS DECIMAL(18,6)) AS x2d,
+           |    CAST(y AS DECIMAL(18,6)) AS yd
+           |  FROM feats),
            |sums AS (
            |  SELECT CAST(count(*) AS DOUBLE) AS n,
-           |    ${roundAtSql("sum(x1)", 6)} AS s1, ${roundAtSql("sum(x2)", 6)} AS s2,
-           |    ${roundAtSql("sum(y)", 6)} AS sy,
-           |    ${roundAtSql("sum(x1 * x1)", 6)} AS s11,
-           |    ${roundAtSql("sum(x1 * x2)", 6)} AS s12,
-           |    ${roundAtSql("sum(x2 * x2)", 6)} AS s22,
-           |    ${roundAtSql("sum(x1 * y)", 6)} AS s1y,
-           |    ${roundAtSql("sum(x2 * y)", 6)} AS s2y
-           |  FROM feats WHERE split = 'train'),
+           |    ${roundAtSql("CAST(sum(x1d) AS DOUBLE)", 6)} AS s1,
+           |    ${roundAtSql("CAST(sum(x2d) AS DOUBLE)", 6)} AS s2,
+           |    ${roundAtSql("CAST(sum(yd) AS DOUBLE)", 6)} AS sy,
+           |    ${roundAtSql("CAST(sum(x1d * x1d) AS DOUBLE)", 6)} AS s11,
+           |    ${roundAtSql("CAST(sum(x1d * x2d) AS DOUBLE)", 6)} AS s12,
+           |    ${roundAtSql("CAST(sum(x2d * x2d) AS DOUBLE)", 6)} AS s22,
+           |    ${roundAtSql("CAST(sum(x1d * yd) AS DOUBLE)", 6)} AS s1y,
+           |    ${roundAtSql("CAST(sum(x2d * yd) AS DOUBLE)", 6)} AS s2y
+           |  FROM decf WHERE split = 'train'),
            |w AS (
            |  SELECT ${roundAtSql(s"$det0 / $det", 6)} AS w0,
            |    ${roundAtSql(s"$det1 / $det", 6)} AS w1,

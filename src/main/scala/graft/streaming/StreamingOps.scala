@@ -618,6 +618,9 @@ object StreamingOps {
     * the batch column) once the sketch is full.
     */
   def kmvSketchStream(docs: Dataset[DocRow], k: Int = 64): Dataset[KmvOut] = {
+    // k = 0 would make seen.last throw inside the executor on the first
+    // shingle — fail at construction like the SimHash/Md5Fold contracts
+    require(k >= 1, s"kmvSketchStream needs k >= 1, got $k")
     import docs.sparkSession.implicits._
     import graft.functions.MinHashFamily
     docs.groupByKey(_.source)

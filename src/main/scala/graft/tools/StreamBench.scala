@@ -30,6 +30,13 @@ object StreamBench {
       .map(p => (p.batchId,
         p.durationMs.getOrDefault("triggerExecution", 0L).longValue()))
       .sortBy(_._1)
+    // the positional zip attributes fed sizes to progress entries — it
+    // is only sound when each addData produced exactly one micro-batch
+    // and none rotated out of recentProgress's retention window (r10
+    // ADVICE): fail loudly instead of silently misattributing rows
+    require(prog.size == fed.size,
+      s"micro-batch count ${prog.size} != fed-batch count ${fed.size} — " +
+        "a feed produced multiple micro-batches or recentProgress rotated")
     prog.zip(fed).map { case ((b, ms), n) => (b, n.toLong, ms) }
   }
 

@@ -72,6 +72,27 @@ class SimHashParitySpec extends SparkSpec {
     }
   }
 
+  test("null text: kernel emits NULL, the x3/x31 builds drop the doc (r10 ADVICE pin)") {
+    // The kernel is nullIntolerant — NULL text yields a row with a NULL
+    // hash — while the relational formulation (and the DuckDB oracle
+    // CTE) explodes the word set, so a null-text doc vanishes entirely.
+    // The query-side contract is the RELATIONAL semantics: the x3/x31
+    // builds filter null text before hashing, so both engines agree on
+    // corpora that carry nulls. Pin both halves.
+    import spark.implicits._
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kernel = withNull.select(col("doc_id"),
+      SimHash(col("text"), 16).as("h")).collect()
+    assert(kernel.length == 2 && kernel.exists(r => r.getLong(0) == 2L && r.isNullAt(1)),
+      s"kernel null semantics changed: ${kernel.mkString(";")}")
+    val filtered = withNull.filter(col("text").isNotNull)
+      .select(col("doc_id"), SimHash(col("text"), 16).as("h")).collect()
+    assert(filtered.length == 1 && filtered.head.getLong(0) == 1L &&
+      !filtered.head.isNullAt(1),
+      "the build-side filter must drop exactly the null-text doc")
+  }
+
   test("simhash is registered for SQL with a literal-bits contract") {
     import spark.implicits._
     val r = Seq(("a b c")).toDF("t")
