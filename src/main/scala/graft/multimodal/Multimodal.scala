@@ -108,6 +108,48 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash (average-hash) over the decode → resize path: the
+    * frame is decoded, nearest-neighbor-resized to w×h, and each pixel
+    * contributes one bit — set iff the pixel is strictly brighter than
+    * the frame mean. The mean compare is kept in INTEGER arithmetic
+    * (n·u > Σu), so the hash is bit-exact across engines with no float
+    * in the pipeline; w·h ≤ 63 keeps it a positive BIGINT in both
+    * (x31's 48-bit argument — the default 8×6 grid emits aHash-48,
+    * sharing x31's pigeonhole block geometry). Near-identical media
+    * differ in a few pixels → small hamming distance; the dedup query
+    * (x34) reuses the SimHash blocking instead of an all-pairs scan.
+    * Same partition-wise codec-session shape as [[extractFeatures]];
+    * a real codec swaps the FakeCodec calls, the hashing is unchanged.
+    */
+  def perceptualHash(media: Dataset[MediaRow], w: Int = 8, h: Int = 6): DataFrame = {
+    import media.sparkSession.implicits._
+    require(w >= 1 && h >= 1 && w * h <= 63,
+      s"ahash needs 1..63 pixels to stay a positive BIGINT, got ${w}x$h")
+    media.mapPartitions { rows =>
+      // per-partition codec session would be opened here
+      rows.map { r =>
+        val px = FakeCodec.resize(FakeCodec.decode(r.payload, r.meta), w, h)
+        val n = w * h
+        val flat = new Array[Int](n)
+        var sum = 0L
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { val u = px(y)(x) & 0xff; flat(i) = u; sum += u; i += 1; x += 1 }
+          y += 1
+        }
+        var hash = 0L
+        i = 0
+        while (i < n) {
+          if (flat(i).toLong * n > sum) hash |= 1L << (n - 1 - i)
+          i += 1
+        }
+        (r.media_id, hash)
+      }
+    }.toDF("media_id", s"ahash${w * h}")
+  }
+
   /** column-level digest/size checks (the oracle-checked slice — see
     * m1_binary_plumbing in [[graft.queries.EventQueries]]).
     */

@@ -519,6 +519,34 @@ object DedupQueries {
         lengthFilter = false, idfWeighted = true, weightsOnIndex = true)
   }
 
+  /** hamming-≤3 neighborhoods over a 48-bit hash column via pigeonhole
+    * blocking (Manku et al., WWW'07 — x31's scheme, factored out so the
+    * perceptual-hash dedup x34 rides the same machinery): the hash
+    * splits into 4 12-bit blocks; a pair at hamming ≤ 3 has its ≤ 3
+    * differing bits in ≤ 3 blocks, so it agrees EXACTLY on ≥ 1 block —
+    * candidates come from equi-joins on (block_id, block_value),
+    * lossless at the threshold by construction, verified with one
+    * codegen'd `bit_count(a ^ b)` per candidate. Returns one row per id
+    * WITH neighbors: (idCol, min_nbr, n_near).
+    */
+  private[queries] def pigeonhole48Neighbors(hashes: DataFrame,
+      idCol: String, hashCol: String): DataFrame = {
+    val blocks = hashes.select(col(idCol), col(hashCol), posexplode(
+      expr(s"transform(sequence(0, 3), j -> shiftright($hashCol, 36 - 12 * j) & 4095)")))
+      .toDF(idCol, hashCol, "blk", "bval")
+    val pairs = blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(expr(s"bit_count(a.$hashCol ^ b.$hashCol) <= 3"))
+      // a pair can agree on up to 4 blocks — dedup before counting
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF(idCol, "nbr")
+      .groupBy(idCol)
+      .agg(min("nbr").as("min_nbr"), count(lit(1)).as("n_near"))
+  }
+
   private[queries] def containmentCandidates(docs0: DataFrame, t: Double,
       saltChunk: Long = 1024L, maxLenRatio: Option[Double] = None): DataFrame = {
     // shingle-once cache — rationale at [[ngramJaccardCommon]]; here the
@@ -1189,20 +1217,7 @@ object DedupQueries {
         // quadratic-ish; the DuckDB oracle brute-forces all pairs, so
         // this IS the round-by-round losslessness check of the blocking.
         val h = simhash(s, dir, 48)
-        val blocks = h.select(col("doc_id"), col("simhash48"), posexplode(
-          expr("transform(sequence(0, 3), j -> shiftright(simhash48, 36 - 12 * j) & 4095)")))
-          .toDF("doc_id", "simhash48", "blk", "bval")
-        val pairs = blocks.as("a").join(blocks.as("b"),
-            col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .filter(expr("bit_count(a.simhash48 ^ b.simhash48) <= 3"))
-          // a pair can agree on up to 4 blocks — dedup before counting
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val nbrs = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("doc_id", "nbr")
-          .groupBy("doc_id")
-          .agg(min("nbr").as("min_nbr"), count(lit(1)).as("n_near"))
+        val nbrs = pigeonhole48Neighbors(h, "doc_id", "simhash48")
         h.join(nbrs, Seq("doc_id"), "left")
           .select(col("doc_id"), col("simhash48"),
             coalesce(col("n_near"), lit(0L)).as("n_near"),
@@ -1223,6 +1238,75 @@ object DedupQueries {
              |  SELECT doc_id, count(*) AS n_near, min(nbr) AS min_nbr
              |  FROM p GROUP BY 1) s USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    Q("x34_perceptual_hash_dedup",
+      (s, dir) => {
+        // perceptual-hash near-dup over the MULTIMODAL path (r10): the
+        // image analog of x31 — decode each payload with the
+        // partition-wise codec session (m2's one legitimate
+        // mapPartitions; the FakeCodec stands in for a real decoder,
+        // the hashing and every Spark stage are real), nearest-neighbor
+        // resize to the 8×6 grid, average-hash it (bit = pixel brighter
+        // than frame mean, INTEGER compare n·u > Σu — no float anywhere,
+        // so the 48-bit hash is bit-exact cross-engine), then find
+        // hamming-≤3 neighborhoods via x31's pigeonhole block joins
+        // instead of an all-pairs scan. Near-identical media differ in
+        // a few resized pixels, so true dups land at distance 0 and
+        // near-dups within the threshold; candidate volume rides block
+        // collisions (2^-12 per block for random pairs), never n².
+        // Output is media-sized (keep_id = min id over the
+        // neighborhood); the DuckDB oracle recomputes decode → resize →
+        // hash arithmetically from the text bytes and brute-forces all
+        // pairs — a lossy block scheme or a codec/hash divergence both
+        // hash-mismatch.
+        val media = graft.multimodal.Multimodal.mediaFromDocuments(
+          s, Tables.documents(s, dir))
+        val h = graft.multimodal.Multimodal.perceptualHash(media)
+        val nbrs = pigeonhole48Neighbors(h, "media_id", "ahash48")
+        h.join(nbrs, Seq("media_id"), "left")
+          .select(col("media_id"), col("ahash48"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            coalesce(least(col("media_id"), col("min_nbr")), col("media_id")).as("keep_id"))
+          .orderBy("media_id")
+      },
+      // oracle: the fake decode reads the payload (ASCII text bytes —
+      // chars == bytes, pinned by the generator) row-major at width 32;
+      // resize picks row r = min(y·rows/6, rows−1) then col
+      // c = min(x·cols_r/8, cols_r−1) within that row's OWN length
+      // (the last decoded row is short) — all integer division, mirrored
+      // exactly here; then brute-force all-pairs hamming
+      Some("""WITH g AS (
+             |  SELECT doc_id AS media_id, text, length(text) AS len,
+             |    (length(text) + 31) // 32 AS nrows
+             |  FROM documents),
+             |grid AS (
+             |  SELECT media_id, text, len, y, x,
+             |    least((y * nrows) // 6, nrows - 1) AS r
+             |  FROM g, unnest(range(0, 6)) ty(y), unnest(range(0, 8)) tx(x)),
+             |px AS (
+             |  SELECT media_id, y, x,
+             |    CASE WHEN len = 0 THEN 0
+             |         ELSE ascii(substr(text,
+             |           CAST(r * 32 + least((x * least(32, len - r * 32)) // 8,
+             |                               least(32, len - r * 32) - 1) + 1 AS INT), 1))
+             |    END AS u
+             |  FROM grid),
+             |tot AS (SELECT media_id, sum(u) AS su FROM px GROUP BY 1),
+             |hsh AS (
+             |  SELECT px.media_id,
+             |    CAST(sum(CASE WHEN 48 * u > su THEN (CAST(1 AS BIGINT) << (47 - (y * 8 + x))) ELSE 0 END) AS BIGINT) AS ahash48
+             |  FROM px JOIN tot USING (media_id) GROUP BY 1),
+             |p AS (
+             |  SELECT a.media_id AS media_id, b.media_id AS nbr
+             |  FROM hsh a JOIN hsh b ON a.media_id <> b.media_id
+             |  WHERE bit_count(xor(a.ahash48, b.ahash48)) <= 3)
+             |SELECT h.media_id, h.ahash48,
+             |  CAST(coalesce(s.n_near, 0) AS BIGINT) AS n_near,
+             |  CAST(coalesce(least(h.media_id, s.min_nbr), h.media_id) AS BIGINT) AS keep_id
+             |FROM hsh h LEFT JOIN (
+             |  SELECT media_id, count(*) AS n_near, min(nbr) AS min_nbr
+             |  FROM p GROUP BY 1) s USING (media_id)
+             |ORDER BY media_id""".stripMargin)),
 
     Q("x4_dedup_ngram_jaccard",
       (s, dir) => {

@@ -35,6 +35,33 @@ class MultimodalSpec extends SparkSpec {
       feats.orderBy("media_id").collect().toSeq)
   }
 
+  test("perceptual hash: hand-computed aHash on known pixels, partition-invariant, near-dup separation") {
+    import spark.implicits._
+    // 1×4 grid over a 4-byte payload, width 4 ⇒ decode = one row,
+    // resize(4,1) = identity: pixels (10, 20, 30, 40), sum 100;
+    // bit_i = 4·u > 100 ⇒ (0, 0, 1, 1) ⇒ hash 0b0011 = 3
+    val meta = Multimodal.MediaMeta("application/x-fake", 4, 1, 0L)
+    val tiny = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](10, 20, 30, 40), meta),
+      // one dimmer pixel: (10, 20, 30, 36), sum 96 ⇒ bits (0,0,1,1) — same
+      Multimodal.MediaRow(2L, Array[Byte](10, 20, 30, 36), meta),
+      // inverted ramp ⇒ bits flip to (1,1,0,0) = 0b1100 = 12
+      Multimodal.MediaRow(3L, Array[Byte](40, 30, 20, 10), meta)).toDS()
+    val got = Multimodal.perceptualHash(tiny, w = 4, h = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 12L), s"unexpected hashes: $got")
+    // real corpus: deterministic across partitionings, and exact dups
+    // (same text ⇒ same payload) collide at hamming 0
+    val docs = Tables.documents(spark, sfDir)
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val h7 = Multimodal.perceptualHash(media.repartition(7))
+      .orderBy("media_id").collect().toSeq
+    val h3 = Multimodal.perceptualHash(media.repartition(3))
+      .orderBy("media_id").collect().toSeq
+    assert(h7 == h3)
+    assert(h7.forall(_.getLong(1) >= 0L), "aHash-48 must stay a positive BIGINT")
+  }
+
   test("dashboard html assembles from the curated layer") {
     import graft.etl._
     val base = tmpDir("graft_dash")
