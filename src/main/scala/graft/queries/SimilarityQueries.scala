@@ -108,10 +108,15 @@ object SimilarityQueries {
 
   /** x19's refine width: the top-R ADC candidates per query that get the
     * exact-vector re-rank. ADC is a lossy rank — recall@3 was 0.267
-    * scoring ADC-only; re-scoring a 30-wide shortlist exactly recovers
-    * the trained-quantizer recall (x8's class) for queries×R extra dots.
+    * scoring ADC-only; exact re-scoring of a short ADC shortlist buys
+    * it back for queries×R extra dots. 50 is the measured knee of the
+    * AnnRecallSpec operating curve (sf0.01: R=10 → 0.467, R=30 → 0.767,
+    * R=50 → 0.833 at nprobe=2 — and R dominates nprobe: widening the
+    * shortlist costs 20 exact dots per query where another probed list
+    * costs an eighth of the corpus in ADC lookups, so the curve's
+    * recall-per-cost frontier moves along R, not nprobe).
     */
-  private[graft] val REFINE_R = 30
+  private[graft] val REFINE_R = 50
 
   /** CTE chain cent0 → asg1/clf1/cent1 → … → cent{LLOYD_ITERS}: assign
     * every vector to its nearest previous-round centroid (rounded
@@ -229,6 +234,97 @@ object SimilarityQueries {
       .filter(col("rank") <= 3)
       .orderBy("query_id", "rank")
   }
+
+  /** x19's candidate stage at an arbitrary probe width: every (query,
+    * candidate) pair whose candidate lives in one of the query's
+    * `nprobe` nearest coarse lists. Factored out so the recall sweep
+    * can also COUNT it — |candidates| / queries·(N−1) is the
+    * ADC-scanned corpus fraction, the cost axis of the nprobe knob.
+    */
+  private def ivfPqCandidates(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val e = vecs(s, dir)
+    val centroids = sharedCentroids(s, dir)
+    val assigned = assignNearest(e, centroids).select("cand_id", "centroid_id")
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("centroid_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v")).as("c")
+      .join(broadcast(centroids.as("q")))
+      .withColumn("qcos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+      .select(col("c.query_id").as("query_id"),
+        col("q.centroid_id").as("centroid_id"), col("qcos"))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nprobe)
+      .select("query_id", "centroid_id")
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id")
+  }
+
+  /** x19's IVF-PQ search at an arbitrary (nprobe, ADC refine width) —
+    * AnnRecallSpec sweeps this grid so x19's production point
+    * (nprobe=2, REFINE_R=50) is a measured knee on a recall-vs-cost
+    * operating curve, not a guess. nprobe buys recall by scanning more
+    * coarse lists with cheap ADC code lookups; refineR buys back the
+    * ADC rank loss with queries×R exact dots. The two knobs are the
+    * production levers FAISS exposes for the same structure.
+    */
+  private[queries] def ivfPqSearch(s: SparkSession, dir: String,
+      nprobe: Int, refineR: Int): DataFrame = {
+    val e = vecs(s, dir)
+    val subs = pqSubs(s, dir)
+    val cb = pqCodebook(subs)
+    val codes = pqAssign(subs, cb)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+    val cn2 = cb.select(col("s"), col("cid"), roundAt(expr(
+      """aggregate(transform(cent, x -> x * x),
+        |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("cn2"))
+    val dt = subs.filter(col("vec_id") < 10).as("c")
+      .join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
+      .select(col("c.vec_id").as("query_id"), col("c.s").as("s"),
+        col("q.cid").as("cid"),
+        roundAt(expr(
+          """aggregate(zip_with(sub, cent, (a, b) -> a * b),
+            |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("ipd"))
+    val qn = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("norm").as("qnorm"))
+    val adcW = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("cand_id"))
+    val shortlist = ivfPqCandidates(s, dir, nprobe)
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(dt), Seq("query_id", "s", "cid"))
+      .join(broadcast(cn2), Seq("s", "cid"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("ipd").as("ip"), sum("cn2").as("c2"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("acos", roundAt(col("ip") / (col("qnorm") * sqrt(col("c2"))), 6))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= refineR)
+      .select("query_id", "cand_id")
+    // refine: exact cosine over the ADC shortlist only — queries ×
+    // refineR rows, the query vectors a bounded broadcast
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("cand_id"), col("v"), col("norm")),
+        Seq("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", roundAt(expr("cosine_similarity(q_v, v)"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cand_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** |ADC-scored candidate pairs| at a given nprobe — the cost the
+    * recall sweep reports next to each recall cell.
+    */
+  private[queries] def ivfPqScanned(s: SparkSession, dir: String,
+      nprobe: Int): Long = ivfPqCandidates(s, dir, nprobe).count()
 
   /** x7's multi-probe LSH search at an arbitrary (hyperplane count,
     * probe Hamming radius) — AnnRecallSpec sweeps this grid to put
@@ -929,81 +1025,21 @@ object SimilarityQueries {
         // production shape): x8's trained coarse quantizer partitions
         // the corpus into posting lists, x14's trained PQ codebooks
         // compress every vector to M=8 4-bit codes, and a query (a)
-        // probes its nprobe=2 nearest lists and (b) scores ONLY those
-        // lists' members by asymmetric distance over the codes — never
-        // decoding a candidate — then (c) RE-RANKS the top REFINE_R ADC
-        // candidates with exact vectors (the standard IVF-PQ refine
-        // step: ADC is a lossy rank, so production recovers recall by
-        // re-scoring a short ADC shortlist exactly — one extra join
-        // bounded at queries×REFINE_R rows against the corpus). At
-        // scale the corpus is one code table shuffled by centroid_id;
-        // per query the work is nprobe/K of the corpus × M table
-        // lookups + REFINE_R exact dots, and every trained artifact
-        // (centroids, codebooks, lookup tables) is a bounded broadcast.
-        // Recall@3 vs exact x6 goes on the record in AnnRecallSpec next
-        // to the single-structure x7/x8/x15 paths (refine lifted it
-        // from 0.267 ADC-only to the x8 class).
-        val e = vecs(s, dir)
-        val centroids = sharedCentroids(s, dir)
-        val assigned = assignNearest(e, centroids).select("cand_id", "centroid_id")
-        val subs = pqSubs(s, dir)
-        val cb = pqCodebook(subs)
-        val codes = pqAssign(subs, cb)
-          .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
-        val cn2 = cb.select(col("s"), col("cid"), roundAt(expr(
-          """aggregate(transform(cent, x -> x * x),
-            |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("cn2"))
-        val dt = subs.filter(col("vec_id") < 10).as("c")
-          .join(broadcast(cb.as("q")), col("c.s") === col("q.s"))
-          .select(col("c.vec_id").as("query_id"), col("c.s").as("s"),
-            col("q.cid").as("cid"),
-            roundAt(expr(
-              """aggregate(zip_with(sub, cent, (a, b) -> a * b),
-                |  cast(0 as double), (acc, x) -> acc + x)""".stripMargin), 6).as("ipd"))
-        val qn = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("norm").as("qnorm"))
-        val probeW = Window.partitionBy("query_id")
-          .orderBy(col("qcos").desc, col("centroid_id"))
-        val probes = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v")).as("c")
-          .join(broadcast(centroids.as("q")))
-          .withColumn("qcos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
-          .select(col("c.query_id").as("query_id"),
-            col("q.centroid_id").as("centroid_id"), col("qcos"))
-          .withColumn("prnk", row_number().over(probeW))
-          .filter(col("prnk") <= 2)
-          .select("query_id", "centroid_id")
-        val adcW = Window.partitionBy("query_id")
-          .orderBy(col("acos").desc, col("cand_id"))
-        val shortlist = probes.join(assigned, Seq("centroid_id"))
-          .filter(col("query_id") =!= col("cand_id"))
-          .select("query_id", "cand_id")
-          .join(codes, Seq("cand_id"))
-          .join(broadcast(dt), Seq("query_id", "s", "cid"))
-          .join(broadcast(cn2), Seq("s", "cid"))
-          .groupBy("query_id", "cand_id")
-          .agg(sum("ipd").as("ip"), sum("cn2").as("c2"))
-          .join(broadcast(qn), Seq("query_id"))
-          .withColumn("acos", roundAt(col("ip") / (col("qnorm") * sqrt(col("c2"))), 6))
-          .withColumn("adc_rank", row_number().over(adcW))
-          .filter(col("adc_rank") <= REFINE_R)
-          .select("query_id", "cand_id")
-        // refine: exact cosine over the ADC shortlist only — queries ×
-        // REFINE_R rows, the query vectors a bounded broadcast
-        val qv = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v").as("q_v"),
-            col("norm").as("q_norm"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("cand_id"))
-        shortlist
-          .join(e.select(col("vec_id").as("cand_id"), col("v"), col("norm")),
-            Seq("cand_id"))
-          .join(broadcast(qv), Seq("query_id"))
-          .withColumn("cosine", roundAt(expr("cosine_similarity(q_v, v)"), 6))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select("query_id", "cand_id", "cosine", "rank")
-          .orderBy("query_id", "rank")
+        // probes its nprobe nearest lists, (b) scores ONLY those lists'
+        // members by asymmetric distance over the codes — never
+        // decoding a candidate — and (c) RE-RANKS the top REFINE_R ADC
+        // candidates with exact vectors. Body lives in ivfPqSearch,
+        // parameterized on (nprobe, refine width) so AnnRecallSpec can
+        // sweep the full operating curve; the production point below is
+        // the measured knee of that curve (recall 0.833 at nprobe=2 —
+        // no measured cell beats it, and the cells that tie cost
+        // 1.5–2× the ADC scan volume).
+        // At scale the corpus is one code table shuffled by
+        // centroid_id; per query the work is nprobe/K of the corpus ×
+        // M table lookups + REFINE_R exact dots, and every trained
+        // artifact (centroids, codebooks, lookup tables) is a bounded
+        // broadcast.
+        ivfPqSearch(s, dir, nprobe = 2, refineR = REFINE_R)
       },
       Some(s"""WITH $pqCtesSql,
               |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),

@@ -815,6 +815,111 @@ object TextQueries {
            |  FROM feats CROSS JOIN w)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    Q("t18_bpe_train",
+      (s, dir) => {
+        // ITERATIVE BPE training — t12 is one merge round; a tokenizer
+        // needs K. Each round: count adjacent symbol pairs, merge the
+        // winner everywhere, repeat on the merged stream (Sennrich
+        // ACL'16). The 100 TB shape comes from the classical vocab
+        // reduction: the corpus collapses ONCE into (distinct token,
+        // frequency) — one corpus-wide shuffle whose key space is the
+        // token vocabulary — and all K rounds then run on that
+        // vocab-sized frame with pair counts weighted by frequency, so
+        // per-round cost is bounded by |vocab|·|word|, independent of
+        // corpus row count. Symbol streams are sentinel-wrapped strings
+        // (U+001F never occurs in text; every symbol wrapped ␟sym␟, so
+        // the merge is ONE codegen'd leftmost non-overlapping
+        // replace(␟A␟␟B␟ → ␟AB␟) that can never match mid-symbol — the
+        // string-level equivalent of Sennrich's boundary-guarded regex,
+        // shared verbatim by the DuckDB twin). Winner selection is a
+        // deterministic TakeOrdered over the alphabet²-bounded pair
+        // aggregate (count desc, pair asc); the 1-row winner enters the
+        // merge as a broadcast scalar crossJoin (the repo's scalar
+        // pattern) and localCheckpoint truncates each round's lineage
+        // exactly as Corpus.pageRankConverged does, so round k's plan
+        // never re-executes rounds 1..k−1. Output: the merge table —
+        // the trained tokenizer artifact. ScaleBoundSpec pins the BPE
+        // invariant that round k+1's winning count never exceeds round
+        // k's (any post-merge pair either existed before the merge or
+        // contains the merged symbol, capping it at the prior winner).
+        val SEP = "\u001f"
+        val K = 6
+        var stream = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .select(concat(lit(SEP), array_join(expr(
+            "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+            SEP + SEP), lit(SEP)).as("s"), col("freq"))
+          .localCheckpoint()
+        val winners = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        for (r <- 1 to K) {
+          val win = stream
+            .withColumn("syms", split(trim(col("s"), SEP), SEP + SEP))
+            .select(col("freq"), explode(expr(
+              s"transform(sequence(1, size(syms) - 1), " +
+                s"i -> concat(element_at(syms, i), '$SEP', element_at(syms, i + 1)))"))
+              .as("pair"))
+            .groupBy("pair").agg(sum(col("freq")).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+            .select(split(col("pair"), SEP).getItem(0).as("lft"),
+              split(col("pair"), SEP).getItem(1).as("rgt"), col("n"))
+            .localCheckpoint()
+          winners += win.withColumn("round", lit(r.toLong))
+          // syms re-derived from the wrapped string each round: the ONLY
+          // carried state is (s, freq)
+          val merged = stream.crossJoin(broadcast(win.select("lft", "rgt")))
+            .select(expr(
+              s"replace(s, concat('$SEP', lft, '$SEP', '$SEP', rgt, '$SEP'), " +
+                s"concat('$SEP', lft, rgt, '$SEP'))").as("s"), col("freq"))
+          if (r < K) {
+            val next = merged.localCheckpoint()
+            stream.unpersist()
+            stream = next
+          }
+        }
+        winners.result().reduce(_.unionByName(_))
+          .select(col("round"), col("lft"), col("rgt"),
+            concat(col("lft"), col("rgt")).as("merged"), col("n"))
+          .orderBy("round")
+      },
+      {
+        val sep = "chr(31)"
+        val K = 6
+        val rounds = (1 to K).map { r =>
+          s"""p$r AS (
+             |  SELECT unnest([syms[i] || $sep || syms[i+1]
+             |                 for i in range(1, len(syms))]) AS pair, freq
+             |  FROM (SELECT string_split(trim(s, $sep), $sep||$sep) AS syms, freq
+             |        FROM v${r - 1})),
+             |w$r AS (
+             |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$r
+             |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+             |v$r AS (
+             |  SELECT replace(s,
+             |    $sep||string_split(pair,$sep)[1]||$sep||$sep||string_split(pair,$sep)[2]||$sep,
+             |    $sep||replace(pair,$sep,'')||$sep) AS s, freq
+             |  FROM v${r - 1}, w$r)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to K).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, string_split(pair,$sep)[1] AS lft,
+             |  string_split(pair,$sep)[2] AS rgt, replace(pair,$sep,'') AS merged, n
+             |FROM w$r""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        Some(
+          s"""WITH v0 AS (
+             |  SELECT $sep || array_to_string([tok[i:i]
+             |           for i in range(1, length(tok)+1)], $sep||$sep) || $sep AS s,
+             |    freq
+             |  FROM (SELECT tok, count(*) AS freq FROM (
+             |          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |        WHERE length(tok) >= 2 GROUP BY 1)),
+             |$rounds
+             |SELECT * FROM (
+             |$unions)
+             |ORDER BY round""".stripMargin)
+      }),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -111,6 +111,56 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ recall@3 vs (nprobe, refine width): x19's operating curve is on the record") {
+    // the recall/cost surface behind x19's production constants
+    // (nprobe=2, REFINE_R). Axes: nprobe = coarse lists probed per
+    // query (cost: ADC-scored corpus fraction, counted exactly);
+    // refineR = ADC shortlist width re-ranked with exact vectors
+    // (cost: queries×R exact dots). nprobe=4 of K=8 lists scans half
+    // the corpus — the brute-force end of the dial.
+    val exact = topk("x6_ann_bruteforce_topk", 3)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val grid = for {
+      nprobe <- Seq(1, 2, 3, 4)
+      r <- Seq(10, 30, 50)
+    } yield {
+      val rec = recallAt3(topkOf(SimilarityQueries.ivfPqSearch(spark, dir, nprobe, r), 3), exact)
+      val frac = SimilarityQueries.ivfPqScanned(spark, dir, nprobe)
+        .toDouble / (10.0 * (n - 1))
+      spark.catalog.clearCache()
+      ((nprobe, r), (rec, frac))
+    }
+    grid.foreach { case ((np, r), (rec, frac)) =>
+      info(f"recall@3 IVF-PQ nprobe=$np refineR=$r: $rec%.3f (ADC-scans ${frac * 100}%.1f%% of corpus)")
+    }
+    println("IVFPQ RECALL@3 GRID: " + grid.map { case ((np, r), (rec, frac)) =>
+      f"np$np/R$r=$rec%.3f@${frac * 100}%.0f%%"
+    }.mkString(" "))
+    val m = grid.toMap
+    // the production cell must match what x19 itself serves
+    val x19 = recallAt3(topk("x19_ann_ivf_pq", 3), exact)
+    spark.catalog.clearCache()
+    assert(math.abs(m((2, SimilarityQueries.REFINE_R))._1 - x19) < 1e-9,
+      f"grid cell (2,${SimilarityQueries.REFINE_R})=${m((2, SimilarityQueries.REFINE_R))._1}%.3f disagrees with live x19=$x19%.3f")
+    // recall monotone in refineR at fixed nprobe (a wider shortlist can
+    // only add exact-rescored candidates)
+    Seq(1, 2, 3, 4).foreach { np =>
+      assert(m((np, 10))._1 <= m((np, 30))._1 + 1e-9 &&
+        m((np, 30))._1 <= m((np, 50))._1 + 1e-9,
+        s"recall not monotone in refineR at nprobe=$np")
+    }
+    // and monotone in nprobe at fixed refineR=50 (more probed lists can
+    // only add candidates; at R=50 > shortlist need, the refine step
+    // cannot mask them)
+    Seq((1, 2), (2, 3), (3, 4)).foreach { case (a, b) =>
+      assert(m((a, 50))._1 <= m((b, 50))._1 + 1e-9,
+        s"recall not monotone in nprobe between $a and $b at refineR=50")
+    }
+    // the production floor: the chosen default must hold its class
+    assert(m((2, SimilarityQueries.REFINE_R))._1 >= 0.6,
+      "x19's production cell fell out of the trained-quantizer class")
+  }
+
   test("IVF recall@3 vs Lloyd training depth: LLOYD_ITERS sits at the knee") {
     // the training-honesty record: recall per unrolled Lloyd round
     // (0 = raw first-8-vectors seed). The production setting (2, the

@@ -273,4 +273,30 @@ class ScaleBoundSpec extends SparkSpec {
         "docs that back off should score worse (higher ppl) than the en median")
     }
   }
+
+  test("t18: BPE merge counts are non-increasing across rounds and merges chain greedily") {
+    // The BPE invariant the iterative trainer must respect: round k+1's
+    // winning pair count can never exceed round k's, because any pair
+    // present after a merge either existed before it (count ≤ the prior
+    // max by the argmax) or contains the merged symbol (count ≤ the
+    // merged pair's own count = the prior max). A violation means the
+    // merge step corrupted the symbol stream (e.g. a mid-symbol string
+    // match). Also pins that the trainer actually CHAINS: some round's
+    // winner must consume an earlier round's merged symbol — the
+    // difference between iterative BPE and t12 run K times.
+    val merges = graft.SparkEntry.queries("t18_bpe_train")(spark, dir)
+      .orderBy("round").collect()
+    assert(merges.length == 6, s"expected 6 merge rounds, got ${merges.length}")
+    val ns = merges.map(_.getLong(4))
+    ns.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"merge count increased across rounds: $a -> $b")
+    }
+    val mergedSyms = merges.map(_.getString(3))
+    val chains = merges.exists { r =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      mergedSyms.takeWhile(_ != r.getString(3)).exists(m => m == l || m == rr)
+    }
+    assert(chains, "no round consumed an earlier merged symbol — trainer is not iterating")
+    merges.foreach(r => info(s"round ${r.getLong(0)}: '${r.getString(1)}'+'${r.getString(2)}' -> '${r.getString(3)}' (n=${r.getLong(4)})"))
+  }
 }
