@@ -19,7 +19,12 @@ package graft
   * of each pass and recorded (`loadavg`) so a load-poisoned record is
   * machine-detectable; a pass starting above SPARK_GRAFT_BENCH_LOADGATE
   * (default 8) schedules one extra full pass (≤ 2,
-  * `load_extra_passes`) so the min can land in a quieter window. The max is retained per query in
+  * `load_extra_passes`) so the min can land in a quieter window, and
+  * pass 1 does not start until the loadavg drops below
+  * SPARK_GRAFT_BENCH_STARTGATE (default 3, bounded 8-minute wait,
+  * recorded as `quiet_wait_sec`) — the repo's own "only trust
+  * loadavg < 3" rule, enforced where the official artifact is born
+  * instead of remembered in prose. The max is retained per query in
   * BENCH_LOCAL.json (`spread`), and the worst max/min ratio across
   * entries is summarized in the stdout line (`noise`) so a noisy run
   * is visible in the official record.
@@ -176,6 +181,23 @@ object Bench {
     // instead of aborting the whole run before any entry executes
     val loadGate = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE")
       .flatMap(_.toDoubleOption).getOrElse(8.0)
+    // Quiet-start wait (r10): extra passes soften a load spike mid-run,
+    // but the r9 official record started at loadavg 3.6 and carried
+    // noise 8.3 with phantom per-query regressions the same-day quiet
+    // battery contradicted — the repo's own rule is "only trust
+    // loadavg < 3". So before pass 1, wait (bounded) for the box to
+    // actually be quiet: poll the 1-minute loadavg every 20 s until it
+    // drops below SPARK_GRAFT_BENCH_STARTGATE (default 3.0) or 8
+    // minutes elapse. The wait is recorded (`quiet_wait_sec`) so an
+    // official record that started hot anyway says so machine-readably.
+    val startGate = sys.env.get("SPARK_GRAFT_BENCH_STARTGATE")
+      .flatMap(_.toDoubleOption).getOrElse(3.0)
+    var quietWaitSec = 0
+    while (loadAvg1m().toDoubleOption.exists(_ > startGate) &&
+        quietWaitSec < 480) {
+      Thread.sleep(20000L)
+      quietWaitSec += 20
+    }
     var extraPasses = 0
     var passesPlanned = maxPass
     var pass = 1
@@ -238,7 +260,8 @@ object Bench {
     // machine-readably instead of letting a smaller battery read as faster
     val incomplete = if (errors.nonEmpty) """"total_incomplete":true,""" else ""
     val extraJson =
-      if (extraPasses > 0) s""""load_extra_passes":$extraPasses,""" else ""
+      (if (extraPasses > 0) s""""load_extra_passes":$extraPasses,""" else "") +
+        (if (quietWaitSec > 0) s""""quiet_wait_sec":$quietWaitSec,""" else "")
     val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -819,108 +819,210 @@ object TextQueries {
     Q("t18_bpe_train",
       (s, dir) => {
         // ITERATIVE BPE training — t12 is one merge round; a tokenizer
-        // needs K. Each round: count adjacent symbol pairs, merge the
-        // winner everywhere, repeat on the merged stream (Sennrich
-        // ACL'16). The 100 TB shape comes from the classical vocab
-        // reduction: the corpus collapses ONCE into (distinct token,
-        // frequency) — one corpus-wide shuffle whose key space is the
-        // token vocabulary — and all K rounds then run on that
-        // vocab-sized frame with pair counts weighted by frequency, so
-        // per-round cost is bounded by |vocab|·|word|, independent of
-        // corpus row count. Symbol streams are sentinel-wrapped strings
-        // (U+001F never occurs in text; every symbol wrapped ␟sym␟, so
-        // the merge is ONE codegen'd leftmost non-overlapping
-        // replace(␟A␟␟B␟ → ␟AB␟) that can never match mid-symbol — the
-        // string-level equivalent of Sennrich's boundary-guarded regex,
-        // shared verbatim by the DuckDB twin). Winner selection is a
-        // deterministic TakeOrdered over the alphabet²-bounded pair
-        // aggregate (count desc, pair asc); the 1-row winner enters the
-        // merge as a broadcast scalar crossJoin (the repo's scalar
-        // pattern) and localCheckpoint truncates each round's lineage
-        // exactly as Corpus.pageRankConverged does, so round k's plan
-        // never re-executes rounds 1..k−1. Output: the merge table —
-        // the trained tokenizer artifact. ScaleBoundSpec pins the BPE
-        // invariant that round k+1's winning count never exceeds round
-        // k's (any post-merge pair either existed before the merge or
-        // contains the merged symbol, capping it at the prior winner).
-        val SEP = "\u001f"
-        val K = 6
-        var stream = Tables.documents(s, dir)
-          .select(explode(split(col("text"), " ")).as("tok"))
-          .filter(length(col("tok")) >= 2)
-          .groupBy("tok").agg(count(lit(1)).as("freq"))
-          .select(concat(lit(SEP), array_join(expr(
-            "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
-            SEP + SEP), lit(SEP)).as("s"), col("freq"))
-          .localCheckpoint()
-        val winners = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-        for (r <- 1 to K) {
-          val win = stream
-            .withColumn("syms", split(trim(col("s"), SEP), SEP + SEP))
-            .select(col("freq"), explode(expr(
-              s"transform(sequence(1, size(syms) - 1), " +
-                s"i -> concat(element_at(syms, i), '$SEP', element_at(syms, i + 1)))"))
-              .as("pair"))
-            .groupBy("pair").agg(sum(col("freq")).as("n"))
-            .orderBy(col("n").desc, col("pair").asc).limit(1)
-            .select(split(col("pair"), SEP).getItem(0).as("lft"),
-              split(col("pair"), SEP).getItem(1).as("rgt"), col("n"))
-            .localCheckpoint()
-          winners += win.withColumn("round", lit(r.toLong))
-          // syms re-derived from the wrapped string each round: the ONLY
-          // carried state is (s, freq)
-          val merged = stream.crossJoin(broadcast(win.select("lft", "rgt")))
-            .select(expr(
-              s"replace(s, concat('$SEP', lft, '$SEP', '$SEP', rgt, '$SEP'), " +
-                s"concat('$SEP', lft, rgt, '$SEP'))").as("s"), col("freq"))
-          if (r < K) {
-            val next = merged.localCheckpoint()
-            stream.unpersist()
-            stream = next
-          }
-        }
-        winners.result().reduce(_.unionByName(_))
+        // needs K (the training loop itself is shared with t19's
+        // encoder in bpeWinners below — see its doc for the plan shape
+        // and the 100 TB vocab-reduction argument). Output: the merge
+        // table — the trained tokenizer artifact. ScaleBoundSpec pins
+        // the BPE invariant that round k+1's winning count never
+        // exceeds round k's (any post-merge pair either existed before
+        // the merge or contains the merged symbol, capping it at the
+        // prior winner).
+        bpeWinners(s, dir).reduce(_.unionByName(_))
           .select(col("round"), col("lft"), col("rgt"),
             concat(col("lft"), col("rgt")).as("merged"), col("n"))
           .orderBy("round")
       },
       {
-        val sep = "chr(31)"
-        val K = 6
-        val rounds = (1 to K).map { r =>
-          s"""p$r AS (
-             |  SELECT unnest([syms[i] || $sep || syms[i+1]
-             |                 for i in range(1, len(syms))]) AS pair, freq
-             |  FROM (SELECT string_split(trim(s, $sep), $sep||$sep) AS syms, freq
-             |        FROM v${r - 1})),
-             |w$r AS (
-             |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$r
-             |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-             |v$r AS (
-             |  SELECT replace(s,
-             |    $sep||string_split(pair,$sep)[1]||$sep||$sep||string_split(pair,$sep)[2]||$sep,
-             |    $sep||replace(pair,$sep,'')||$sep) AS s, freq
-             |  FROM v${r - 1}, w$r)""".stripMargin
-        }.mkString(",\n")
-        val unions = (1 to K).map { r =>
+        val sep = BPE_SEP_SQL
+        val unions = (1 to BPE_K).map { r =>
           s"""SELECT CAST($r AS BIGINT) AS round, string_split(pair,$sep)[1] AS lft,
              |  string_split(pair,$sep)[2] AS rgt, replace(pair,$sep,'') AS merged, n
              |FROM w$r""".stripMargin
         }.mkString("\nUNION ALL\n")
         Some(
-          s"""WITH v0 AS (
-             |  SELECT $sep || array_to_string([tok[i:i]
-             |           for i in range(1, length(tok)+1)], $sep||$sep) || $sep AS s,
-             |    freq
-             |  FROM (SELECT tok, count(*) AS freq FROM (
-             |          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-             |        WHERE length(tok) >= 2 GROUP BY 1)),
-             |$rounds
+          s"""WITH $bpeTrainCtesSql
              |SELECT * FROM (
              |$unions)
              |ORDER BY round""".stripMargin)
       }),
+
+    Q("t19_bpe_encode",
+      (s, dir) => {
+        // BPE ENCODE — apply t18's trained merge table to the corpus:
+        // per doc, the whitespace-token count and the BPE token count
+        // under the K trained merges (the number a shard packer or
+        // token-budget planner bills against — t17 ESTIMATES it from
+        // cheap features; this computes it exactly with the trained
+        // tokenizer, closing the train→apply loop). The 100 TB shape is
+        // the same classical vocab reduction as training: the merge
+        // chain runs ONCE per distinct token (len ≥ 1 this time —
+        // encoding must also cover what training's len ≥ 2 cut ignored;
+        // a 1-char token is trivially 1 symbol since every merge needs
+        // two), as K chained 1-row-broadcast replaces over the vocab
+        // frame, never over corpus rows. Per-doc cost is a
+        // map-side-combinable (doc, tok) count, one token-keyed join
+        // against the vocab lengths (no broadcast hint — the vocab is
+        // corpus-derived and unbounded in principle; AQE sizes it), and
+        // a map-side-combinable per-doc sum. Symbol count reads
+        // straight off the sentinel arithmetic: each symbol carries
+        // exactly 2 sentinels, so n_syms = sentinel_count / 2.
+        // ScaleBoundSpec ties t18 and t19 together with the merge-mass
+        // identity 0 ≤ Σchars − Σn_bpe ≤ Σ_k n_k.
+        val SEP = "\u001f"
+        val winners = bpeWinners(s, dir)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) >= 1)
+        var vocab = toks.select("tok").distinct()
+          .select(col("tok"), concat(lit(SEP), array_join(expr(
+            "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+            SEP + SEP), lit(SEP)).as("s"))
+        for (w <- winners) {
+          vocab = vocab.crossJoin(broadcast(w.select("lft", "rgt")))
+            .select(col("tok"), expr(
+              s"replace(s, concat('$SEP', lft, '$SEP', '$SEP', rgt, '$SEP'), " +
+                s"concat('$SEP', lft, rgt, '$SEP'))").as("s"))
+        }
+        val lens = vocab.select(col("tok"),
+          ((length(col("s")) - length(expr(s"replace(s, '$SEP', '')"))) / 2)
+            .cast("long").as("bpe_len"))
+        toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .join(lens, Seq("tok"))
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).cast("long").as("n_ws_tokens"),
+            sum(col("cnt") * col("bpe_len")).cast("long").as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      {
+        val sep = BPE_SEP_SQL
+        val encRounds = (1 to BPE_K).map { r =>
+          s"""enc$r AS (
+             |  SELECT tok, replace(s,
+             |    $sep||string_split(pair,$sep)[1]||$sep||$sep||string_split(pair,$sep)[2]||$sep,
+             |    $sep||replace(pair,$sep,'')||$sep) AS s
+             |  FROM enc${r - 1}, w$r)""".stripMargin
+        }.mkString(",\n")
+        Some(
+          s"""WITH $bpeTrainCtesSql,
+             |toks AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  WHERE length(tok) >= 1),
+             |enc0 AS (
+             |  SELECT tok, $sep || array_to_string([tok[i:i]
+             |           for i in range(1, length(tok)+1)], $sep||$sep) || $sep AS s
+             |  FROM (SELECT DISTINCT tok FROM toks)),
+             |$encRounds,
+             |lens AS (
+             |  SELECT tok, CAST((length(s) - length(replace(s, $sep, ''))) / 2 AS BIGINT) AS bpe_len
+             |  FROM enc$BPE_K)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+             |  CAST(sum(bpe_len) AS BIGINT) AS n_bpe
+             |FROM toks JOIN lens USING (tok)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)
+      }),
   )
+
+  /** BPE merge-round count shared by t18 (train) and t19 (encode). */
+  private def BPE_K = 6
+  private def BPE_SEP_SQL = "chr(31)"
+
+  /** t18's training loop: K rounds of count-pairs → merge-winner →
+    * recount on the merged stream (Sennrich ACL'16), returned as the K
+    * per-round 1-row winner frames (lft, rgt, n, round), each
+    * localCheckpointed so callers can chain them freely. The 100 TB
+    * shape comes from the classical vocab reduction: the corpus
+    * collapses ONCE into (distinct token, frequency) — one corpus-wide
+    * shuffle whose key space is the token vocabulary — and all K rounds
+    * then run on that vocab-sized frame with pair counts weighted by
+    * frequency, so per-round cost is bounded by |vocab|·|word|,
+    * independent of corpus row count. Symbol streams are
+    * sentinel-wrapped strings (U+001F never occurs in text; every
+    * symbol wrapped ␟sym␟, so the merge is ONE codegen'd leftmost
+    * non-overlapping replace(␟A␟␟B␟ → ␟AB␟) that can never match
+    * mid-symbol — the string-level equivalent of Sennrich's
+    * boundary-guarded regex, shared verbatim by the DuckDB twin).
+    * Winner selection is a deterministic TakeOrdered over the
+    * alphabet²-bounded pair aggregate (count desc, pair asc); the 1-row
+    * winner enters the merge as a broadcast scalar crossJoin (the
+    * repo's scalar pattern) and localCheckpoint truncates each round's
+    * lineage exactly as Corpus.pageRankConverged does, so round k's
+    * plan never re-executes rounds 1..k−1.
+    */
+  private[queries] def bpeWinners(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[org.apache.spark.sql.DataFrame] = {
+    val SEP = "\u001f"
+    var stream = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(SEP), array_join(expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+        SEP + SEP), lit(SEP)).as("s"), col("freq"))
+      .localCheckpoint()
+    val winners = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    for (r <- 1 to BPE_K) {
+      val win = stream
+        .withColumn("syms", split(trim(col("s"), SEP), SEP + SEP))
+        .select(col("freq"), explode(expr(
+          s"transform(sequence(1, size(syms) - 1), " +
+            s"i -> concat(element_at(syms, i), '$SEP', element_at(syms, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .select(split(col("pair"), SEP).getItem(0).as("lft"),
+          split(col("pair"), SEP).getItem(1).as("rgt"), col("n"))
+        .localCheckpoint()
+      winners += win.withColumn("round", lit(r.toLong))
+      // syms re-derived from the wrapped string each round: the ONLY
+      // carried state is (s, freq)
+      val merged = stream.crossJoin(broadcast(win.select("lft", "rgt")))
+        .select(expr(
+          s"replace(s, concat('$SEP', lft, '$SEP', '$SEP', rgt, '$SEP'), " +
+            s"concat('$SEP', lft, rgt, '$SEP'))").as("s"), col("freq"))
+      if (r < BPE_K) {
+        val next = merged.localCheckpoint()
+        stream.unpersist()
+        stream = next
+      }
+    }
+    winners.result()
+  }
+
+  /** The DuckDB twin of bpeWinners: CTEs v0 (the freq-weighted len ≥ 2
+    * training vocab as sentinel streams) and p_r/w_r/v_r per round —
+    * pair counts, the 1-row winner, the merged stream. Shared by the
+    * t18 and t19 oracles so both engines' training arithmetic is one
+    * text.
+    */
+  private def bpeTrainCtesSql: String = {
+    val sep = BPE_SEP_SQL
+    val rounds = (1 to BPE_K).map { r =>
+      s"""p$r AS (
+         |  SELECT unnest([syms[i] || $sep || syms[i+1]
+         |                 for i in range(1, len(syms))]) AS pair, freq
+         |  FROM (SELECT string_split(trim(s, $sep), $sep||$sep) AS syms, freq
+         |        FROM v${r - 1})),
+         |w$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p$r
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         |v$r AS (
+         |  SELECT replace(s,
+         |    $sep||string_split(pair,$sep)[1]||$sep||$sep||string_split(pair,$sep)[2]||$sep,
+         |    $sep||replace(pair,$sep,'')||$sep) AS s, freq
+         |  FROM v${r - 1}, w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (
+       |  SELECT $sep || array_to_string([tok[i:i]
+       |           for i in range(1, length(tok)+1)], $sep||$sep) || $sep AS s,
+       |    freq
+       |  FROM (SELECT tok, count(*) AS freq FROM (
+       |          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |        WHERE length(tok) >= 2 GROUP BY 1)),
+       |$rounds""".stripMargin
+  }
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap
   val oracles: Map[String, String] =

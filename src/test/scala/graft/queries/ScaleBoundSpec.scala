@@ -299,4 +299,40 @@ class ScaleBoundSpec extends SparkSpec {
     assert(chains, "no round consumed an earlier merged symbol — trainer is not iterating")
     merges.foreach(r => info(s"round ${r.getLong(0)}: '${r.getString(1)}'+'${r.getString(2)}' -> '${r.getString(3)}' (n=${r.getLong(4)})"))
   }
+
+  test("t19: BPE encode conserves merge mass and bounds every doc in [tokens, chars]") {
+    // Ties t18 (train) and t19 (encode) together arithmetically. Per
+    // doc: n_ws_tokens must equal the independent whitespace-token
+    // count, and n_bpe must land in [n_ws_tokens, non-space chars] —
+    // every token is at least one symbol, and no merge can create
+    // symbols. Corpus-wide: encoding a len ≥ 2 token walks the IDENTICAL
+    // replace sequence as the training stream, so the total symbols
+    // saved (Σchars − Σn_bpe) is exactly the number of replacements
+    // training performed — positive (the merges fired) and bounded by
+    // Σ_k n_k (round k's pair count tallies overlapping pairs, while
+    // leftmost non-overlapping replace merges at most that many).
+    val enc = graft.SparkEntry.queries("t19_bpe_encode")(spark, dir).collect()
+    val mergeMass = graft.SparkEntry.queries("t18_bpe_train")(spark, dir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "length(replace(text, ' ', '')) AS chars",
+        "size(filter(split(text, ' '), t -> length(t) >= 1)) AS toks")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getInt(2).toLong)).toMap
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val (chars, toks) = docs(r.getLong(0))
+      assert(r.getLong(1) == toks,
+        s"doc ${r.getLong(0)}: n_ws_tokens ${r.getLong(1)} != independent count $toks")
+      assert(r.getLong(2) >= toks && r.getLong(2) <= chars,
+        s"doc ${r.getLong(0)}: n_bpe ${r.getLong(2)} outside [$toks, $chars]")
+    }
+    val totalChars = enc.map(r => docs(r.getLong(0))._1).sum
+    val totalBpe = enc.map(_.getLong(2)).sum
+    val saved = totalChars - totalBpe
+    info(s"corpus: $totalChars chars -> $totalBpe BPE symbols (saved $saved, merge mass $mergeMass)")
+    assert(saved > 0, "six merge rounds saved zero symbols — encode is not applying the merges")
+    assert(saved <= mergeMass,
+      s"saved $saved symbols but training only counted $mergeMass pair occurrences")
+  }
 }
