@@ -68,7 +68,12 @@ object Multimodal {
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
+    // Null text would become a null payload and NPE inside the codec's
+    // mapPartitions (r10 self-review — the same null-intolerance fixed
+    // for the simhash kernel): an undecodable row is dropped here, and
+    // the m2/x34 oracles drop it identically (m2's stats inner join;
+    // x34's explicit WHERE).
+    docs.filter(col("text").isNotNull).select(
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"),
       struct(

@@ -158,7 +158,10 @@ object DedupQueries {
     * rebuilding the explode + df join. `docs` is only consulted for the
     * weighted branch's corpus-size scalar.
     */
-  private[queries] def ngramJaccardCommonFrom(docs: DataFrame,
+  // docs is BY-NAME: it feeds only the corpus-size scalar of the
+  // weighted-without-index branch, so callers on the persisted artifact
+  // (weightsOnIndex = true) never materialize — or even plan — it.
+  private[queries] def ngramJaccardCommonFrom(docs: => DataFrame,
       postings0: DataFrame, lengthFilter: Boolean = true,
       idfWeighted: Boolean = false,
       weightsOnIndex: Boolean = false): DataFrame = {
@@ -414,46 +417,28 @@ object DedupQueries {
       col("a.doc_id") =!= col("b.doc_id") &&
       least(col("a.wrem"), col("b.wrem")) >=
         slack * greatest(col("a.wsum"), col("b.wsum"))
-    // suffix bound (PPJoin+ §3.3 generalized to weights): before paying
-    // the verify join, bound each candidate pair's total intersection
-    // weight from what the prefix join already saw. The match rows hold
-    // EVERY common shingle in either side's prefix (the build side is
-    // the full index), so per normalized pair
-    //   wprefix = w(common ∩ (P_A ∪ P_B))
-    // is EXACT — a shingle in both prefixes appears in both probe
-    // orientations and is halved (w/2 is exact in IEEE), one in a
-    // single prefix appears once at full weight. Every other common
-    // shingle lies in BOTH suffixes, so its total weight is ≤
-    // min(sufw_a, sufw_b), where sufw = the doc's first-suffix-posting
-    // wrem = its total suffix weight (one doc-keyed agg over the
-    // index). Pairs with wprefix + min(sufw) < t·max(W) can never reach
-    // wc ≥ t·max(W) and are dropped BEFORE the verify join — measured
-    // 16.4M → 3.7M at sf1/t=0.3. The bound only ever OVER-estimates wc
-    // (suffix weight counted in full), so the cut is lossless.
-    val isPrefB = col("b.wrem") >= slack * col("b.wsum")
-    val sufw = postings0
-      .filter(col("df") >= 2 && col("wrem") < slack * col("wsum"))
-      .groupBy(col("doc_id").as("sid")).agg(max("wrem").as("sufw"))
+    // NO suffix bound (removed r10, self-review): a PPJoin+-style
+    // suffix cut (wprefix + min(suffix weight) < t·max(W) → drop) is
+    // NOT sound on these match rows, because the positional filter in
+    // `cond` has already pruned them. A common shingle that sits in
+    // A's prefix but fails the positional check on B's side vanishes
+    // from the aggregation, so the "exact" prefix-common weight
+    // undercounts and the bound can drop a QUALIFYING pair.
+    // Counterexample (t = 0.5): A = [g1 w5, g2 w4, a3 w1] (W_a = 10),
+    // B = [g1 w5, b2 w4.1, g2 w4, b1 w2.9] (W_b = 16): wc = 9 ≥ 8
+    // qualifies, but g2's match row fails min(wrem) ≥ t·max(W)
+    // (min(5, 6.9) < 8), leaving wprefix = 5, suffix mins 1 and 2.9 →
+    // bound 6 < 8 → dropped. WeightedPositionalLosslessSpec pins this
+    // exact corpus. Computing the bound soundly would require
+    // aggregating UNPRUNED match rows — giving up the positional
+    // filter's shuffle thinning, which costs more than the suffix cut
+    // saved. Prefix + positional alone are provably lossless: a
+    // qualifying pair's FIRST common shingle always survives both.
     val cand = a.as("a").join(b.as("b"), cond)
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-        (col("a.w") * when(isPrefB, lit(0.5)).otherwise(lit(1.0))).as("wp"),
-        when(col("a.doc_id") < col("b.doc_id"), col("a.wsum"))
-          .otherwise(col("b.wsum")).as("wsa"),
-        when(col("a.doc_id") < col("b.doc_id"), col("b.wsum"))
-          .otherwise(col("a.wsum")).as("wsb"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum("wp").as("wprefix"),
-        max("wsa").as("wsum_a"), max("wsb").as("wsum_b"))
-      // docs whose prefix covers everything have no suffix row → 0 left
-      .join(sufw.as("fa"), col("doc_a") === col("fa.sid"), "left")
-      .join(sufw.as("fb"), col("doc_b") === col("fb.sid"), "left")
-      .filter(col("wprefix") +
-        least(coalesce(col("fa.sufw"), lit(0.0)),
-          coalesce(col("fb.sufw"), lit(0.0))) >=
-        slack * greatest(col("wsum_a"), col("wsum_b")))
-      .select("doc_a", "doc_b")
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
     val p = postings0.filter(col("df") >= 2)
       .select("doc_id", "lang", "n", "shingle", "w", "wsum")
     cand
@@ -502,7 +487,12 @@ object DedupQueries {
     * the same kind of margin — WeightedPrefixScaleSpec measures the
     * volume gap).
     */
-  private[queries] def weightedJaccardAdaptive(docs: DataFrame,
+  // docs is BY-NAME and currently dead on both branches (the prefix
+  // engine reads only the index; the count-everything branch runs
+  // weightsOnIndex = true, whose w/wsum come precomputed) — kept so the
+  // signature matches ngramJaccardCommonFrom's contract without ever
+  // adding a scan to x28's plan.
+  private[queries] def weightedJaccardAdaptive(docs: => DataFrame,
       postings0: DataFrame, t: Double,
       probeFractionCutoff: Double = 0.15): DataFrame = {
     val slack = lit(t - 1e-6 - 1e-9)
@@ -1278,7 +1268,7 @@ object DedupQueries {
       Some("""WITH g AS (
              |  SELECT doc_id AS media_id, text, length(text) AS len,
              |    (length(text) + 31) // 32 AS nrows
-             |  FROM documents),
+             |  FROM documents WHERE text IS NOT NULL),
              |grid AS (
              |  SELECT media_id, text, len, y, x,
              |    least((y * nrows) // 6, nrows - 1) AS r

@@ -869,7 +869,11 @@ object TextQueries {
         // ScaleBoundSpec ties t18 and t19 together with the merge-mass
         // identity 0 ≤ Σchars − Σn_bpe ≤ Σ_k n_k.
         val SEP = "\u001f"
-        val winners = bpeWinners(s, dir)
+        // a dry training run ends with one EMPTY winner frame (the
+        // bpeWinners stop marker) -- skip it, or the crossJoin below
+        // would annihilate the whole vocab (each isEmpty is one tiny
+        // job on a checkpointed <=1-row frame)
+        val winners = bpeWinners(s, dir).filter(!_.isEmpty)
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) >= 1)
@@ -895,12 +899,16 @@ object TextQueries {
       },
       {
         val sep = BPE_SEP_SQL
+        // LEFT JOIN ON TRUE, not a comma join: an EMPTY w_r (the corpus
+        // ran dry before K rounds) must be an identity round for the
+        // encoder, not annihilate the vocab -- mirroring the Spark
+        // side's skip of empty winner frames
         val encRounds = (1 to BPE_K).map { r =>
           s"""enc$r AS (
-             |  SELECT tok, replace(s,
+             |  SELECT tok, CASE WHEN pair IS NULL THEN s ELSE replace(s,
              |    $sep||string_split(pair,$sep)[1]||$sep||$sep||string_split(pair,$sep)[2]||$sep,
-             |    $sep||replace(pair,$sep,'')||$sep) AS s
-             |  FROM enc${r - 1}, w$r)""".stripMargin
+             |    $sep||replace(pair,$sep,'')||$sep) END AS s
+             |  FROM enc${r - 1} LEFT JOIN w$r ON TRUE)""".stripMargin
         }.mkString(",\n")
         Some(
           s"""WITH $bpeTrainCtesSql,
@@ -963,9 +971,26 @@ object TextQueries {
         SEP + SEP), lit(SEP)).as("s"), col("freq"))
       .localCheckpoint()
     val winners = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-    for (r <- 1 to BPE_K) {
+    // A corpus can run dry before K rounds (every word collapsed to one
+    // symbol → the pair aggregate is EMPTY). Training stops there: the
+    // output simply has < K rounds, exactly matching the DuckDB twin,
+    // whose empty w_r contributes no union row and collapses every
+    // later v_r/w_r. Without the stop, stream.crossJoin(emptyWin)
+    // would silently annihilate the stream and burn K − r dead jobs —
+    // and encode callers must SKIP the trailing empty frame
+    // (t19 filters !isEmpty) or a crossJoin would annihilate the vocab.
+    var r = 1
+    var dry = false
+    while (r <= BPE_K && !dry) {
       val win = stream
         .withColumn("syms", split(trim(col("s"), SEP), SEP + SEP))
+        // fully-merged single-symbol streams contribute no pairs; they
+        // must be filtered BEFORE the transform -- Spark's
+        // sequence(1, 0) is the DESCENDING [1, 0] and element_at(_, 0)
+        // throws (the twin's range(1, 1) is just empty). Surfaced by
+        // the dry-corpus test: any corpus where a trained merge
+        // consumes a whole token crashes round k+1 without this.
+        .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
           s"transform(sequence(1, size(syms) - 1), " +
             s"i -> concat(element_at(syms, i), '$SEP', element_at(syms, i + 1)))"))
@@ -976,17 +1001,19 @@ object TextQueries {
           split(col("pair"), SEP).getItem(1).as("rgt"), col("n"))
         .localCheckpoint()
       winners += win.withColumn("round", lit(r.toLong))
+      dry = win.isEmpty
       // syms re-derived from the wrapped string each round: the ONLY
       // carried state is (s, freq)
-      val merged = stream.crossJoin(broadcast(win.select("lft", "rgt")))
-        .select(expr(
-          s"replace(s, concat('$SEP', lft, '$SEP', '$SEP', rgt, '$SEP'), " +
-            s"concat('$SEP', lft, rgt, '$SEP'))").as("s"), col("freq"))
-      if (r < BPE_K) {
+      if (!dry && r < BPE_K) {
+        val merged = stream.crossJoin(broadcast(win.select("lft", "rgt")))
+          .select(expr(
+            s"replace(s, concat('$SEP', lft, '$SEP', '$SEP', rgt, '$SEP'), " +
+              s"concat('$SEP', lft, rgt, '$SEP'))").as("s"), col("freq"))
         val next = merged.localCheckpoint()
         stream.unpersist()
         stream = next
       }
+      r += 1
     }
     winners.result()
   }

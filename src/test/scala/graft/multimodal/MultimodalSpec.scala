@@ -19,6 +19,25 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.filter(length(col("sha256")) =!= 64).isEmpty)
   }
 
+  test("null-text docs are dropped by the media adapter, not NPE'd in the codec") {
+    // r10 self-review: a null text became a null payload and
+    // FakeCodec.decode(payload.grouped) threw inside mapPartitions,
+    // killing m2/x34 on any corpus with null text while the oracles
+    // kept producing rows. The adapter now drops undecodable rows.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world", "en", "web", 11L),
+      (2L, null.asInstanceOf[String], "en", "web", 0L),
+      (3L, "more text here", "en", "web", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.media_id).sorted.toSeq == Seq(1L, 3L),
+      s"expected the null-text doc dropped, got ${feats.map(_.media_id).mkString(",")}")
+    val hashes = Multimodal.perceptualHash(media).collect()
+    assert(hashes.length == 2 && hashes.forall(!_.isNullAt(1)))
+  }
+
   test("partition-wise feature extraction is distributed and deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val media = Multimodal.mediaFromDocuments(spark, docs).repartition(7)

@@ -120,15 +120,19 @@ class AnnRecallSpec extends SparkSpec {
     // the corpus — the brute-force end of the dial.
     val exact = topk("x6_ann_bruteforce_topk", 3)
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // the scanned fraction depends only on nprobe — 4 count jobs, not
+    // one per grid cell
+    val fracs = Seq(1, 2, 3, 4).map { nprobe =>
+      nprobe -> SimilarityQueries.ivfPqScanned(spark, dir, nprobe)
+        .toDouble / (10.0 * (n - 1))
+    }.toMap
     val grid = for {
       nprobe <- Seq(1, 2, 3, 4)
       r <- Seq(10, 30, 50)
     } yield {
       val rec = recallAt3(topkOf(SimilarityQueries.ivfPqSearch(spark, dir, nprobe, r), 3), exact)
-      val frac = SimilarityQueries.ivfPqScanned(spark, dir, nprobe)
-        .toDouble / (10.0 * (n - 1))
       spark.catalog.clearCache()
-      ((nprobe, r), (rec, frac))
+      ((nprobe, r), (rec, fracs(nprobe)))
     }
     grid.foreach { case ((np, r), (rec, frac)) =>
       info(f"recall@3 IVF-PQ nprobe=$np refineR=$r: $rec%.3f (ADC-scans ${frac * 100}%.1f%% of corpus)")
@@ -142,19 +146,26 @@ class AnnRecallSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(math.abs(m((2, SimilarityQueries.REFINE_R))._1 - x19) < 1e-9,
       f"grid cell (2,${SimilarityQueries.REFINE_R})=${m((2, SimilarityQueries.REFINE_R))._1}%.3f disagrees with live x19=$x19%.3f")
-    // recall monotone in refineR at fixed nprobe (a wider shortlist can
-    // only add exact-rescored candidates)
+    // recall monotone in refineR at fixed nprobe — GUARANTEED, not a
+    // fixture accident: the candidate set is fixed, the ADC ranking is
+    // deterministic (tiebreak by cand_id), so top-10 ⊂ top-30 ⊂ top-50,
+    // and under EXACT re-ranking any candidate that displaces a true
+    // top-3 neighbor has a higher exact cosine — making it a true top-3
+    // neighbor itself. So recall = min(3, |truth ∩ shortlist|)/3,
+    // monotone in shortlist growth.
     Seq(1, 2, 3, 4).foreach { np =>
       assert(m((np, 10))._1 <= m((np, 30))._1 + 1e-9 &&
         m((np, 30))._1 <= m((np, 50))._1 + 1e-9,
         s"recall not monotone in refineR at nprobe=$np")
     }
-    // and monotone in nprobe at fixed refineR=50 (more probed lists can
-    // only add candidates; at R=50 > shortlist need, the refine step
-    // cannot mask them)
+    // monotone-in-nprobe is NOT guaranteed (r10 self-review): extra
+    // probed lists grow the CANDIDATE set, but the R-wide ADC shortlist
+    // is lossy-ranked, so new candidates can displace true neighbors
+    // out of it — the grid's own R=10 column shows exactly that
+    // (nprobe 3 → 4 drops recall). Observed, not asserted:
     Seq((1, 2), (2, 3), (3, 4)).foreach { case (a, b) =>
-      assert(m((a, 50))._1 <= m((b, 50))._1 + 1e-9,
-        s"recall not monotone in nprobe between $a and $b at refineR=50")
+      if (m((a, 50))._1 > m((b, 50))._1 + 1e-9)
+        info(f"ADC displacement visible: recall@R=50 fell ${m((a, 50))._1}%.3f -> ${m((b, 50))._1}%.3f between nprobe $a and $b")
     }
     // the production floor: the chosen default must hold its class
     assert(m((2, SimilarityQueries.REFINE_R))._1 >= 0.6,

@@ -335,4 +335,31 @@ class ScaleBoundSpec extends SparkSpec {
     assert(saved <= mergeMass,
       s"saved $saved symbols but training only counted $mergeMass pair occurrences")
   }
+
+  test("t18/t19: a corpus that runs dry before K rounds stops training and still encodes") {
+    // r10 self-review: every doc 'ab ab' dries the pair supply after
+    // round 1 (one merge collapses every word to a single symbol). The
+    // trainer must STOP there — not crossJoin an empty winner into the
+    // stream — and the encoder must treat missing rounds as identity,
+    // not annihilate the vocab (which silently returned ZERO rows for
+    // the whole corpus; the DuckDB twin collapsed identically, so the
+    // hash compare was blind to the loss).
+    import spark.implicits._
+    val dryDir = graft.core.Scratch.dir("bpe_dry_corpus")
+    (1L to 4L).map(i => (i, "ab ab", "en", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dryDir/documents.parquet")
+    val merges = graft.SparkEntry.queries("t18_bpe_train")(spark, dryDir).collect()
+    assert(merges.length == 1,
+      s"expected training to stop after the single possible merge, got ${merges.length} rounds")
+    assert(merges(0).getString(1) == "a" && merges(0).getString(2) == "b",
+      s"round 1 should merge a+b, got ${merges(0)}")
+    val enc = graft.SparkEntry.queries("t19_bpe_encode")(spark, dryDir)
+      .orderBy("doc_id").collect()
+    assert(enc.length == 4, s"encode must cover all 4 docs, got ${enc.length}")
+    enc.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 2L,
+        s"doc ${r.getLong(0)}: expected 2 ws tokens / 2 BPE symbols ('ab' merged), got $r")
+    }
+  }
 }

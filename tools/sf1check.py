@@ -59,21 +59,35 @@ ORDER BY doc_a, doc_b"""
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    opath = os.path.join(out_dir, "oracle_sql.json")
-    oracle = json.load(open(opath))
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     expected = {"x4_dedup_ngram_jaccard", "x20_containment_dedup",
                 "x28_weighted_jaccard"}
-    present = expected & set(oracle)
-    missing = expected - set(oracle)
+    missing = {q for q in expected
+               if q not in oracle or not os.path.exists(os.path.join(out_dir, q))}
     if missing:
-        print(f"WARNING: dump has no oracle for {sorted(missing)}")
-    oracle["x4_dedup_ngram_jaccard"] = X4_SQL
-    oracle["x20_containment_dedup"] = X20_SQL
-    # x28's committed oracle is already the posting-join formulation
-    json.dump(oracle, open(opath, "w"))
+        # an absent result dir means the swapped oracle would "verify"
+        # nothing -- fail loudly instead of warning past it
+        print(f"FAIL: dump is missing result/oracle for {sorted(missing)}")
+        sys.exit(1)
+    swapped = {"x4_dedup_ngram_jaccard": X4_SQL,
+               "x20_containment_dedup": X20_SQL}
+    # x28's committed oracle is already the posting-join formulation.
+    # NEVER mutate the dump in place (r10 self-review: the in-place
+    # rewrite silently replaced the committed brute-force oracles, so a
+    # later plain selfcheck run verified against the swapped formulation
+    # while the record claimed the committed one ran): build a shadow
+    # dir of symlinks with its own oracle file and check THAT.
+    import tempfile
+    shadow = tempfile.mkdtemp(prefix="sf1check_")
+    for entry in os.listdir(out_dir):
+        if entry != "oracle_sql.json":
+            os.symlink(os.path.join(os.path.abspath(out_dir), entry),
+                       os.path.join(shadow, entry))
+    json.dump({**oracle, **swapped},
+              open(os.path.join(shadow, "oracle_sql.json"), "w"))
     rc = subprocess.call([sys.executable,
                           os.path.join(os.path.dirname(__file__), "selfcheck.py"),
-                          sf_dir, out_dir])
+                          sf_dir, shadow])
     sys.exit(rc)
 
 if __name__ == "__main__":
