@@ -66,20 +66,23 @@ object Multimodal {
   /** documents→media adapter for testing the plumbing on shipped data:
     * text bytes as payload, synthetic meta.
     */
-  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame,
+      width: Int = 32, height: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     // Null text would become a null payload and NPE inside the codec's
     // mapPartitions (r10 self-review — the same null-intolerance fixed
     // for the simhash kernel): an undecodable row is dropped here, and
     // the m2/x34 oracles drop it identically (m2's stats inner join;
-    // x34's explicit WHERE).
+    // x34's explicit WHERE). width × height sets the fake frame
+    // geometry — m3 uses a finer 32×2 grid so shipped-corpus payloads
+    // carry enough frames for the shared-frame rule to have evidence.
     docs.filter(col("text").isNotNull).select(
       col("doc_id").as("media_id"),
       col("text").cast("binary").as("payload"),
       struct(
         lit("application/x-fake").as("mime"),
-        lit(32).as("width"),
-        lit(8).as("height"),
+        lit(width).as("width"),
+        lit(height).as("height"),
         (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
       .as[MediaRow]
   }
@@ -132,27 +135,58 @@ object Multimodal {
       s"ahash needs 1..63 pixels to stay a positive BIGINT, got ${w}x$h")
     media.mapPartitions { rows =>
       // per-partition codec session would be opened here
-      rows.map { r =>
-        val px = FakeCodec.resize(FakeCodec.decode(r.payload, r.meta), w, h)
-        val n = w * h
-        val flat = new Array[Int](n)
-        var sum = 0L
-        var i = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { val u = px(y)(x) & 0xff; flat(i) = u; sum += u; i += 1; x += 1 }
-          y += 1
-        }
-        var hash = 0L
-        i = 0
-        while (i < n) {
-          if (flat(i).toLong * n > sum) hash |= 1L << (n - 1 - i)
-          i += 1
-        }
-        (r.media_id, hash)
-      }
+      rows.map(r => (r.media_id,
+        aHashBits(FakeCodec.resize(FakeCodec.decode(r.payload, r.meta), w, h), w, h)))
     }.toDF("media_id", s"ahash${w * h}")
+  }
+
+  /** the integer aHash core shared by [[perceptualHash]] (whole-payload,
+    * x34) and [[frameHashes]] (per sampled frame, m3): bit set iff the
+    * pixel beats the grid mean under the exact integer compare n·u > Σu.
+    */
+  private[multimodal] def aHashBits(px: Array[Array[Byte]], w: Int, h: Int): Long = {
+    val n = w * h
+    val flat = new Array[Int](n)
+    var sum = 0L
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { val u = px(y)(x) & 0xff; flat(i) = u; sum += u; i += 1; x += 1 }
+      y += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < n) {
+      if (flat(i).toLong * n > sum) hash |= 1L << (n - 1 - i)
+      i += 1
+    }
+    hash
+  }
+
+  /** per-FRAME perceptual hashes (the video analog of [[perceptualHash]]):
+    * sample every `everyN`-th decoded frame, decode + resize + aHash each
+    * inside the same partition-wise codec session, emit
+    * (media_id, frame_no, fhash) where frame_no is the sampled ordinal.
+    * A video is then a SET of frame hashes — m3 joins on hash equality
+    * to find videos sharing frames, the sequence-level near-dup signal a
+    * whole-payload hash (x34) washes out.
+    */
+  def frameHashes(media: Dataset[MediaRow], everyN: Int = 4,
+      w: Int = 8, h: Int = 6): DataFrame = {
+    import media.sparkSession.implicits._
+    require(w >= 1 && h >= 1 && w * h <= 63,
+      s"ahash needs 1..63 pixels to stay a positive BIGINT, got ${w}x$h")
+    media.mapPartitions { rows =>
+      // per-partition codec session would be opened here
+      rows.flatMap { r =>
+        FakeCodec.sampleFrames(r.payload, r.meta, everyN).iterator.zipWithIndex
+          .map { case (f, i) =>
+            (r.media_id, i.toLong,
+              aHashBits(FakeCodec.resize(FakeCodec.decode(f, r.meta), w, h), w, h))
+          }
+      }
+    }.toDF("media_id", "frame_no", s"fhash${w * h}")
   }
 
   /** column-level digest/size checks (the oracle-checked slice — see

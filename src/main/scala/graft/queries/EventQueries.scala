@@ -633,6 +633,109 @@ object EventQueries {
               |  CAST(ceil(ceil(length(d.text) / 256.0) / 4.0) AS BIGINT) AS n_frames
               |FROM documents d JOIN stats s ON d.doc_id = s.doc_id
               |ORDER BY 1""".stripMargin)),
+
+    Q("m3_video_frame_dedup",
+      (s, dir) => {
+        // VIDEO near-dup via shared frame hashes (r10) -- the sequence
+        // analog of x34: sample every 4th decoded frame per media
+        // (partition-wise codec session), aHash-48 each frame with the
+        // same integer arithmetic, and call two videos near-dups when
+        // they share >= 2 identical sampled-frame hashes (clipped /
+        // re-encoded / re-stitched copies keep most frames bit-stable
+        // under the hash; a whole-payload hash washes the overlap out).
+        // Non-discriminative frames -- hashes carried by > 64 media,
+        // the black-frame / intro-card population -- are dropped from
+        // the EVIDENCE set before pairing, the production practice that
+        // also bounds every posting list at 64, so the pair join is
+        // <= 64^2 rows per hash, never df^2 on a boilerplate frame (the
+        // general salted-index machinery exists in the x4 family if a
+        // bigger cap is ever wanted). Plan shape: one shuffle keyed by
+        // frame hash + map-side-combinable aggs; output is media-sized
+        // (partner count + min-id keeper). The DuckDB twin recomputes
+        // frame slicing / decode / resize / hash arithmetically from
+        // the payload bytes and brute-forces the pair join -- a frame
+        // geometry or hash divergence hash-mismatches per run.
+        import graft.multimodal.Multimodal
+        // finer 32x2 frame geometry (64-byte frames, every 2nd sampled)
+        // than m2's 32x8 -- shipped docs are 48-553 chars, so 256-byte
+        // frames left at most one sampled frame per media and the
+        // shared-frame rule could never fire
+        val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir),
+          width = 32, height = 2)
+        val fh = Multimodal.frameHashes(media, everyN = 2)
+        val byHash = fh.groupBy("fhash48")
+          .agg(countDistinct("media_id").as("dfm"))
+        val ev = fh.select("media_id", "fhash48").distinct()
+          .join(byHash.filter(col("dfm") <= 64), Seq("fhash48"))
+          .select("media_id", "fhash48")
+        val pairs = ev.as("a").join(ev.as("b"),
+            col("a.fhash48") === col("b.fhash48") &&
+            col("a.media_id") =!= col("b.media_id"))
+          .groupBy(col("a.media_id").as("media_id"), col("b.media_id").as("nbr"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+        val agg = pairs.groupBy("media_id")
+          .agg(count(lit(1)).as("n_partners"), min("nbr").as("min_nbr"))
+        val nf = fh.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        media.toDF().select("media_id")
+          .join(nf, Seq("media_id"), "left")
+          .join(agg, Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+            coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+            coalesce(least(col("media_id"), col("min_nbr")), col("media_id")).as("keep_id"))
+          .orderBy("media_id")
+      },
+      // frame k (sampled ordinal) = payload bytes [2k*64, 2k*64+64);
+      // per frame the decode/resize/hash arithmetic is x34's, with the
+      // frame's OWN length and row count
+      Some("""WITH docs0 AS (
+             |  SELECT doc_id AS media_id, text, length(text) AS len
+             |  FROM documents WHERE text IS NOT NULL),
+             |fr AS (
+             |  SELECT media_id, CAST(k AS BIGINT) AS frame_no,
+             |    substr(text, CAST(k * 128 + 1 AS INT), 64) AS ftext
+             |  FROM (SELECT media_id, text,
+             |          unnest([i for i in range(0, (len + 127) // 128)]) AS k
+             |        FROM docs0)),
+             |grid AS (
+             |  SELECT media_id, frame_no, ftext, length(ftext) AS flen,
+             |    (length(ftext) + 31) // 32 AS nrows, y, x
+             |  FROM fr, unnest(range(0, 6)) ty(y), unnest(range(0, 8)) tx(x)),
+             |px AS (
+             |  SELECT media_id, frame_no, y, x,
+             |    ascii(substr(ftext,
+             |      CAST(r * 32 + least((x * least(32, flen - r * 32)) // 8,
+             |                          least(32, flen - r * 32) - 1) + 1 AS INT), 1)) AS u
+             |  FROM (SELECT *, least((y * nrows) // 6, nrows - 1) AS r FROM grid)),
+             |tot AS (SELECT media_id, frame_no, sum(u) AS su FROM px GROUP BY 1, 2),
+             |hsh AS (
+             |  SELECT px.media_id, px.frame_no,
+             |    CAST(sum(CASE WHEN 48 * u > su
+             |      THEN (CAST(1 AS BIGINT) << (47 - (y * 8 + x))) ELSE 0 END) AS BIGINT) AS fhash
+             |  FROM px JOIN tot USING (media_id, frame_no) GROUP BY 1, 2),
+             |dfm AS (SELECT fhash, count(DISTINCT media_id) AS d FROM hsh GROUP BY 1),
+             |ev AS (
+             |  SELECT DISTINCT media_id, fhash FROM hsh JOIN dfm USING (fhash)
+             |  WHERE d <= 64),
+             |p AS (
+             |  SELECT a.media_id AS media_id, b.media_id AS nbr, count(*) AS shared
+             |  FROM ev a JOIN ev b ON a.fhash = b.fhash AND a.media_id <> b.media_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |agg AS (
+             |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_partners,
+             |    min(nbr) AS min_nbr
+             |  FROM p GROUP BY 1),
+             |nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames
+             |       FROM hsh GROUP BY 1)
+             |SELECT d.media_id,
+             |  coalesce(nf.n_frames, 0) AS n_frames,
+             |  coalesce(agg.n_partners, 0) AS n_partners,
+             |  CAST(coalesce(least(d.media_id, agg.min_nbr), d.media_id) AS BIGINT) AS keep_id
+             |FROM docs0 d
+             |LEFT JOIN nf USING (media_id)
+             |LEFT JOIN agg USING (media_id)
+             |ORDER BY media_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -81,6 +81,28 @@ class MultimodalSpec extends SparkSpec {
     assert(h7.forall(_.getLong(1) >= 0L), "aHash-48 must stay a positive BIGINT")
   }
 
+  test("frame hashes: sampled ordinals, partition invariance, whole-payload consistency") {
+    val docs = Tables.documents(spark, sfDir)
+    val media = Multimodal.mediaFromDocuments(spark, docs, width = 32, height = 2)
+    val a = Multimodal.frameHashes(media, everyN = 2).collect().toSet
+    val b = Multimodal.frameHashes(media.repartition(7), everyN = 2).collect().toSet
+    assert(a == b, "frame hashes depend on partitioning")
+    assert(a.nonEmpty)
+    // frame_no is the SAMPLED ordinal: dense from 0 per media
+    val byMedia = a.toSeq.groupBy(_.getLong(0))
+    byMedia.foreach { case (m, rows) =>
+      val ns = rows.map(_.getLong(1)).sorted
+      assert(ns == (0L until ns.length).toSeq, s"media $m frame_nos not dense: $ns")
+    }
+    // frame count = ceil(ceil(len/64)/2), pinned against n_chars
+    val lens = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byMedia.foreach { case (m, rows) =>
+      val expect = (lens(m) + 127) / 128
+      assert(rows.length == expect, s"media $m: ${rows.length} frames, expected $expect")
+    }
+  }
+
   test("dashboard html assembles from the curated layer") {
     import graft.etl._
     val base = tmpDir("graft_dash")

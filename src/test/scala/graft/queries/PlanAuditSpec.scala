@@ -497,4 +497,25 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: AQE final plan at sf0.1 lost the dim broadcast:\n$fin")
     }
   }
+
+  test("t19's merge chain rides the vocab: bounded corpus scans, no cartesian, no hint") {
+    // the vocab-reduction claim in plan form: the documents parquet
+    // appears at most 3 times (the training collapse + the two tok
+    // derivations), regardless of K -- the K merge applications are
+    // 1-row broadcast joins over the vocab frame, never corpus scans.
+    // The vocab->doc join must carry no forced hint (AQE sizes the
+    // corpus-derived vocab), and nothing may fall back to a cartesian.
+    val qe = SparkEntry.queries("t19_bpe_encode")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert("""Scan parquet""".r.findAllIn(p).size <= 3,
+      s"t19 scans the corpus more than the collapse + tok derivations:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"t19 has a non-broadcast cartesian:\n$p")
+    // the ONLY intended hints are the K 1-row winner broadcasts (the
+    // scalar pattern); the corpus-derived vocab->doc join must not
+    // carry one, so the hint count is bounded by the merge rounds
+    val hints = """ResolvedHint""".r.findAllIn(qe.analyzed.toString).size
+    assert(hints <= 6,
+      s"t19 has $hints hints -- more than the K winner broadcasts:\n${qe.analyzed}")
+  }
 }
