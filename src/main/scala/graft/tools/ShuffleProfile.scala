@@ -77,7 +77,13 @@ object ShuffleProfile {
           Seq(shufRead, shufWrite, input, memSpill, diskSpill, tasks)
             .foreach(_.set(0L))
           val t0 = System.nanoTime()
-          val rows = q(spark, dir).count()
+          // toRdd, NOT count(): count() re-optimizes with zero output
+          // columns, and Catalyst then ELIMINATES final left joins whose
+          // right side is grouped on the join key (provably unique, no
+          // columns referenced) — m3/x34 profiled as 3-task no-shuffle
+          // plans. toRdd executes the query's own physical plan, i.e.
+          // what a consumer of the full result pays.
+          val rows = q(spark, dir).queryExecution.toRdd.count()
           val sec = (System.nanoTime() - t0) / 1e9
           // listener events are posted asynchronously; drain the bus so
           // this query's tasks aren't attributed to the next one
