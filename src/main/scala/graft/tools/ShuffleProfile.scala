@@ -83,7 +83,13 @@ object ShuffleProfile {
           // columns referenced) — m3/x34 profiled as 3-task no-shuffle
           // plans. toRdd executes the query's own physical plan, i.e.
           // what a consumer of the full result pays.
-          val rows = q(spark, dir).queryExecution.toRdd.count()
+          // SPARK_GRAFT_PROFILE_COUNT flips back to count() semantics —
+          // the diagnostic knob that separates "what the full result
+          // costs" from "what a count-pruned plan costs" (column pruning
+          // through the joins + eliminated final sorts/left-joins).
+          val rows =
+            if (sys.env.contains("SPARK_GRAFT_PROFILE_COUNT")) q(spark, dir).count()
+            else q(spark, dir).queryExecution.toRdd.count()
           val sec = (System.nanoTime() - t0) / 1e9
           // listener events are posted asynchronously; drain the bus so
           // this query's tasks aren't attributed to the next one
