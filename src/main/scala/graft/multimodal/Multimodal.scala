@@ -180,14 +180,29 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition codec session would be opened here
       rows.flatMap { r =>
-        FakeCodec.sampleFrames(r.payload, r.meta, everyN).iterator.zipWithIndex
-          .map { case (f, i) =>
-            (r.media_id, i.toLong,
-              aHashBits(FakeCodec.resize(FakeCodec.decode(f, r.meta), w, h), w, h))
-          }
+        frameHashSeq(r, everyN, w, h).iterator.zipWithIndex
+          .map { case (fh, i) => (r.media_id, i.toLong, fh) }
       }
     }.toDF("media_id", "frame_no", s"fhash${w * h}")
   }
+
+  /** one media row's sampled-frame hashes in order — the per-row unit
+    * [[frameHashes]] explodes and the streaming dedup carries whole (a
+    * stream-side row must bring its own frame set, x10's carried-shingle
+    * trick at frame granularity).
+    */
+  def frameHashSeq(r: MediaRow, everyN: Int = 2,
+      w: Int = 8, h: Int = 6): Seq[Long] =
+    FakeCodec.sampleFrames(r.payload, r.meta, everyN)
+      .map(f => aHashBits(FakeCodec.resize(FakeCodec.decode(f, r.meta), w, h), w, h))
+
+  /** persist a corpus's frame-hash posting table (media_id, fhash48) at
+    * m3's geometry — the index side of the streaming frame dedup.
+    */
+  def writeFrameIndex(spark: SparkSession, docs: DataFrame, path: String): Unit =
+    frameHashes(mediaFromDocuments(spark, docs, width = 32, height = 2), everyN = 2)
+      .select("media_id", "fhash48").distinct()
+      .write.mode("overwrite").parquet(path)
 
   /** column-level digest/size checks (the oracle-checked slice — see
     * m1_binary_plumbing in [[graft.queries.EventQueries]]).

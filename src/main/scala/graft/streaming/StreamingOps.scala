@@ -252,6 +252,50 @@ object StreamingOps {
       Corpus.readIndexShingles(spark, indexPath), threshold)
   }
 
+  /** streaming MULTIMODAL dedup against a persisted frame-hash index
+    * (the m3 operator's ingest-time form): each arriving media row is
+    * decoded and frame-hashed INSIDE the map (one codec pass, no
+    * stream-side shuffle) and CARRIES its whole distinct frame-hash set
+    * — the same carried-set trick dedupStreamAgainstIndex uses for
+    * shingles, because a stream cannot self-aggregate per pair in
+    * append mode. Candidates come from exploding the carried set
+    * against the (media_id, fhash) posting index; the only stateful op
+    * is the (new_id, index_id) dropDuplicates; the verify recomputes
+    * shared = |carried ∩ index set| from the carried array and the
+    * static per-index-media hash sets, so the emitted count is exact
+    * per pair even when several shared frames land in different
+    * micro-batches of the SAME row's candidates. No df cap here: m3's
+    * 64-cap is a corpus-pairing evidence rule; against a bounded index
+    * the posting join is index-sized. The spec pins stream ≡ the batch
+    * composition on the same index.
+    */
+  def frameDedupStream(newDocs: DataFrame, indexPath: String,
+      minShared: Int = 2): DataFrame = {
+    import graft.multimodal.Multimodal
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    // DocRow streams carry no n_chars (the adapter wants it only for
+    // the duration metadata) -- derive it from the text
+    val media = Multimodal.mediaFromDocuments(spark,
+      newDocs.withColumn("n_chars", length(col("text")).cast("long")),
+      width = 32, height = 2)
+    val hashed = media
+      .map(r => (r.media_id, Multimodal.frameHashSeq(r).distinct))
+      .toDF("new_id", "fhs")
+    val idx = spark.read.parquet(indexPath)
+    val idxSets = idx.groupBy(col("media_id").as("index_id"))
+      .agg(collect_set("fhash48").as("idx_fhs"))
+    hashed.select(col("new_id"), col("fhs"), explode(col("fhs")).as("fhash48"))
+      .join(idx, Seq("fhash48"))
+      .select(col("new_id"), col("media_id").as("index_id"), col("fhs"))
+      .dropDuplicates("new_id", "index_id")
+      .join(idxSets, Seq("index_id"))
+      .withColumn("shared_frames",
+        size(array_intersect(col("fhs"), col("idx_fhs"))).cast("long"))
+      .filter(col("shared_frames") >= minShared)
+      .select(col("new_id"), col("index_id"), col("shared_frames"))
+  }
+
   /** numbered artifacts `<prefix>N` under `basePath` — THE definition of
     * the versioned-directory listing all the foreachBatch loops and the
     * vacuum share (five hand-rolled copies before this). Creates the

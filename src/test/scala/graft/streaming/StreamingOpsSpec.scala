@@ -276,6 +276,45 @@ class StreamingOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("streaming frame-hash dedup against the persisted index equals the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("stream_frame_index").toString
+    graft.multimodal.Multimodal.writeFrameIndex(
+      spark, docsDf.filter($"doc_id" % 2 =!= 0), idxPath)
+    val newDocs = docsDf.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow].collect().toSeq
+    val input = MemoryStream[StreamingOps.DocRow]
+    val query = StreamingOps.frameDedupStream(input.toDF(), idxPath)
+      .writeStream.format("memory").queryName("framededup")
+      .outputMode("append").start()
+    val (b1, b2) = newDocs.partition(_.doc_id % 4 == 0)
+    input.addData(b1); query.processAllAvailable()
+    input.addData(b2); query.processAllAvailable()
+    val got = spark.table("framededup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    query.stop()
+    // batch composition on the same index: distinct (media, hash) on
+    // both sides, pair join, shared-count >= 2
+    import graft.multimodal.Multimodal
+    val newFh = Multimodal.frameHashes(
+      Multimodal.mediaFromDocuments(spark, docsDf.filter($"doc_id" % 2 === 0),
+        width = 32, height = 2), everyN = 2)
+      .select("media_id", "fhash48").distinct()
+    val idx = spark.read.parquet(idxPath)
+    val expected = newFh.as("a")
+      .join(idx.as("b"), $"a.fhash48" === $"b.fhash48")
+      .groupBy($"a.media_id", $"b.media_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("shared"))
+      .filter($"shared" >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "no cross-index frame pairs -- spec is vacuous")
+    spark.catalog.clearCache()
+  }
+
   test("streaming incremental curation threads per-batch segments and equals the sequential batch composition") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = graft.core.Tables.documents(spark, sfDir)
