@@ -157,6 +157,22 @@ object StreamBench {
       .map(_.numRowsTotal).lastOption.getOrElse(-1L)
     kmvQ.stop()
 
+    // ---- 5. multimodal frame-hash dedup stream against persisted index
+    graft.multimodal.Multimodal.writeFrameIndex(
+      spark, docs.filter(col("doc_id") % 2 =!= 0), s"$base/frame_index")
+    val fdIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
+    val fdQ = graft.streaming.StreamingOps.frameDedupStream(
+        fdIn.toDF(), s"$base/frame_index")
+      .writeStream.format("memory").queryName("sb_framededup")
+      .option("checkpointLocation", s"$base/ckpt_fd")
+      .outputMode("append").start()
+    val fdFed = evens.grouped(chunk).map { b =>
+      fdIn.addData(b); fdQ.processAllAvailable(); b.size
+    }.toSeq
+    val fdStats = batchStats(fdQ, fdFed)
+    val fdPairs = spark.table("sb_framededup").count()
+    fdQ.stop()
+
     println("{" +
       fmt("curate_stream_incremental", curStats,
         s""","segments_bytes":$segBytes""") + "," +
@@ -165,7 +181,9 @@ object StreamBench {
       fmt("sessionize_stateful_rocksdb", sessStats,
         s""","state_rows":$stateRows,"rocksdb_mem_bytes":$rocksMem""") + "," +
       fmt("kmv_sketch_stream", kmvStats,
-        s""","state_rows":$kmvStateRows""") +
+        s""","state_rows":$kmvStateRows""") + "," +
+      fmt("frame_dedup_stream", fdStats,
+        s""","pairs_emitted":$fdPairs""") +
       s""","sf_dir":"$dir","n_batches":$nBatches}""")
     spark.stop()
   }
