@@ -172,7 +172,7 @@ object Multimodal {
     * to find videos sharing frames, the sequence-level near-dup signal a
     * whole-payload hash (x34) washes out.
     */
-  def frameHashes(media: Dataset[MediaRow], everyN: Int = 4,
+  def frameHashes(media: Dataset[MediaRow], everyN: Int = FRAME_EVERY_N,
       w: Int = 8, h: Int = 6): DataFrame = {
     import media.sparkSession.implicits._
     require(w >= 1 && h >= 1 && w * h <= 63,
@@ -191,18 +191,47 @@ object Multimodal {
     * stream-side row must bring its own frame set, x10's carried-shingle
     * trick at frame granularity).
     */
-  def frameHashSeq(r: MediaRow, everyN: Int = 2,
+  def frameHashSeq(r: MediaRow, everyN: Int = FRAME_EVERY_N,
       w: Int = 8, h: Int = 6): Seq[Long] =
     FakeCodec.sampleFrames(r.payload, r.meta, everyN)
       .map(f => aHashBits(FakeCodec.resize(FakeCodec.decode(f, r.meta), w, h), w, h))
 
+  /** the ONE sampling stride shared by the batch (m3, [[frameHashes]]),
+    * index ([[writeFrameIndex]]) and stream-carried ([[frameHashSeq]])
+    * frame sets — a stride mismatch between any two of them would make
+    * the streaming probe silently miss every other frame (r10 ADVICE:
+    * the three call sites used to carry their own defaults).
+    */
+  val FRAME_EVERY_N: Int = 2
+
+  /** m3's evidence rule: a frame hash carried by more media than this
+    * is non-discriminative (black frames, intro cards) and is dropped
+    * before any pairing — it also bounds every posting list, so the
+    * pair join is ≤ cap² rows per hash, never df².
+    */
+  val FRAME_DF_CAP: Int = 64
+
   /** persist a corpus's frame-hash posting table (media_id, fhash48) at
     * m3's geometry — the index side of the streaming frame dedup.
+    * Non-discriminative hashes (carried by > [[FRAME_DF_CAP]] media —
+    * m3's own evidence rule, `EventQueries` m3) are dropped at WRITE
+    * time, so every posting list in the artifact is bounded and the
+    * streaming probe join ([[graft.streaming.StreamingOps.frameDedupStream]])
+    * can never see a hot frame hash fan a batch row out df-wide — the
+    * r10 verdict's uncapped-index finding.
     */
-  def writeFrameIndex(spark: SparkSession, docs: DataFrame, path: String): Unit =
-    frameHashes(mediaFromDocuments(spark, docs, width = 32, height = 2), everyN = 2)
+  def writeFrameIndex(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val fh = frameHashes(mediaFromDocuments(spark, docs, width = 32, height = 2),
+        everyN = FRAME_EVERY_N)
       .select("media_id", "fhash48").distinct()
+    val keep = fh.groupBy("fhash48")
+      .agg(count(lit(1)).as("dfm"))
+      .filter(col("dfm") <= FRAME_DF_CAP)
+      .select("fhash48")
+    fh.join(keep, Seq("fhash48"))
+      .select("media_id", "fhash48")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** column-level digest/size checks (the oracle-checked slice — see
     * m1_binary_plumbing in [[graft.queries.EventQueries]]).

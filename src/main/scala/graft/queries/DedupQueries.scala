@@ -481,7 +481,16 @@ object DedupQueries {
     * Both engines are output-identical after 6-dp rounding (lossless
     * prefix filter — DedupSaltSpec pins equality), so the dispatch can
     * never change the answer, only the plan — the same contract AQE
-    * itself operates under. Threshold 0.15 chosen from the measured
+    * itself operates under. One caveat on that equality (r10 ADVICE):
+    * it rests on the two engines' double SUMS agreeing below the 6-dp
+    * rounding — the index computes wsum in a deterministic window-sort
+    * order while count-everything sums in partition order, so a
+    * wjaccard landing EXACTLY on a rounding boundary could in principle
+    * flip between engines. Empirically pinned (DedupSaltSpec equality +
+    * sf1/sf1-skew hash-exact vs an arbitrary-order DuckDB oracle, whose
+    * agreement shows the sums are orders of magnitude inside the
+    * boundary at every tested scale); making it structural would mean
+    * DECIMAL wsum end-to-end (t17's sufficient-statistics pattern). Threshold 0.15 chosen from the measured
     * regimes (0.62 at sf1-plain where count-everything wins 8.6 s vs
     * 225 s; → 0 on boilerplate corpora where the prefix engine wins by
     * the same kind of margin — WeightedPrefixScaleSpec measures the
@@ -498,8 +507,20 @@ object DedupQueries {
     val slack = lit(t - 1e-6 - 1e-9)
     val r = postings0.filter(col("df") >= 2)
       .agg(sum("df").as("vol"),
-        sum(when(col("wrem") >= slack * col("wsum"), col("df"))).as("probe"))
+        sum(when(col("wrem") >= slack * col("wsum"), col("df"))).as("probe"),
+        count(lit(1)).as("rows"), count(col("wsum")).as("wsum_rows"),
+        count(col("wrem")).as("wrem_rows"))
       .first()
+    // an index built withRank=false carries null w/wsum/wrem: the probe
+    // aggregate would sum to null → 0, dispatch would pick the prefix
+    // engine, and its null-wrem prefix filter would drop EVERY posting —
+    // a wrong-but-plausible empty answer. Fail loudly instead (r10
+    // ADVICE; unreachable from x28, whose persisted index is always
+    // ranked — this guards future callers).
+    require(r.getLong(2) == 0L ||
+        (r.getLong(3) == r.getLong(2) && r.getLong(4) == r.getLong(2)),
+      "weightedJaccardAdaptive needs a posting index built withRank=true " +
+        "(w/wsum/wrem must be non-null on every df>=2 posting)")
     val volAll = if (r.isNullAt(0)) 0L else r.getLong(0)
     val volProbe = if (r.isNullAt(1)) 0L else r.getLong(1)
     if (volAll == 0L || volProbe <= probeFractionCutoff * volAll)
@@ -509,32 +530,100 @@ object DedupQueries {
         lengthFilter = false, idfWeighted = true, weightsOnIndex = true)
   }
 
-  /** hamming-≤3 neighborhoods over a 48-bit hash column via pigeonhole
-    * blocking (Manku et al., WWW'07 — x31's scheme, factored out so the
-    * perceptual-hash dedup x34 rides the same machinery): the hash
-    * splits into 4 12-bit blocks; a pair at hamming ≤ 3 has its ≤ 3
-    * differing bits in ≤ 3 blocks, so it agrees EXACTLY on ≥ 1 block —
-    * candidates come from equi-joins on (block_id, block_value),
-    * lossless at the threshold by construction, verified with one
-    * codegen'd `bit_count(a ^ b)` per candidate. Returns one row per id
-    * WITH neighbors: (idCol, min_nbr, n_near).
+  /** hamming-≤3 pairs over DISTINCT 48-bit hash values via pigeonhole
+    * blocking (Manku et al., WWW'07): each hash splits into 4 12-bit
+    * blocks; a pair at hamming ≤ 3 has its ≤ 3 differing bits in ≤ 3
+    * blocks, so it agrees EXACTLY on ≥ 1 block — candidates come from
+    * equi-joins on (block_id, block_value), lossless at the threshold
+    * by construction, verified with one codegen'd `bit_count(a ^ b)`
+    * per candidate. `dh` must carry ONE row per distinct hash (plus any
+    * group-stat columns, carried through both sides with `a_`/`b_`
+    * prefixes); a hot (blk, bval) — many distinct hashes agreeing on
+    * one block value, e.g. the all-dark block of underexposed media —
+    * is spread over ceil(bdf/saltChunk) ≤ 256 reducers with x4's salt
+    * scheme (left side keyed by pmod(hash, nsalt), right side
+    * replicated per salt, every pair matched exactly once per agreeing
+    * block), so no single task ever owns a whole hot block's pair
+    * volume. Output is one row per unordered pair (h_a < h_b),
+    * multi-block agreements deduped.
     */
-  private[queries] def pigeonhole48Neighbors(hashes: DataFrame,
-      idCol: String, hashCol: String): DataFrame = {
-    val blocks = hashes.select(col(idCol), col(hashCol), posexplode(
-      expr(s"transform(sequence(0, 3), j -> shiftright($hashCol, 36 - 12 * j) & 4095)")))
-      .toDF(idCol, hashCol, "blk", "bval")
-    val pairs = blocks.as("a").join(blocks.as("b"),
+  private[queries] def pigeonholeDistinctPairs(dh: DataFrame, hashCol: String,
+      saltChunk: Long = 1024L): DataFrame = {
+    val carry = dh.columns.filter(_ != hashCol).toSeq
+    val blocks = dh.select(col(hashCol) +: carry.map(col) :+ posexplode(
+        expr(s"transform(sequence(0, 3), j -> shiftright($hashCol, 36 - 12 * j) & 4095)")): _*)
+      .toDF((hashCol +: carry) ++ Seq("blk", "bval"): _*)
+    val bdf = blocks.groupBy("blk", "bval").agg(count(lit(1)).as("bdf"))
+    val b = blocks.join(bdf, Seq("blk", "bval"))
+      .withColumn("nsalt",
+        least(ceil(col("bdf") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
+      .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
+    val a = b.filter(col("salt") === pmod(col(hashCol), col("nsalt")))
+    a.as("a").join(b.as("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          col("a.salt") === col("b.salt") &&
+          col(s"a.$hashCol") < col(s"b.$hashCol"))
       .filter(expr(s"bit_count(a.$hashCol ^ b.$hashCol) <= 3"))
       // a pair can agree on up to 4 blocks — dedup before counting
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .select((col(s"a.$hashCol").as("h_a") +: carry.map(c => col(s"a.$c").as(s"a_$c"))) ++
+        (col(s"b.$hashCol").as("h_b") +: carry.map(c => col(s"b.$c").as(s"b_$c"))): _*)
       .distinct()
-    pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF(idCol, "nbr")
-      .groupBy(idCol)
-      .agg(min("nbr").as("min_nbr"), count(lit(1)).as("n_near"))
+  }
+
+  /** hamming-≤3 neighborhoods over a 48-bit hash column — x31's scheme,
+    * factored out so the perceptual-hash dedup x34 rides the same
+    * machinery. Returns one row per id WITH neighbors:
+    * (idCol, min_nbr, n_near).
+    *
+    * Scale shape (r11 — the r10 verdict's hot-block fix): identical
+    * hashes are collapsed FIRST (hamming-0 groups — the degenerate
+    * near-black-media population that makes one aHash value carry k²
+    * pair work). A group of k identical hashes contributes its members'
+    * mutual neighborhoods by ARITHMETIC (k−1 neighbors each, min /
+    * second-min of the group), never a pair join; the block join then
+    * runs over DISTINCT hash values only ([[pigeonholeDistinctPairs]],
+    * hot residual blocks salted), and cross-group neighbor counts are
+    * group-size sums. All per-pair work therefore rides the distinct-
+    * hash population — 1M identical frames cost one group-by row — and
+    * the result is bit-identical to the naive per-id join (the DuckDB
+    * oracles brute-force all id pairs, so losslessness is re-proven
+    * every correctness run; PerceptualDegenerateSpec pins the volume
+    * bound).
+    */
+  private[queries] def pigeonhole48Neighbors(hashes: DataFrame,
+      idCol: String, hashCol: String, saltChunk: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(hashCol)
+    // per-id group stats: size, min id, second-min id (the min's own
+    // in-group nearest neighbor) — one exchange on the hash key
+    val withGrp = hashes
+      .withColumn("grp_n", count(lit(1)).over(byHash))
+      .withColumn("grp_min", min(col(idCol)).over(byHash))
+      .withColumn("grp_min2",
+        min(when(col(idCol) =!= col("grp_min"), col(idCol))).over(byHash))
+    // one row per DISTINCT hash, carrying the group stats the cross-
+    // group aggregation needs
+    val dh = hashes.groupBy(col(hashCol))
+      .agg(count(lit(1)).as("grp_n"), min(col(idCol)).as("grp_min"))
+    val pairs = pigeonholeDistinctPairs(dh, hashCol, saltChunk)
+    // fold each neighboring GROUP's size/min into per-hash externals
+    val ext = pairs
+      .select(col("h_a").as(hashCol), col("b_grp_n").as("nbr_n"),
+        col("b_grp_min").as("nbr_min"))
+      .unionAll(pairs.select(col("h_b").as(hashCol), col("a_grp_n"),
+        col("a_grp_min")))
+      .groupBy(hashCol)
+      .agg(sum("nbr_n").as("ext_n"), min("nbr_min").as("ext_min"))
+    withGrp.join(ext, Seq(hashCol), "left")
+      .withColumn("n_near",
+        (col("grp_n") - 1 + coalesce(col("ext_n"), lit(0L))).cast("long"))
+      .filter(col("n_near") > 0)
+      .select(col(idCol),
+        // in-group nearest: the group min, unless I AM the min (then the
+        // second-min, null for singleton groups); least() skips nulls
+        least(when(col(idCol) === col("grp_min"), col("grp_min2"))
+          .otherwise(col("grp_min")), col("ext_min")).as("min_nbr"),
+        col("n_near"))
   }
 
   private[queries] def containmentCandidates(docs0: DataFrame, t: Double,

@@ -662,11 +662,11 @@ object EventQueries {
         // shared-frame rule could never fire
         val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir),
           width = 32, height = 2)
-        val fh = Multimodal.frameHashes(media, everyN = 2)
+        val fh = Multimodal.frameHashes(media, everyN = Multimodal.FRAME_EVERY_N)
         val byHash = fh.groupBy("fhash48")
           .agg(countDistinct("media_id").as("dfm"))
         val ev = fh.select("media_id", "fhash48").distinct()
-          .join(byHash.filter(col("dfm") <= 64), Seq("fhash48"))
+          .join(byHash.filter(col("dfm") <= Multimodal.FRAME_DF_CAP), Seq("fhash48"))
           .select("media_id", "fhash48")
         val pairs = ev.as("a").join(ev.as("b"),
             col("a.fhash48") === col("b.fhash48") &&

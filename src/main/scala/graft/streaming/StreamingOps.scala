@@ -264,10 +264,13 @@ object StreamingOps {
     * shared = |carried ∩ index set| from the carried array and the
     * static per-index-media hash sets, so the emitted count is exact
     * per pair even when several shared frames land in different
-    * micro-batches of the SAME row's candidates. No df cap here: m3's
-    * 64-cap is a corpus-pairing evidence rule; against a bounded index
-    * the posting join is index-sized. The spec pins stream ≡ the batch
-    * composition on the same index.
+    * micro-batches of the SAME row's candidates. The df cap lives at
+    * INDEX-WRITE time ([[graft.multimodal.Multimodal.writeFrameIndex]]
+    * drops hashes carried by > FRAME_DF_CAP media — m3's evidence
+    * rule), so every posting list this probe joins is bounded by
+    * construction and a hot frame hash can never fan one batch row out
+    * df-wide (r10 verdict). The spec pins stream ≡ the batch
+    * composition on the same (capped) index.
     */
   def frameDedupStream(newDocs: DataFrame, indexPath: String,
       minShared: Int = 2): DataFrame = {
@@ -280,7 +283,8 @@ object StreamingOps {
       newDocs.withColumn("n_chars", length(col("text")).cast("long")),
       width = 32, height = 2)
     val hashed = media
-      .map(r => (r.media_id, Multimodal.frameHashSeq(r).distinct))
+      .map(r => (r.media_id,
+        Multimodal.frameHashSeq(r, Multimodal.FRAME_EVERY_N).distinct))
       .toDF("new_id", "fhs")
     val idx = spark.read.parquet(indexPath)
     val idxSets = idx.groupBy(col("media_id").as("index_id"))

@@ -489,8 +489,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"),
         s"$q degraded to a sort-merge join at tiny scale:\n$p")
     }
+    // sf0.1 lives wherever the driver generated it — honor the env the
+    // tools use, and skip (not error) on boxes without the fixture
+    val dir01 = sys.env.get("SPARK_GRAFT_SF_DIR")
+      .map(d => d.replaceAll("sf[0-9.]+/?$", "sf0.1"))
+      .getOrElse("/root/testdata/sf0.1")
+    assume(new java.io.File(dir01).isDirectory,
+      s"sf0.1 fixture absent at $dir01 — skipping the AQE-final-plan pin")
     Seq("h2_local_supplier_volume", "j1_rate_lookup_join").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      val df = SparkEntry.queries(q)(spark, dir01)
       df.collect()
       val fin = df.queryExecution.executedPlan.toString
       assert(fin.contains("BroadcastHashJoin"),
