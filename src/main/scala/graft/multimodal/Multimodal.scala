@@ -196,6 +196,54 @@ object Multimodal {
     FakeCodec.sampleFrames(r.payload, r.meta, everyN)
       .map(f => aHashBits(FakeCodec.resize(FakeCodec.decode(f, r.meta), w, h), w, h))
 
+  /** AUDIO energy-envelope fingerprint (m4 — the audio analog of x34's
+    * aHash, same integer-arithmetic discipline): the payload is cut
+    * into `bits` contiguous equal-share windows (window s = bytes
+    * [⌊s·len/bits⌋, ⌊(s+1)·len/bits⌋) — all integer division), and bit
+    * s is set iff the window's mean amplitude beats the whole payload's
+    * mean, compared cross-multiplied so no float ever enters:
+    * si·len > tot·ni. A re-encoded / level-shifted copy keeps its
+    * loud-vs-quiet envelope shape, so near-dups land at small hamming
+    * distance and ride the SAME capped pigeonhole machinery as
+    * x31/x34. Empty windows (len < bits) and empty payloads hash to
+    * unset bits — never a divide. Exactness bound: si ≤ 255·ni and
+    * tot ≤ 255·len, so both products stay under 2⁶³ for payloads up to
+    * ~1.3 GB at bits = 48 (255·len²/48 < 2⁶³); a real codec front-end
+    * feeding PCM frames would fingerprint per-minute chunks long before
+    * that. Same partition-wise codec-session shape as the other
+    * extractors; a real decoder replaces the byte interpretation, the
+    * windowing/compare is unchanged.
+    */
+  def audioEnvelopeHash(media: Dataset[MediaRow], bits: Int = 48): DataFrame = {
+    import media.sparkSession.implicits._
+    require(bits >= 1 && bits <= 63,
+      s"envelope hash needs 1..63 windows to stay a positive BIGINT, got $bits")
+    media.mapPartitions { rows =>
+      // per-partition codec session would be opened here
+      rows.map(r => (r.media_id, envelopeBits(r.payload, bits)))
+    }.toDF("media_id", s"ehash$bits")
+  }
+
+  private[multimodal] def envelopeBits(bytes: Array[Byte], bits: Int): Long = {
+    val len = bytes.length
+    var tot = 0L
+    var i = 0
+    while (i < len) { tot += bytes(i) & 0xff; i += 1 }
+    var hash = 0L
+    var s = 0
+    while (s < bits) {
+      val lo = (s.toLong * len / bits).toInt
+      val hi = ((s + 1).toLong * len / bits).toInt
+      var si = 0L
+      var p = lo
+      while (p < hi) { si += bytes(p) & 0xff; p += 1 }
+      val ni = hi - lo
+      if (ni > 0 && si * len > tot * ni) hash |= 1L << (bits - 1 - s)
+      s += 1
+    }
+    hash
+  }
+
   /** the ONE sampling stride shared by the batch (m3, [[frameHashes]]),
     * index ([[writeFrameIndex]]) and stream-carried ([[frameHashSeq]])
     * frame sets — a stride mismatch between any two of them would make

@@ -736,6 +736,72 @@ object EventQueries {
              |LEFT JOIN nf USING (media_id)
              |LEFT JOIN agg USING (media_id)
              |ORDER BY media_id""".stripMargin)),
+
+    Q("m4_audio_envelope_dedup",
+      (s, dir) => {
+        // AUDIO near-dup via the windowed energy-envelope hash (r11 --
+        // the third modality next to image x34 and video m3): each
+        // payload's 48 equal-share windows quantize to one bit each
+        // (window mean beats payload mean, integer cross-multiply --
+        // arithmetic at Multimodal.envelopeBits), then hamming-<=3
+        // neighborhoods ride the SAME capped pigeonhole engine as
+        // x31/x34 -- identical fingerprints collapse before any pair
+        // join (the silence/constant-tone population, audio's analog of
+        // near-black frames), distinct fingerprints block-join with
+        // hot-bucket salting. Output is media-sized; the DuckDB oracle
+        // recomputes every window sum arithmetically from the payload
+        // bytes and brute-forces all pairs, so the blocking's
+        // losslessness is re-proven each correctness run.
+        import graft.multimodal.Multimodal
+        val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+        val h = Multimodal.audioEnvelopeHash(media)
+        val nbrs = DedupQueries.pigeonhole48Neighbors(h, "media_id", "ehash48")
+        h.join(nbrs, Seq("media_id"), "left")
+          .select(col("media_id"), col("ehash48"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            coalesce(least(col("media_id"), col("min_nbr")), col("media_id")).as("keep_id"))
+          .orderBy("media_id")
+      },
+      // window s of len covers 0-based byte positions
+      // [(s*len)//48, ((s+1)*len)//48); bit iff the window is non-empty
+      // and si*len > tot*ni (integer cross-multiplied means, exactly
+      // the Scala kernel's compare); payloads are the ASCII text bytes
+      Some("""WITH d AS (
+             |  SELECT doc_id AS media_id, text, length(text) AS len
+             |  FROM documents WHERE text IS NOT NULL),
+             |chars AS (
+             |  SELECT media_id, i - 1 AS p, ascii(substr(text, CAST(i AS INT), 1)) AS u
+             |  FROM d, unnest(range(1, len + 1)) t(i)),
+             |tot AS (
+             |  SELECT d.media_id, coalesce(sum(c.u), 0) AS su
+             |  FROM d LEFT JOIN chars c USING (media_id) GROUP BY 1),
+             |seg AS (
+             |  SELECT media_id, len, w,
+             |    (w * len) // 48 AS lo, ((w + 1) * len) // 48 AS hi
+             |  FROM d, unnest(range(0, 48)) t(w)),
+             |segsum AS (
+             |  SELECT seg.media_id, seg.w, seg.len, seg.hi - seg.lo AS ni,
+             |    coalesce(sum(c.u), 0) AS si
+             |  FROM seg LEFT JOIN chars c
+             |    ON c.media_id = seg.media_id AND c.p >= seg.lo AND c.p < seg.hi
+             |  GROUP BY 1, 2, 3, seg.hi - seg.lo),
+             |hsh AS (
+             |  SELECT ss.media_id,
+             |    CAST(coalesce(sum(CASE WHEN ss.ni > 0 AND ss.si * ss.len > t.su * ss.ni
+             |      THEN (CAST(1 AS BIGINT) << (47 - CAST(ss.w AS INT))) END), 0) AS BIGINT) AS ehash48
+             |  FROM segsum ss JOIN tot t USING (media_id)
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT a.media_id AS media_id, b.media_id AS nbr
+             |  FROM hsh a JOIN hsh b ON a.media_id <> b.media_id
+             |  WHERE bit_count(xor(a.ehash48, b.ehash48)) <= 3)
+             |SELECT h.media_id, h.ehash48,
+             |  CAST(coalesce(nb.n_near, 0) AS BIGINT) AS n_near,
+             |  CAST(coalesce(least(h.media_id, nb.min_nbr), h.media_id) AS BIGINT) AS keep_id
+             |FROM hsh h LEFT JOIN (
+             |  SELECT media_id, count(*) AS n_near, min(nbr) AS min_nbr
+             |  FROM p GROUP BY 1) nb USING (media_id)
+             |ORDER BY media_id""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -103,6 +103,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio envelope hash: hand-computed windows, empty/short payloads, invariances") {
+    import spark.implicits._
+    // 4 windows over 8 bytes: windows (10,10) (10,10) (90,90) (90,90),
+    // tot = 400, len = 8; bit iff si·8 > 400·2 ⇔ si > 100 ⇒ 0b0011 = 3
+    val kernel = Multimodal.envelopeBits(
+      Array[Byte](10, 10, 10, 10, 90, 90, 90, 90), 4)
+    assert(kernel == 3L, s"hand-computed envelope mismatch: $kernel")
+    // empty payload and len < bits must hash without dividing: empty →
+    // 0; 2 bytes over 4 windows → windows (∅,(0),∅,(1)) by the integer
+    // split (0,0),(0,1),(1,1),(1,2): only non-empty windows can bit
+    assert(Multimodal.envelopeBits(Array.emptyByteArray, 4) == 0L)
+    assert(Multimodal.envelopeBits(Array[Byte](10, 90), 4) == 1L,
+      "2-byte payload: only the last window holds the loud byte")
+    // LEVEL SHIFT invariance on the compare's ordering side: scaling
+    // all amplitudes by a constant keeps every si·len vs tot·ni
+    // ordering, so the fingerprint is identical — the re-encoded-copy
+    // property the dedup rides
+    val quiet = Array[Byte](10, 10, 10, 10, 90, 90, 90, 90)
+    val loud = quiet.map(b => (b * 2).toByte)
+    assert(Multimodal.envelopeBits(quiet, 4) == Multimodal.envelopeBits(loud, 4))
+    // real corpus: partition-invariant, positive BIGINT, exact dups collide
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.documents(spark, sfDir))
+    val h7 = Multimodal.audioEnvelopeHash(media.repartition(7))
+      .orderBy("media_id").collect().toSeq
+    val h3 = Multimodal.audioEnvelopeHash(media.repartition(3))
+      .orderBy("media_id").collect().toSeq
+    assert(h7 == h3)
+    assert(h7.forall(_.getLong(1) >= 0L), "ehash48 must stay a positive BIGINT")
+  }
+
   test("dashboard html assembles from the curated layer") {
     import graft.etl._
     val base = tmpDir("graft_dash")
