@@ -771,6 +771,32 @@ object Corpus {
       .join(kept.select("doc_id", "cluster_id"), Seq("doc_id")))
   }
 
+  /** LSM-style compaction of LSH index segments (r11 — the small-files
+    * problem for the DEDUP INDEX, the same disease the reference's S10
+    * parquet compaction treats for data files): under the rolling-
+    * ingest discipline every batch appends one immutable segment, so
+    * after N ingests each probe pays N directory listings, N parquet
+    * footer reads and an N-way union plan — probe cost grows with
+    * segment COUNT forever even though total index ROWS barely move.
+    * This folds any set of segments into ONE segment with byte-equal
+    * content (a pure union of the per-doc signature and shingle rows —
+    * no dedup, no rewrite of values, so every read path that consumed
+    * the N segments consumes the compacted one identically; CorpusSpec
+    * pins curate-against-compacted ≡ curate-against-N-segments).
+    * Segments being write-once, the swap is coordination-free: write
+    * the compacted segment, point the next ingest's `indexPaths` at it,
+    * delete the inputs at leisure.
+    */
+  def compactSegments(spark: org.apache.spark.sql.SparkSession,
+      indexPaths: Seq[String], outPath: String): Unit = {
+    require(indexPaths.nonEmpty, "compactSegments needs at least one segment")
+    graft.etl.EtlIO.writePartitionedParquet(
+      readIndexSignatures(spark, indexPaths), s"$outPath/signatures",
+      Seq("band_id"))
+    graft.etl.EtlIO.writeParquet(
+      readIndexShingles(spark, indexPaths), s"$outPath/shingles")
+  }
+
   /** The DAILY operation of a 100 TB corpus: curate a NEW batch against
     * the already-curated corpus without touching it. Pipeline:
     * (optional) quality gate → dedup against the persisted index

@@ -153,6 +153,13 @@ object Cli {
         EtlIO.writePartitionedParquet(curated, opts("out"), Seq("split"))
         println(s"curated=${opts("out")} segment=${opts("append-segment")}")
       }
+    case Some("compact-segments") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        graft.corpus.Corpus.compactSegments(spark,
+          opts("segments").split(",").toSeq, opts("out"))
+        println(s"compacted=${opts("out")}")
+      }
     case Some("posting-index") =>
       val opts = parse(args.tail)
       withSession { spark =>
@@ -238,8 +245,8 @@ object Cli {
       }
     case _ =>
       System.err.println(
-        "usage: run|generate|curate|curate-inc|index|posting-index|ann-index|" +
-          "ann-append|pagerank|cluster-update|zorder|vacuum|stream-demo|version (see Scaladoc)")
+        "usage: run|generate|curate|curate-inc|index|compact-segments|posting-index|" +
+          "ann-index|ann-append|pagerank|cluster-update|zorder|vacuum|stream-demo|version (see Scaladoc)")
       sys.exit(2)
   }
 

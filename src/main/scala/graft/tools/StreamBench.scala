@@ -84,6 +84,27 @@ object StreamBench {
     curQ.stop()
     val segBytes = du(s"$base/segments")
 
+    // ---- 1b. segment compaction payoff: after N ingests the probe
+    // pays a per-SEGMENT cost (listing + footer + N-way union plan)
+    // that grows with segment COUNT forever — compactSegments folds
+    // seed + N appended segments into one and the SAME probe is timed
+    // against both layouts (identical pair counts: content-preserving)
+    val allSegs = Seq(s"$base/seed") ++
+      new java.io.File(s"$base/segments").listFiles.toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+        .map(_.getAbsolutePath).sorted
+    graft.corpus.Corpus.compactSegments(spark, allSegs, s"$base/compacted")
+    def timeProbe(paths: Seq[String]): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime
+      val n = graft.corpus.Corpus.dedupAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 0), paths, 0.5).count()
+      ((System.nanoTime - t0) / 1e9, n)
+    }
+    val (probeSegSec, probeSegPairs) = timeProbe(allSegs)
+    val (probeCmpSec, probeCmpPairs) = timeProbe(Seq(s"$base/compacted"))
+    spark.catalog.clearCache()
+
     // ---- 2. CDC upsert stream: seed snapshot = customer, stream U/D/I
     val cust = graft.core.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
@@ -184,6 +205,9 @@ object StreamBench {
         s""","state_rows":$kmvStateRows""") + "," +
       fmt("frame_dedup_stream", fdStats,
         s""","pairs_emitted":$fdPairs""") +
+      s""","segment_compaction":{"n_segments":${allSegs.size},""" +
+      f""""probe_sec_segments":$probeSegSec%.3f,"probe_sec_compacted":$probeCmpSec%.3f,""" +
+      s""""pairs_segments":$probeSegPairs,"pairs_compacted":$probeCmpPairs}""" +
       s""","sf_dir":"$dir","n_batches":$nBatches}""")
     spark.stop()
   }

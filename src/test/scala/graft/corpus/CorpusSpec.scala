@@ -247,6 +247,52 @@ class CorpusSpec extends SparkSpec {
     finally walk.close()
   }
 
+  test("compactSegments: N segments fold into one with byte-equal content and identical probes") {
+    val base = tmpDir("compact_spec")
+    // three rolling-ingest segments from disjoint quarters of the corpus
+    Corpus.writeLshIndex(docs.filter(col("doc_id") % 4 === 0), s"$base/seg0")
+    Corpus.writeLshIndex(docs.filter(col("doc_id") % 4 === 1), s"$base/seg1")
+    Corpus.writeLshIndex(docs.filter(col("doc_id") % 4 === 2), s"$base/seg2")
+    val segs = Seq(s"$base/seg0", s"$base/seg1", s"$base/seg2")
+    Corpus.compactSegments(spark, segs, s"$base/compacted")
+
+    // content preservation: the compacted segment's signature and
+    // shingle ROW SETS equal the N-segment union exactly
+    // via the production multi-segment reader (a raw multi-path read
+    // would refuse to infer one partition scheme across the roots)
+    def sigRows(paths: Seq[String]) =
+      Corpus.readIndexSignatures(spark, paths)
+        .select("doc_id", "band_id", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(sigRows(segs) == sigRows(Seq(s"$base/compacted")))
+    def shRows(paths: Seq[String]) =
+      Corpus.readIndexShingles(spark, paths)
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).sorted)).toSeq.sortBy(_._1)
+    assert(shRows(segs) == shRows(Seq(s"$base/compacted")))
+
+    // probe equality on the held-out quarter: dedup and incremental
+    // curation see NO difference between the N segments and the one
+    val probe = docs.filter(col("doc_id") % 4 === 3)
+    def pairsAgainst(paths: Seq[String]) = {
+      val got = Corpus.dedupAgainstIndex(probe, paths, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.catalog.clearCache()
+      got
+    }
+    val pN = pairsAgainst(segs)
+    val p1 = pairsAgainst(Seq(s"$base/compacted"))
+    assert(pN == p1)
+    assert(pN.nonEmpty, "no cross-segment dups at this sf — spec is vacuous")
+    def curatedAgainst(paths: Seq[String], seg: String) = {
+      val got = Corpus.curateIncremental(probe, paths, s"$base/$seg")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache()
+      got
+    }
+    assert(curatedAgainst(segs, "segA") ==
+      curatedAgainst(Seq(s"$base/compacted"), "segB"))
+  }
+
   test("packShards respects contiguity: shard ids are non-decreasing in doc order per group") {
     val packed = Corpus.packShards(docs, "source", 2000)
       .select("source", "doc_id", "shard_id").collect()

@@ -44,6 +44,15 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/curated_b").count() > 0)
     assert(new java.io.File(s"$base/seg1/signatures").exists())
 
+    // fold the two segments into one; the compacted artifact must carry
+    // the same per-doc signature set (content equality is pinned in
+    // depth by CorpusSpec — here the CLI wiring)
+    run("compact-segments", "--segments", s"$base/seg0,$base/seg1",
+      "--out", s"$base/seg_all")
+    val nSeg = spark.read.parquet(s"$base/seg0/signatures").count() +
+      spark.read.parquet(s"$base/seg1/signatures").count()
+    assert(spark.read.parquet(s"$base/seg_all/signatures").count() == nSeg)
+
     graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .write.parquet(s"$base/emb")
     run("ann-index", "--embeddings", s"$base/emb", "--out", s"$base/ann")
