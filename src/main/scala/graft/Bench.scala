@@ -166,8 +166,14 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg")))
         s.split("\\s+")(0)
       } catch { case _: Throwable => "-1" }
+    // samples carry their pass index so the spread can exclude passes
+    // that started above the load gate (r10: a known-hot pass's sample
+    // surfaced as a phantom 2.6× `spread` row for corpus_curate — the
+    // min caught a quiet window but the max dutifully reported the load
+    // spike as if it were query variance)
     val acc = scala.collection.mutable.LinkedHashMap(
-      entries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+      entries.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[(Int, Double)] }: _*)
     val failedEntries = scala.collection.mutable.Set.empty[String]
     val loadavgs = scala.collection.mutable.ArrayBuffer.empty[String]
     val maxPass = entries.map { case (n, _) => repsFor(n) }.foldLeft(1)(math.max)
@@ -218,9 +224,9 @@ object Bench {
           // cold pass ran < 5s; heavy entries absorb pauses in the ratio
           // anyway and their post-entry garbage is exactly what this
           // collects before the next short one.
-          if (pass > 1 && acc(name).headOption.exists(_ < 5.0)) System.gc()
+          if (pass > 1 && acc(name).headOption.exists(_._2 < 5.0)) System.gc()
           val t0 = System.nanoTime()
-          try { body(); acc(name) += (System.nanoTime() - t0) / 1e9 }
+          try { body(); acc(name) += (pass -> (System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => failedEntries += name; errors += name }
           // queries may cache intermediate frames; drop them so later
           // entries aren't measured under accumulated memory pressure
@@ -229,16 +235,29 @@ object Bench {
       }
       pass += 1
     }
-    // per-entry (min over all passes, max over WARM passes): the first
-    // pass pays one-time per-query costs (codegen, JIT, parquet footers
-    // — measured up to 26× on sub-second entries) that would read as
-    // load poisoning in the noise summary, so with ≥3 samples the first
-    // is excluded from the max. The min keeps every sample (cold ≥ warm,
-    // so it can only come from a warm pass anyway).
+    // per-entry (min over all passes, max over WARM QUIET passes): the
+    // first pass pays one-time per-query costs (codegen, JIT, parquet
+    // footers — measured up to 26× on sub-second entries) that would
+    // read as load poisoning in the noise summary, so with ≥3 samples
+    // the first is excluded from the max; samples from passes that
+    // STARTED above the load gate are excluded too (r10: those passes
+    // exist only so the min can dodge the load window — letting their
+    // maxima into `spread` re-imports the very noise the extra pass was
+    // scheduled to escape). If every warm sample is from a hot pass the
+    // unfiltered warm max is kept — a spread must never be vacuous. The
+    // min keeps every sample (cold ≥ warm, load inflates, never
+    // deflates).
+    def hotPass(i: Int): Boolean =
+      loadavgs.lift(i - 1).flatMap(_.toDoubleOption).exists(_ > loadGate)
     val results: Seq[(String, (Double, Double))] = entries.map { case (name, _) =>
       val ts = acc(name)
       name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0)
-               else (ts.min, (if (ts.size >= 3) ts.drop(1) else ts).max))
+               else {
+                 val warm = (if (ts.size >= 3) ts.drop(1) else ts).toSeq
+                 val quiet = warm.filterNot(t => hotPass(t._1))
+                 (ts.map(_._2).min,
+                   (if (quiet.nonEmpty) quiet else warm).map(_._2).max)
+               })
     }
 
     def qmap(rs: Seq[(String, (Double, Double))], pick: ((Double, Double)) => Double) =
@@ -259,9 +278,13 @@ object Bench {
     // errors present is NOT comparable round-over-round — flag it
     // machine-readably instead of letting a smaller battery read as faster
     val incomplete = if (errors.nonEmpty) """"total_incomplete":true,""" else ""
+    val hotPasses = loadavgs.indices.map(_ + 1).filter(hotPass)
     val extraJson =
       (if (extraPasses > 0) s""""load_extra_passes":$extraPasses,""" else "") +
-        (if (quietWaitSec > 0) s""""quiet_wait_sec":$quietWaitSec,""" else "")
+        (if (quietWaitSec > 0) s""""quiet_wait_sec":$quietWaitSec,""" else "") +
+        (if (hotPasses.nonEmpty)
+          s""""hot_passes_spread_excluded":[${hotPasses.mkString(",")}],"""
+         else "")
     val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
