@@ -24,10 +24,17 @@ package graft
   * SPARK_GRAFT_BENCH_STARTGATE (default 3, bounded 8-minute wait,
   * recorded as `quiet_wait_sec`) — the repo's own "only trust
   * loadavg < 3" rule, enforced where the official artifact is born
-  * instead of remembered in prose. The max is retained per query in
-  * BENCH_LOCAL.json (`spread`), and the worst max/min ratio across
-  * entries is summarized in the stdout line (`noise`) so a noisy run
-  * is visible in the official record.
+  * instead of remembered in prose. After the planned passes, any entry
+  * whose EVERY sample came from a pass that started above the load
+  * gate is RE-RUN behind a bounded quiet wait (≤ 2 rounds,
+  * `all_hot_rerun_*`) — min-of-passes cannot clean an all-hot minimum
+  * any other way — and entries still all-hot afterwards are declared
+  * in `all_hot_entries`. The max is retained per query in
+  * BENCH_LOCAL.json (`spread`), entries whose spread had to keep
+  * hot-pass samples (no quiet warm sample existed) are listed in
+  * `spread_unfiltered`, and the worst max/min ratio across entries is
+  * summarized in the stdout line (`noise`) so a noisy run is visible
+  * in the official record.
   *
   * Emission contract: the driver captures only a ~2 KiB tail of stdout,
   * and the full 90-query map is ~2.4 KB — longer than the window, which
@@ -206,15 +213,9 @@ object Bench {
     }
     var extraPasses = 0
     var passesPlanned = maxPass
-    var pass = 1
-    while (pass <= passesPlanned) {
-      val la = loadAvg1m()
-      loadavgs += la
-      if (la.toDoubleOption.exists(_ > loadGate) && extraPasses < 2) {
-        extraPasses += 1; passesPlanned += 1
-      }
+    def runPassOver(wantedNames: String => Boolean, passIdx: Int): Unit =
       entries.foreach { case (name, body) =>
-        if ((pass <= repsFor(name) || pass > maxPass) && !failedEntries(name)) {
+        if (wantedNames(name) && !failedEntries(name)) {
           // Noise control (r6 showed 9–22× warm spreads on the short ANN
           // entries): a full-GC pause triggered by a heavy NEIGHBOR's
           // accumulated garbage landing inside a short entry's timing
@@ -224,17 +225,61 @@ object Bench {
           // cold pass ran < 5s; heavy entries absorb pauses in the ratio
           // anyway and their post-entry garbage is exactly what this
           // collects before the next short one.
-          if (pass > 1 && acc(name).headOption.exists(_._2 < 5.0)) System.gc()
+          if (passIdx > 1 && acc(name).headOption.exists(_._2 < 5.0)) System.gc()
           val t0 = System.nanoTime()
-          try { body(); acc(name) += (pass -> (System.nanoTime() - t0) / 1e9) }
+          try { body(); acc(name) += (passIdx -> (System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => failedEntries += name; errors += name }
           // queries may cache intermediate frames; drop them so later
           // entries aren't measured under accumulated memory pressure
           spark.catalog.clearCache()
         }
       }
+    var pass = 1
+    while (pass <= passesPlanned) {
+      val la = loadAvg1m()
+      loadavgs += la
+      if (la.toDoubleOption.exists(_ > loadGate) && extraPasses < 2) {
+        extraPasses += 1; passesPlanned += 1
+      }
+      runPassOver(n => pass <= repsFor(n) || pass > maxPass, pass)
       pass += 1
     }
+    // All-hot backstop (r11 verdict item 1): min-of-passes only protects
+    // against load if at least one pass dodged the window — an entry
+    // whose EVERY sample came from a pass that started above the load
+    // gate publishes an all-hot minimum, the one artifact the extra-pass
+    // and spread-exclusion logic cannot clean (r11's official record
+    // carried x11 at 10.26 s vs its 3.2 s quiet cost exactly this way).
+    // So after the planned passes, any such entry is RE-RUN — behind a
+    // bounded quiet wait so the new sample actually lands in a quieter
+    // window — up to 2 rounds. If the box never quiets, the entries are
+    // listed in `all_hot_entries` so the record flags its own minima as
+    // untrustworthy instead of publishing them silently.
+    def hotPass(i: Int): Boolean =
+      loadavgs.lift(i - 1).flatMap(_.toDoubleOption).exists(_ > loadGate)
+    def allHot(name: String): Boolean = {
+      val ts = acc(name)
+      ts.nonEmpty && ts.forall(t => hotPass(t._1))
+    }
+    val rerunEntries = scala.collection.mutable.SortedSet.empty[String]
+    var rerunRounds = 0
+    var quietWaitSecReruns = 0
+    while (rerunRounds < 2 &&
+        entries.exists { case (n, _) => !failedEntries(n) && allHot(n) }) {
+      var waited = 0
+      while (loadAvg1m().toDoubleOption.exists(_ > startGate) && waited < 240) {
+        Thread.sleep(20000L); waited += 20
+      }
+      quietWaitSecReruns += waited
+      val targets = entries.collect {
+        case (n, _) if !failedEntries(n) && allHot(n) => n }.toSet
+      rerunEntries ++= targets
+      loadavgs += loadAvg1m()
+      runPassOver(targets, loadavgs.size)
+      rerunRounds += 1
+    }
+    val allHotEntries = entries.collect {
+      case (n, _) if !failedEntries(n) && allHot(n) => n }
     // per-entry (min over all passes, max over WARM QUIET passes): the
     // first pass pays one-time per-query costs (codegen, JIT, parquet
     // footers — measured up to 26× on sub-second entries) that would
@@ -246,15 +291,19 @@ object Bench {
     // scheduled to escape). If every warm sample is from a hot pass the
     // unfiltered warm max is kept — a spread must never be vacuous. The
     // min keeps every sample (cold ≥ warm, load inflates, never
-    // deflates).
-    def hotPass(i: Int): Boolean =
-      loadavgs.lift(i - 1).flatMap(_.toDoubleOption).exists(_ > loadGate)
+    // deflates). Entries where the quiet set came up EMPTY — so the
+    // unfiltered warm max was kept — are listed in `spread_unfiltered`,
+    // because otherwise the record's hot_passes_spread_excluded claim
+    // would read as applying to every entry when it didn't (r11 ADVICE).
+    val spreadUnfiltered = scala.collection.mutable.SortedSet.empty[String]
     val results: Seq[(String, (Double, Double))] = entries.map { case (name, _) =>
       val ts = acc(name)
       name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0)
                else {
                  val warm = (if (ts.size >= 3) ts.drop(1) else ts).toSeq
                  val quiet = warm.filterNot(t => hotPass(t._1))
+                 if (quiet.isEmpty && loadavgs.indices.exists(i => hotPass(i + 1)))
+                   spreadUnfiltered += name
                  (ts.map(_._2).min,
                    (if (quiet.nonEmpty) quiet else warm).map(_._2).max)
                })
@@ -279,12 +328,21 @@ object Bench {
     // machine-readably instead of letting a smaller battery read as faster
     val incomplete = if (errors.nonEmpty) """"total_incomplete":true,""" else ""
     val hotPasses = loadavgs.indices.map(_ + 1).filter(hotPass)
+    def nameArr(ns: Iterable[String]) =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val extraJson =
       (if (extraPasses > 0) s""""load_extra_passes":$extraPasses,""" else "") +
         (if (quietWaitSec > 0) s""""quiet_wait_sec":$quietWaitSec,""" else "") +
         (if (hotPasses.nonEmpty)
           s""""hot_passes_spread_excluded":[${hotPasses.mkString(",")}],"""
-         else "")
+         else "") +
+        (if (spreadUnfiltered.nonEmpty)
+          s""""spread_unfiltered":${nameArr(spreadUnfiltered)},""" else "") +
+        (if (rerunRounds > 0)
+          s""""all_hot_rerun_rounds":$rerunRounds,"all_hot_rerun_entries":${nameArr(rerunEntries)},"quiet_wait_sec_reruns":$quietWaitSecReruns,"""
+         else "") +
+        (if (allHotEntries.nonEmpty)
+          s""""all_hot_entries":${nameArr(allHotEntries)},""" else "")
     val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
