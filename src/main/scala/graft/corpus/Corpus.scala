@@ -790,11 +790,32 @@ object Corpus {
   def compactSegments(spark: org.apache.spark.sql.SparkSession,
       indexPaths: Seq[String], outPath: String): Unit = {
     require(indexPaths.nonEmpty, "compactSegments needs at least one segment")
+    // a compaction that writes INTO one of its own inputs would race the
+    // read with the overwrite — Spark aborts on the conflict, but only
+    // after the signatures may be half-written while shingles never ran
+    // (r11 ADVICE). Segments are write-once: the output must be a fresh
+    // path, checked up front in both nesting directions.
+    val outAbs = java.nio.file.Paths.get(outPath).toAbsolutePath.normalize
+    indexPaths.foreach { p =>
+      val in = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      require(!outAbs.startsWith(in) && !in.startsWith(outAbs),
+        s"compactSegments output $outPath overlaps input segment $p — " +
+          "compacted segments must be written to a fresh path and " +
+          "swapped in by pointing the next ingest's indexPaths at them")
+    }
+    // stage-then-rename: both tables land under a dot-named staging dir
+    // (invisible to segment listings) and ONE rename publishes them, so
+    // a crash between the two writes can never leave a segment with
+    // signatures but no shingles at the published path
+    val staging = outAbs.resolveSibling("." + outAbs.getFileName + ".staging")
+    graft.core.Scratch.deleteTree(staging)
     graft.etl.EtlIO.writePartitionedParquet(
-      readIndexSignatures(spark, indexPaths), s"$outPath/signatures",
+      readIndexSignatures(spark, indexPaths), s"$staging/signatures",
       Seq("band_id"))
     graft.etl.EtlIO.writeParquet(
-      readIndexShingles(spark, indexPaths), s"$outPath/shingles")
+      readIndexShingles(spark, indexPaths), s"$staging/shingles")
+    graft.core.Scratch.deleteTree(outAbs)
+    java.nio.file.Files.move(staging, outAbs)
   }
 
   /** The DAILY operation of a 100 TB corpus: curate a NEW batch against

@@ -268,6 +268,18 @@ object Multimodal {
     * can never see a hot frame hash fan a batch row out df-wide — the
     * r10 verdict's uncapped-index finding.
     */
+  /** sidecar file name + content marking a frame-index artifact as
+    * written under the df-capped layout. [[graft.streaming.StreamingOps
+    * .frameDedupStream]] REQUIRES it: an index written before the cap
+    * moved to write time (r11) still carries unbounded posting lists,
+    * and nothing else would detect the stale layout — the probe would
+    * quietly re-inherit the r10 hot-hash fan-out (r11 ADVICE). The
+    * content records the cap the artifact was built with, so a future
+    * cap change can also be detected rather than assumed.
+    */
+  val FRAME_INDEX_LAYOUT_FILE: String = "_graft_frame_index_layout"
+  def frameIndexLayoutMarker: String = s"dfcap=$FRAME_DF_CAP\n"
+
   def writeFrameIndex(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val fh = frameHashes(mediaFromDocuments(spark, docs, width = 32, height = 2),
         everyN = FRAME_EVERY_N)
@@ -279,6 +291,9 @@ object Multimodal {
     fh.join(keep, Seq("fhash48"))
       .select("media_id", "fhash48")
       .write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, FRAME_INDEX_LAYOUT_FILE),
+      frameIndexLayoutMarker)
   }
 
   /** column-level digest/size checks (the oracle-checked slice — see

@@ -105,6 +105,32 @@ object StreamBench {
     val (probeCmpSec, probeCmpPairs) = timeProbe(Seq(s"$base/compacted"))
     spark.catalog.clearCache()
 
+    // ---- 1c. auto-compaction steady state (r12): the SAME ingest loop
+    // run twice at a higher batch count — LSM trigger 4 vs compaction
+    // disabled. Without the trigger every batch reads one more segment
+    // path than the last (probe cost rides ingest COUNT forever); with
+    // it the read set stays bounded, so late-batch durations stay flat
+    // and the occasional compaction inside foreachBatch is the visible,
+    // amortized price. read_paths = what the NEXT batch would open.
+    val acBatches =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_AC_BATCHES", "12").toInt
+    def autoCmpRun(tag: String, trigger: Int) = {
+      val in = MemoryStream[graft.streaming.StreamingOps.DocRow]
+      val q = graft.streaming.StreamingOps.curateStreamIncremental(
+        in.toDF(), Seq(s"$base/seed"), s"$base/ac_$tag/segments",
+        s"$base/ac_$tag/out", s"$base/ac_$tag/ckpt",
+        compactTrigger = trigger)
+      val fed = evens.grouped(math.max(1, evens.size / acBatches)).map { b =>
+        in.addData(b); q.processAllAvailable(); b.size
+      }.toSeq
+      val stats = batchStats(q, fed)
+      q.stop()
+      (stats, graft.streaming.StreamingOps.segmentReadSet(
+        s"$base/ac_$tag/segments", Long.MaxValue).size)
+    }
+    val (acOnStats, acOnPaths) = autoCmpRun("on", 4)
+    val (acOffStats, acOffPaths) = autoCmpRun("off", Int.MaxValue)
+
     // ---- 2. CDC upsert stream: seed snapshot = customer, stream U/D/I
     val cust = graft.core.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
@@ -204,7 +230,11 @@ object StreamBench {
       fmt("kmv_sketch_stream", kmvStats,
         s""","state_rows":$kmvStateRows""") + "," +
       fmt("frame_dedup_stream", fdStats,
-        s""","pairs_emitted":$fdPairs""") +
+        s""","pairs_emitted":$fdPairs""") + "," +
+      fmt("curate_stream_autocompact_on", acOnStats,
+        s""","read_paths":$acOnPaths""") + "," +
+      fmt("curate_stream_autocompact_off", acOffStats,
+        s""","read_paths":$acOffPaths""") +
       s""","segment_compaction":{"n_segments":${allSegs.size},""" +
       f""""probe_sec_segments":$probeSegSec%.3f,"probe_sec_compacted":$probeCmpSec%.3f,""" +
       s""""pairs_segments":$probeSegPairs,"pairs_compacted":$probeCmpPairs}""" +

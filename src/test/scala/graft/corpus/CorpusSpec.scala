@@ -291,6 +291,18 @@ class CorpusSpec extends SparkSpec {
     }
     assert(curatedAgainst(segs, "segA") ==
       curatedAgainst(Seq(s"$base/compacted"), "segB"))
+
+    // output-overlaps-input guard (r11 ADVICE): compacting INTO an input
+    // — or into a parent/child of one — must refuse up front, before any
+    // write, not rely on Spark's read-write-conflict abort mid-write
+    val before = sigRows(segs)
+    Seq(s"$base/seg1", s"$base/seg1/signatures", base).foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        Corpus.compactSegments(spark, segs, bad))
+      assert(e.getMessage.contains("overlaps input segment"), bad)
+    }
+    // the refused calls wrote NOTHING into the existing segments
+    assert(sigRows(segs) == before)
   }
 
   test("packShards respects contiguity: shard ids are non-decreasing in doc order per group") {

@@ -490,9 +490,13 @@ class PlanAuditSpec extends SparkSpec {
         s"$q degraded to a sort-merge join at tiny scale:\n$p")
     }
     // sf0.1 lives wherever the driver generated it — honor the env the
-    // tools use, and skip (not error) on boxes without the fixture
+    // tools use, and skip (not error) on boxes without the fixture. An
+    // env dir WITHOUT an sfN suffix makes the rewrite a no-op and would
+    // silently pin the plan at whatever scale that dir holds (r11
+    // ADVICE) — fall back to the canonical sf0.1 path instead.
     val dir01 = sys.env.get("SPARK_GRAFT_SF_DIR")
       .map(d => d.replaceAll("sf[0-9.]+/?$", "sf0.1"))
+      .filter(_.matches(".*sf0\\.1/?$"))
       .getOrElse("/root/testdata/sf0.1")
     assume(new java.io.File(dir01).isDirectory,
       s"sf0.1 fixture absent at $dir01 — skipping the AQE-final-plan pin")

@@ -276,6 +276,24 @@ class StreamingOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("frameDedupStream refuses an index without the df-capped layout marker") {
+    // an index written before the cap moved to write time (r11) still
+    // carries unbounded posting lists; the probe must fail at stream
+    // CONSTRUCTION, not quietly re-inherit the hot-hash fan-out
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("stale_frame_index").toString
+    graft.multimodal.Multimodal.writeFrameIndex(
+      spark, docsDf.filter($"doc_id" % 2 =!= 0), idxPath)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(idxPath,
+      graft.multimodal.Multimodal.FRAME_INDEX_LAYOUT_FILE))
+    val input = MemoryStream[StreamingOps.DocRow]
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.frameDedupStream(input.toDF(), idxPath))
+    assert(e.getMessage.contains("layout marker"))
+  }
+
   test("streaming frame-hash dedup against the persisted index equals the batch composition") {
     implicit val sqlCtx = spark.sqlContext
     val docsDf = graft.core.Tables.documents(spark, sfDir)
@@ -413,6 +431,65 @@ class StreamingOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/out/batch_id=2")),
       "restart re-numbered instead of resuming the offset log")
     assert(StreamingOps.latestCompleteVersion(s"$base/segments") == Some(1L))
+    spark.catalog.clearCache()
+  }
+
+  test("auto-compaction under the LSM trigger leaves curation output identical and shrinks the read set") {
+    // the r11 gap: compactSegments existed but nothing CALLED it. Here
+    // the same corpus streams through two ingest loops — one with the
+    // trigger forced low (compact after every 2 read paths), one with
+    // compaction disabled — and the curated outputs must be doc-for-doc
+    // identical (compaction is a pure union), while the triggered run
+    // must actually have compacted (cmp_ artifacts exist) and its final
+    // batch must read FEWER paths than batches written.
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+    val base = tmpDir("stream_curate_autocmp")
+    val seed = s"$base/seed"
+    graft.corpus.Corpus.writeLshIndex(docsDf.filter($"doc_id" % 2 =!= 0), seed)
+    val newDocs = docsDf.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow]
+      .collect().toSeq.sortBy(_.doc_id)
+    val batches = newDocs.grouped(math.max(1, newDocs.size / 6)).toSeq
+
+    def run(tag: String, trigger: Int): Set[Long] = {
+      val input = MemoryStream[StreamingOps.DocRow]
+      val q = StreamingOps.curateStreamIncremental(input.toDF(), Seq(seed),
+        s"$base/$tag/segments", s"$base/$tag/out", s"$base/$tag/ckpt",
+        compactTrigger = trigger)
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(s"$base/$tag/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val auto = run("auto", trigger = 2)
+    val manual = run("manual", trigger = Int.MaxValue)
+    assert(auto == manual,
+      s"auto-compaction changed curation: extra=${(auto -- manual).take(3)} " +
+        s"missing=${(manual -- auto).take(3)}")
+    assert(auto.nonEmpty && auto.size < newDocs.size,
+      "nothing was deduped — spec is vacuous")
+    val cmps = new java.io.File(s"$base/auto/segments").listFiles.toSeq
+      .map(_.getName).filter(_.startsWith("cmp_"))
+    assert(cmps.nonEmpty, "trigger=2 over 6+ batches never compacted")
+    assert(new java.io.File(s"$base/manual/segments").listFiles.toSeq
+      .forall(!_.getName.startsWith("cmp_")),
+      "disabled trigger still compacted")
+    // the NEXT batch's read set is bounded by the trigger+1 (one fresh
+    // cmp plus the segments after it), while the unmanaged layout pays
+    // one path per batch forever
+    val autoRs = StreamingOps.segmentReadSet(
+      s"$base/auto/segments", batches.size)
+    val manualRs = StreamingOps.segmentReadSet(
+      s"$base/manual/segments", batches.size)
+    assert(manualRs.size == batches.size)
+    assert(autoRs.size < manualRs.size && autoRs.size <= 3,
+      s"read set not bounded: auto=${autoRs.size} manual=${manualRs.size}")
+    // re-firing the trigger for an already-compacted id is a no-op —
+    // the replay case of a batch whose compaction committed before a
+    // crash
+    assert(!StreamingOps.maybeCompactSegments(spark,
+      s"$base/auto/segments", cmps.map(_.stripPrefix("cmp_").toLong).max, 0))
     spark.catalog.clearCache()
   }
 
