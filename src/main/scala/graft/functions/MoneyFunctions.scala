@@ -35,4 +35,29 @@ object MoneyFunctions {
     val p = math.pow(10, n).toLong
     s"floor(($expr) * $p + 0.5) / $p"
   }
+
+  /** Exact DECIMAL image of a ≤ 2-dp money/value double (every testdata
+    * money column — l_extendedprice, o_totalprice, c_acctbal,
+    * events.value, l_discount, l_tax — is exactly 2-dp, verified in the
+    * r12 float-sum audit). A double SUM of such columns is
+    * order-sensitive once |Σ| is large: partial-agg order (a
+    * partition-layout accident) moves the low bits, and rounding the
+    * SUM cannot neutralize that — the cross-engine hash pin becomes
+    * empirical at big SF (measured margin: a 2-dp pin at sf10 is
+    * already within one summation-error bound of flaking). Casting each
+    * TERM to decimal first makes the sum exact and order-independent by
+    * construction in both engines at any SF — t17's sufficient-
+    * statistics discipline applied to the money sums. (12,2) holds
+    * |x| < 10^10 — every money column by orders of magnitude; products
+    * with [[rate2]] stay well inside both engines' 38-digit cap.
+    */
+  def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** exact decimal image of a rate-like ≤ 2-dp double in (−10, 10) —
+    * discounts, taxes, 1±x factors.
+    */
+  def rate2(c: Column): Column = c.cast("decimal(3,2)")
+
+  def dec2Sql(expr: String): String = s"CAST($expr AS DECIMAL(12,2))"
+  def rate2Sql(expr: String): String = s"CAST($expr AS DECIMAL(3,2))"
 }

@@ -14,6 +14,19 @@ import graft.functions.MoneyFunctions._
 object AnalyticalQueries {
   import RelationalQueries.{Q, QFn}
 
+  /** discounted revenue as an EXACT decimal term (r12 float-sum audit):
+    * every money column is exactly 2-dp, so summing decimal images is
+    * order-independent in both engines at any SF, where the old double
+    * sum's low bits moved with partial-agg order once |Σ| grew —
+    * [[graft.functions.MoneyFunctions.dec2]] has the margin arithmetic.
+    * Spark decimal types: (12,2) × ((3,2)−(3,2) → (4,2)) → (17,4),
+    * exact, far inside the 38-digit cap in both engines.
+    */
+  private def discounted = dec2(col("l_extendedprice")) *
+    (lit(1).cast("decimal(3,2)") - rate2(col("l_discount")))
+  private val discountedSql =
+    s"""${dec2Sql("l_extendedprice")} * (1 - ${rate2Sql("l_discount")})"""
+
   val all: Seq[Q] = Seq(
 
     Q("h1_shipping_priority",
@@ -34,13 +47,13 @@ object AnalyticalQueries {
           .groupBy(col("l_orderkey"),
             col("o_orderdate").cast("date").cast("string").as("order_date"),
             col("o_orderpriority"))
-          .agg(roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .agg(roundAt(sum(discounted).cast("double"), 4).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       Some(s"""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
               |  o_orderpriority,
-              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |  ${roundAtSql(s"CAST(sum($discountedSql) AS DOUBLE)", 4)} AS revenue
               |FROM lineitem
               |JOIN orders ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
@@ -72,14 +85,14 @@ object AnalyticalQueries {
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
             roundAt(col("c_acctbal"), 2).as("c_acctbal"))
-          .agg(roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .agg(roundAt(sum(discounted).cast("double"), 4)
             .as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       },
       Some(s"""SELECT c_custkey, c_name, n_name,
               |  ${roundAtSql("c_acctbal", 2)} AS c_acctbal,
-              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |  ${roundAtSql(s"CAST(sum($discountedSql) AS DOUBLE)", 4)} AS revenue
               |FROM lineitem
               |JOIN orders ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
@@ -116,11 +129,11 @@ object AnalyticalQueries {
               col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
-          .agg(roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+          .agg(roundAt(sum(discounted).cast("double"), 4).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       Some(s"""SELECT n_name,
-              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |  ${roundAtSql(s"CAST(sum($discountedSql) AS DOUBLE)", 4)} AS revenue
               |FROM lineitem
               |JOIN orders ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
@@ -226,14 +239,14 @@ object AnalyticalQueries {
           .withColumn("avg_qty", avg("l_quantity").over(byPart))
           .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .agg(count(lit(1)).as("n_small"),
-            roundAt(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+            roundAt(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 2).as("avg_yearly"))
       },
       Some(s"""WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
               |l AS (SELECT l_partkey, l_quantity, l_extendedprice
               |      FROM lineitem JOIN p ON p_partkey = l_partkey),
               |a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM l GROUP BY 1)
               |SELECT count(*) AS n_small,
-              |  ${roundAtSql("sum(l.l_extendedprice) / 7.0", 2)} AS avg_yearly
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("l.l_extendedprice")}) AS DOUBLE) / 7.0", 2)} AS avg_yearly
               |FROM l JOIN a USING (l_partkey)
               |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin)),
 
@@ -344,7 +357,7 @@ object AnalyticalQueries {
               .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey"),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy("c_nationkey")
-          .agg(count(lit(1)).as("numcust"), roundAt(sum("c_acctbal"), 2).as("totacctbal"))
+          .agg(count(lit(1)).as("numcust"), roundAt(sum(dec2(col("c_acctbal"))).cast("double"), 2).as("totacctbal"))
           .orderBy("c_nationkey")
       },
       Some(s"""WITH eligible AS (
@@ -355,7 +368,7 @@ object AnalyticalQueries {
               |           / (100.0 * count(*)) AS thr
               |  FROM eligible WHERE c_acctbal > 0.0)
               |SELECT c_nationkey, count(*) AS numcust,
-              |  ${roundAtSql("sum(c_acctbal)", 2)} AS totacctbal
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("c_acctbal")}) AS DOUBLE)", 2)} AS totacctbal
               |FROM eligible, thr
               |WHERE c_acctbal > thr
               |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -440,11 +453,11 @@ object AnalyticalQueries {
              band("Brand#23", 10, 10, 20) ||
              band("Brand#34", 15, 20, 30)))
           .agg(count(lit(1)).as("n"),
-            roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            roundAt(sum(discounted).cast("double"), 4)
               .as("revenue"))
       },
       Some(s"""SELECT count(*) AS n,
-              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |  ${roundAtSql(s"CAST(sum($discountedSql) AS DOUBLE)", 4)} AS revenue
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
               |       AND l_quantity BETWEEN 1 AND 11)
@@ -504,14 +517,14 @@ object AnalyticalQueries {
         Tables.part(s, dir).createOrReplaceTempView("part_v")
         s.sql(s"""
           |SELECT p_type, count(*) AS n,
-          |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5) / 10000 AS revenue
+          |  floor(CAST(sum($discountedSql) AS DOUBLE) * 10000 + 0.5) / 10000 AS revenue
           |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
           |WHERE p_size <= 15
           |GROUP BY p_type
           |ORDER BY p_type""".stripMargin)
       },
       Some(s"""SELECT p_type, count(*) AS n,
-              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS revenue
+              |  ${roundAtSql(s"CAST(sum($discountedSql) AS DOUBLE)", 4)} AS revenue
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |WHERE p_size <= 15
               |GROUP BY p_type ORDER BY p_type""".stripMargin)),
@@ -575,13 +588,13 @@ object AnalyticalQueries {
           .join(broadcast(bandBuckets), Seq("bucket"))
           .filter(col("value") >= col("low") && col("value") < col("high"))
           .groupBy("band_id")
-          .agg(count(lit(1)).as("n"), roundAt(sum("value"), 4).as("sum_value"))
+          .agg(count(lit(1)).as("n"), roundAt(sum(dec2(col("value"))).cast("double"), 4).as("sum_value"))
           .orderBy("band_id")
       },
       Some(s"""WITH bands(band_id, low, high) AS (VALUES
               |  ('b0_low', 0.0, 25.0), ('b1_mid', 20.0, 50.0), ('b2_high', 50.0, 75.0),
               |  ('b3_wide', 40.0, 100.0), ('b4_tail', 90.0, 200.0))
-              |SELECT band_id, count(*) AS n, ${roundAtSql("sum(value)", 4)} AS sum_value
+              |SELECT band_id, count(*) AS n, ${roundAtSql(s"CAST(sum(${dec2Sql("value")}) AS DOUBLE)", 4)} AS sum_value
               |FROM events e JOIN bands b ON e.value >= b.low AND e.value < b.high
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -674,28 +687,59 @@ object AnalyticalQueries {
 
     Q("a20_grouped_regression",
       (s, dir) => {
-        // per-group closed-form linear regression (price ~ quantity) via
-        // the SQL regr_* aggregates — the feature-engineering fit that
-        // runs as ONE partial+final shuffle over a 100 TB fact (each
-        // partial carries only the five sufficient statistics n, Σx, Σy,
-        // Σxy, Σx²; no per-row state, no iterative solver). Slope and
-        // intercept rounded at 6/4 dp to absorb the engines' different
-        // partial-merge orders; r² ∈ [0,1] rounds at 6 dp.
-        Tables.lineitem(s, dir)
+        // per-group closed-form linear regression (price ~ quantity) —
+        // the feature-engineering fit that runs as ONE partial+final
+        // shuffle over a 100 TB fact (each partial carries only the six
+        // sufficient statistics n, Σx, Σy, Σxy, Σx², Σy²; no per-row
+        // state, no iterative solver). r12 float-sum audit: the regr_*
+        // aggregates accumulate DOUBLE moments whose low bits move with
+        // partial-merge order — an empirical pin that flakes at big SF —
+        // so the statistics now accumulate in DECIMAL (exact, order-free
+        // in both engines; the 2-dp inputs are exactly decimal-imaged)
+        // and slope/intercept/r² derive from them in the SAME double
+        // expression structure as the DuckDB twin (t17's discipline).
+        val xd = dec2(col("l_quantity"))
+        val yd = dec2(col("l_extendedprice"))
+        val sums = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
-          .agg(
-            expr("regr_count(l_extendedprice, l_quantity)").as("n"),
-            roundAt(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
-            roundAt(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
-            roundAt(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+          .agg(count(lit(1)).as("n0"),
+            sum(xd).as("sxd"), sum(yd).as("syd"),
+            sum(xd * xd).as("sxxd"), sum(xd * yd).as("sxyd"),
+            sum(yd * yd).as("syyd"))
+          .select(col("l_returnflag"), col("n0"),
+            col("n0").cast("double").as("nn"),
+            col("sxd").cast("double").as("sx"),
+            col("syd").cast("double").as("sy"),
+            col("sxxd").cast("double").as("sxx"),
+            col("sxyd").cast("double").as("sxy"),
+            col("syyd").cast("double").as("syy"))
+        val num = col("nn") * col("sxy") - col("sx") * col("sy")
+        val den = col("nn") * col("sxx") - col("sx") * col("sx")
+        val slope = num / den
+        sums.select(col("l_returnflag"), col("n0").as("n"),
+            roundAt(slope, 6).as("slope"),
+            roundAt((col("sy") - slope * col("sx")) / col("nn"), 4).as("intercept"),
+            roundAt(num * num / (den *
+              (col("nn") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
           .orderBy("l_returnflag")
       },
-      Some(s"""SELECT l_returnflag,
-              |  regr_count(l_extendedprice, l_quantity) AS n,
-              |  ${roundAtSql("regr_slope(l_extendedprice, l_quantity)", 6)} AS slope,
-              |  ${roundAtSql("regr_intercept(l_extendedprice, l_quantity)", 4)} AS intercept,
-              |  ${roundAtSql("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2
-              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some {
+        val slope = "((nn * sxy - sx * sy) / (nn * sxx - sx * sx))"
+        s"""WITH st AS (
+           |  SELECT l_returnflag, count(*) AS n0,
+           |    CAST(count(*) AS DOUBLE) AS nn,
+           |    CAST(sum(${dec2Sql("l_quantity")}) AS DOUBLE) AS sx,
+           |    CAST(sum(${dec2Sql("l_extendedprice")}) AS DOUBLE) AS sy,
+           |    CAST(sum(${dec2Sql("l_quantity")} * ${dec2Sql("l_quantity")}) AS DOUBLE) AS sxx,
+           |    CAST(sum(${dec2Sql("l_quantity")} * ${dec2Sql("l_extendedprice")}) AS DOUBLE) AS sxy,
+           |    CAST(sum(${dec2Sql("l_extendedprice")} * ${dec2Sql("l_extendedprice")}) AS DOUBLE) AS syy
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n0 AS n,
+           |  ${roundAtSql(slope, 6)} AS slope,
+           |  ${roundAtSql(s"(sy - $slope * sx) / nn", 4)} AS intercept,
+           |  ${roundAtSql("(nn * sxy - sx * sy) * (nn * sxy - sx * sy) / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))", 6)} AS r2
+           |FROM st ORDER BY 1""".stripMargin
+      }),
 
     Q("a21_winsorized_mean",
       (s, dir) => {
@@ -715,8 +759,14 @@ object AnalyticalQueries {
           .withColumn("clamped", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            roundAt(avg("l_extendedprice"), 4).as("raw_mean"),
-            roundAt(avg("clamped"), 4).as("wins_mean"),
+            // r12 float-sum audit: means as exact-decimal sums / count; the
+            // clamp bound is cents-rounded (engine-stable roundAt) before the
+            // decimal image so the mixed clamped/unclamped column stays
+            // exactly decimal-representable on both engines
+            roundAt(sum(dec2(col("l_extendedprice"))).cast("double")
+              / count(lit(1)), 4).as("raw_mean"),
+            roundAt(sum(dec2(roundAt(col("clamped"), 2))).cast("double")
+              / count(lit(1)), 4).as("wins_mean"),
             roundAt(max("lo"), 4).as("p05"), roundAt(max("hi"), 4).as("p95"))
           .orderBy("l_returnflag")
       },
@@ -726,8 +776,8 @@ object AnalyticalQueries {
               |    quantile_cont(l_extendedprice, 0.95) AS hi
               |  FROM lineitem GROUP BY 1)
               |SELECT l_returnflag, count(*) AS n,
-              |  ${roundAtSql("avg(l_extendedprice)", 4)} AS raw_mean,
-              |  ${roundAtSql("avg(least(greatest(l_extendedprice, lo), hi))", 4)} AS wins_mean,
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("l_extendedprice")}) AS DOUBLE) / count(*)", 4)} AS raw_mean,
+              |  ${roundAtSql(s"CAST(sum(CAST(${roundAtSql("least(greatest(l_extendedprice, lo), hi)", 2)} AS DECIMAL(12,2))) AS DOUBLE) / count(*)", 4)} AS wins_mean,
               |  ${roundAtSql("max(lo)", 4)} AS p05, ${roundAtSql("max(hi)", 4)} AS p95
               |FROM lineitem JOIN q ON l_returnflag = rf
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -836,15 +886,16 @@ object AnalyticalQueries {
         .groupBy("l_returnflag")
         .agg(
           count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
-          roundAt(sum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(0.0)), 2)
+          roundAt(sum(when(col("l_quantity") > 25, dec2(col("l_extendedprice")))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double"), 2)
             .as("bulk_revenue"),
-          roundAt(sum(when(col("l_tax") === 0.0, col("l_extendedprice"))), 2)
+          roundAt(sum(when(col("l_tax") === 0.0, dec2(col("l_extendedprice")))).cast("double"), 2)
             .as("taxfree_revenue"))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
               |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-              |  ${roundAtSql("sum(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0.0 END)", 2)} AS bulk_revenue,
-              |  ${roundAtSql("sum(l_extendedprice) FILTER (WHERE l_tax = 0.0)", 2)} AS taxfree_revenue
+              |  ${roundAtSql(s"CAST(sum(CASE WHEN l_quantity > 25 THEN ${dec2Sql("l_extendedprice")} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)", 2)} AS bulk_revenue,
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("l_extendedprice")}) FILTER (WHERE l_tax = 0.0) AS DOUBLE)", 2)} AS taxfree_revenue
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("a18_stats_moments",
@@ -852,22 +903,55 @@ object AnalyticalQueries {
         // second-moment statistics per group: sample stddev, sample
         // covariance, and Pearson correlation (price vs quantity) — the
         // profiling aggregates a feature-engineering pass runs over a
-        // 100 TB table in one partial+final shuffle. 6 dp rounding
-        // absorbs the engines' different partial-merge orders (the x12
-        // contract).
-        Tables.lineitem(s, dir)
+        // 100 TB table in one partial+final shuffle. r12 float-sum
+        // audit: the builtin moment aggregates are order-sensitive
+        // doubles, so the sufficient statistics accumulate in DECIMAL
+        // (exact at any SF; 2-dp inputs are exactly decimal-imaged) and
+        // the moments derive from them in the SAME double expression
+        // structure as the DuckDB twin.
+        val xd = dec2(col("l_extendedprice"))
+        val yd = dec2(col("l_quantity"))
+        val sums = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"),
-            roundAt(stddev_samp("l_extendedprice"), 4).as("sd_price"),
-            roundAt(covar_samp("l_extendedprice", "l_quantity"), 4).as("cov_pq"),
-            roundAt(corr("l_extendedprice", "l_quantity"), 6).as("corr_pq"))
+          .agg(count(lit(1)).as("n0"),
+            sum(xd).as("sxd"), sum(yd).as("syd"),
+            sum(xd * xd).as("sxxd"), sum(xd * yd).as("sxyd"),
+            sum(yd * yd).as("syyd"))
+          .select(col("l_returnflag"), col("n0"),
+            col("n0").cast("double").as("nn"),
+            col("sxd").cast("double").as("sx"),
+            col("syd").cast("double").as("sy"),
+            col("sxxd").cast("double").as("sxx"),
+            col("sxyd").cast("double").as("sxy"),
+            col("syyd").cast("double").as("syy"))
+        val mx = col("nn") * col("sxx") - col("sx") * col("sx")
+        val my = col("nn") * col("syy") - col("sy") * col("sy")
+        val mxy = col("nn") * col("sxy") - col("sx") * col("sy")
+        sums.select(col("l_returnflag"), col("n0").as("n"),
+            roundAt(sqrt(mx / (col("nn") * (col("nn") - lit(1.0)))), 4).as("sd_price"),
+            roundAt(mxy / (col("nn") * (col("nn") - lit(1.0))), 4).as("cov_pq"),
+            roundAt(mxy / (sqrt(mx) * sqrt(my)), 6).as("corr_pq"))
           .orderBy("l_returnflag")
       },
-      Some(s"""SELECT l_returnflag, count(*) AS n,
-              |  ${roundAtSql("stddev_samp(l_extendedprice)", 4)} AS sd_price,
-              |  ${roundAtSql("covar_samp(l_extendedprice, l_quantity)", 4)} AS cov_pq,
-              |  ${roundAtSql("corr(l_extendedprice, l_quantity)", 6)} AS corr_pq
-              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some {
+        val mx = "(nn * sxx - sx * sx)"
+        val my = "(nn * syy - sy * sy)"
+        val mxy = "(nn * sxy - sx * sy)"
+        s"""WITH st AS (
+           |  SELECT l_returnflag, count(*) AS n0,
+           |    CAST(count(*) AS DOUBLE) AS nn,
+           |    CAST(sum(${dec2Sql("l_extendedprice")}) AS DOUBLE) AS sx,
+           |    CAST(sum(${dec2Sql("l_quantity")}) AS DOUBLE) AS sy,
+           |    CAST(sum(${dec2Sql("l_extendedprice")} * ${dec2Sql("l_extendedprice")}) AS DOUBLE) AS sxx,
+           |    CAST(sum(${dec2Sql("l_extendedprice")} * ${dec2Sql("l_quantity")}) AS DOUBLE) AS sxy,
+           |    CAST(sum(${dec2Sql("l_quantity")} * ${dec2Sql("l_quantity")}) AS DOUBLE) AS syy
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n0 AS n,
+           |  ${roundAtSql(s"sqrt($mx / (nn * (nn - 1.0)))", 4)} AS sd_price,
+           |  ${roundAtSql(s"$mxy / (nn * (nn - 1.0))", 4)} AS cov_pq,
+           |  ${roundAtSql(s"$mxy / (sqrt($mx) * sqrt($my))", 6)} AS corr_pq
+           |FROM st ORDER BY 1""".stripMargin
+      }),
 
     Q("a25_unpivot_long",
       (s, dir) => {
@@ -880,8 +964,8 @@ object AnalyticalQueries {
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(roundAt(sum("l_quantity"), 2).as("sum_qty"),
-            roundAt(sum("l_extendedprice"), 2).as("sum_price"),
-            roundAt(sum("l_discount"), 2).as("sum_disc"))
+            roundAt(sum(dec2(col("l_extendedprice"))).cast("double"), 2).as("sum_price"),
+            roundAt(sum(dec2(col("l_discount"))).cast("double"), 2).as("sum_disc"))
           .select(col("l_returnflag"), expr(
             """stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,
               |  'sum_disc', sum_disc) AS (measure, value)""".stripMargin))
@@ -890,8 +974,8 @@ object AnalyticalQueries {
       Some(s"""WITH wide AS (
               |  SELECT l_returnflag,
               |    ${roundAtSql("sum(l_quantity)", 2)} AS sum_qty,
-              |    ${roundAtSql("sum(l_extendedprice)", 2)} AS sum_price,
-              |    ${roundAtSql("sum(l_discount)", 2)} AS sum_disc
+              |    ${roundAtSql(s"CAST(sum(${dec2Sql("l_extendedprice")}) AS DOUBLE)", 2)} AS sum_price,
+              |    ${roundAtSql(s"CAST(sum(${dec2Sql("l_discount")}) AS DOUBLE)", 2)} AS sum_disc
               |  FROM lineitem GROUP BY 1)
               |SELECT l_returnflag, measure, value FROM (
               |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
@@ -972,41 +1056,61 @@ object AnalyticalQueries {
       (s, dir) => {
         // pairwise Pearson correlation MATRIX over k numeric columns in
         // ONE aggregation pass — the feature-screening step before
-        // training (drop collinear features). All k·(k−1)/2 corr
-        // aggregates ride the same partial+final shuffle (sufficient
-        // statistics per pair), then a stack() unpivot emits the tidy
-        // (col_a, col_b, corr) triangle — the table is scanned once no
-        // matter how many pairs. 6 dp rounding absorbs partial-merge
-        // order (the a18 contract).
+        // training (drop collinear features). All k·(k−1)/2 pair
+        // statistics ride the same partial+final shuffle, then a stack()
+        // unpivot emits the tidy (col_a, col_b, corr) triangle — the
+        // table is scanned once no matter how many pairs. r12 float-sum
+        // audit: sufficient statistics accumulate in DECIMAL (exact,
+        // order-free; all four columns are exactly 2-dp) and each corr
+        // derives from them in the same double expression structure as
+        // the DuckDB twin (the a18/a20 contract).
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         val pairs = for {
           i <- cols.indices; j <- cols.indices if i < j
         } yield (cols(i), cols(j))
-        val aggs = pairs.map { case (a, b) =>
-          roundAt(corr(col(a), col(b)), 6).as(s"${a}__$b")
+        val statAggs =
+          Seq(count(lit(1)).cast("double").as("nn")) ++
+          cols.map(c => sum(dec2(col(c))).cast("double").as(s"s_$c")) ++
+          cols.map(c => sum(dec2(col(c)) * dec2(col(c))).cast("double").as(s"ss_$c")) ++
+          pairs.map { case (a, b) =>
+            sum(dec2(col(a)) * dec2(col(b))).cast("double").as(s"sp_${a}__$b") }
+        def corrExpr(a: String, b: String) = {
+          def m(c: String) =
+            col("nn") * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")
+          roundAt((col("nn") * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b"))
+            / (sqrt(m(a)) * sqrt(m(b))), 6)
         }
         val stackArgs = pairs.map { case (a, b) =>
           s"'$a', '$b', ${a}__$b"
         }.mkString(", ")
         Tables.lineitem(s, dir)
-          .agg(aggs.head, aggs.tail: _*)
+          .agg(statAggs.head, statAggs.tail: _*)
+          .select(pairs.map { case (a, b) => corrExpr(a, b).as(s"${a}__$b") }: _*)
           .select(expr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)"))
           .orderBy("col_a", "col_b")
       },
-      Some(s"""SELECT col_a, col_b, corr FROM (
-              |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-              |    ${roundAtSql("corr(l_quantity, l_extendedprice)", 6)} AS corr FROM lineitem
-              |  UNION ALL SELECT 'l_quantity', 'l_discount',
-              |    ${roundAtSql("corr(l_quantity, l_discount)", 6)} FROM lineitem
-              |  UNION ALL SELECT 'l_quantity', 'l_tax',
-              |    ${roundAtSql("corr(l_quantity, l_tax)", 6)} FROM lineitem
-              |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
-              |    ${roundAtSql("corr(l_extendedprice, l_discount)", 6)} FROM lineitem
-              |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
-              |    ${roundAtSql("corr(l_extendedprice, l_tax)", 6)} FROM lineitem
-              |  UNION ALL SELECT 'l_discount', 'l_tax',
-              |    ${roundAtSql("corr(l_discount, l_tax)", 6)} FROM lineitem)
-              |ORDER BY 1, 2""".stripMargin)),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val stats =
+          Seq("CAST(count(*) AS DOUBLE) AS nn") ++
+          cols.map(c => s"CAST(sum(${dec2Sql(c)}) AS DOUBLE) AS s_$c") ++
+          cols.map(c => s"CAST(sum(${dec2Sql(c)} * ${dec2Sql(c)}) AS DOUBLE) AS ss_$c") ++
+          pairs.map { case (a, b) =>
+            s"CAST(sum(${dec2Sql(a)} * ${dec2Sql(b)}) AS DOUBLE) AS sp_${a}__$b" }
+        def m(c: String) = s"(nn * ss_$c - s_$c * s_$c)"
+        val rows = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |    ${roundAtSql(s"(nn * sp_${a}__$b - s_$a * s_$b) / (sqrt(${m(a)}) * sqrt(${m(b)}))", 6)} AS corr
+             |  FROM st""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH st AS (SELECT ${stats.mkString(",\n  ")} FROM lineitem)
+           |SELECT col_a, col_b, corr FROM (
+           |  $rows)
+           |ORDER BY 1, 2""".stripMargin
+      }),
 
     Q("e4_sliding_window_batch",
       (s, dir) => {

@@ -24,10 +24,10 @@ object EventQueries {
     Q("e1_tumbling_window",
       (s, dir) => Tables.eventsTs(s, dir)
         .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), roundAt(sum("value"), 6).as("sum_value"))
+        .agg(count(lit(1)).as("n"), roundAt(sum(dec2(col("value"))).cast("double"), 6).as("sum_value"))
         .orderBy("hour", "event_type"),
       Some(s"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
-              |  count(*) AS n, ${roundAtSql("sum(value)", 6)} AS sum_value
+              |  count(*) AS n, ${roundAtSql(s"CAST(sum(${dec2Sql("value")}) AS DOUBLE)", 6)} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("e2_sessionize",
@@ -127,7 +127,7 @@ object EventQueries {
         Tables.eventsTs(s, dir)
           .groupBy(window(col("ts"), "1 hour", "15 minutes"),
             col("event_type"))
-          .agg(count(lit(1)).as("n"), roundAt(sum("value"), 6).as("sum_value"))
+          .agg(count(lit(1)).as("n"), roundAt(sum(dec2(col("value"))).cast("double"), 6).as("sum_value"))
           .select(col("window.start").cast("string").as("win_start"),
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("win_start", "event_type")
@@ -141,7 +141,7 @@ object EventQueries {
               |    event_type, value
               |  FROM e, unnest([0, 1, 2, 3]) t(k))
               |SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,
-              |  count(*) AS n, ${roundAtSql("sum(value)", 6)} AS sum_value
+              |  count(*) AS n, ${roundAtSql(s"CAST(sum(${dec2Sql("value")}) AS DOUBLE)", 6)} AS sum_value
               |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("e15_session_window",
@@ -435,7 +435,7 @@ object EventQueries {
             max(struct(col("ts_us"), col("event_id"), col("event_type")))
               .getField("event_type").as("last_touch"),
             count(lit(1)).as("n_events"),
-            roundAt(sum("value"), 6).as("total_value"))
+            roundAt(sum(dec2(col("value"))).cast("double"), 6).as("total_value"))
           .orderBy("user_id")
       },
       Some(s"""WITH e AS (
@@ -449,7 +449,7 @@ object EventQueries {
               |    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
               |a AS (
               |  SELECT user_id, count(*) AS n_events,
-              |    ${roundAtSql("sum(value)", 6)} AS total_value
+              |    ${roundAtSql(s"CAST(sum(${dec2Sql("value")}) AS DOUBLE)", 6)} AS total_value
               |  FROM e GROUP BY 1)
               |SELECT a.user_id, f.event_type AS first_touch,
               |  l.event_type AS last_touch, a.n_events, a.total_value
@@ -476,7 +476,7 @@ object EventQueries {
         val daily = Tables.eventsTs(s, dir)
           .filter(col("event_type") === "purchase")
           .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(roundAt(sum("value"), 4).as("v"))
+          .agg(roundAt(sum(dec2(col("value"))).cast("double"), 4).as("v"))
         val grid = daily.groupBy("user_id")
           .agg(min("day").as("d0"), max("day").as("d1"))
           .select(col("user_id"),
@@ -504,7 +504,7 @@ object EventQueries {
       },
       Some(s"""WITH daily AS (
               |  SELECT user_id, CAST(ts AS DATE) AS day,
-              |    ${roundAtSql("sum(value)", 4)} AS v
+              |    ${roundAtSql(s"CAST(sum(${dec2Sql("value")}) AS DOUBLE)", 4)} AS v
               |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
               |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
               |grid AS (
@@ -546,10 +546,22 @@ object EventQueries {
         val daily = Tables.eventsTs(s, dir)
           .select(col("event_type"), to_date(col("ts")).as("day"))
           .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        // r12 float-sum audit: day counts are exact longs, so Σn and Σn²
+        // are exact integer/decimal sums (n² via decimal so a 100 TB
+        // day-count cannot overflow a long) and mu/sigma derive from
+        // them in the SAME expression order as the streaming twin
+        // (StreamingOps.dailyAnomalyStream) and the DuckDB oracle —
+        // the old stddev_samp pin held only empirically at 6 dp.
+        val n19 = col("n").cast("decimal(19,0)")
         val stats = daily.groupBy("event_type")
-          .agg(roundAt(avg("n"), 6).as("mu"),
-            roundAt(stddev_samp(col("n").cast("double")), 6).as("sigma"),
-            count(lit(1)).as("n_days"))
+          .agg(count(lit(1)).cast("double").as("nd"),
+            sum("n").cast("double").as("s1"),
+            sum(n19 * n19).cast("double").as("s2"))
+          .select(col("event_type"),
+            roundAt(col("s1") / col("nd"), 6).as("mu"),
+            roundAt(sqrt(greatest(
+              (col("s2") - col("s1") * col("s1") / col("nd"))
+                / (col("nd") - lit(1.0)), lit(0.0))), 6).as("sigma"))
           .filter(col("sigma") > 0)
         daily.join(stats, Seq("event_type"))
           .withColumn("z", roundAt((col("n") - col("mu")) / col("sigma"), 6))
@@ -561,11 +573,16 @@ object EventQueries {
       Some(s"""WITH daily AS (
               |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
               |  FROM events GROUP BY 1, 2),
+              |st AS (
+              |  SELECT event_type, CAST(count(*) AS DOUBLE) AS nd,
+              |    CAST(sum(n) AS DOUBLE) AS s1,
+              |    CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS DOUBLE) AS s2
+              |  FROM daily GROUP BY 1),
               |stats AS (
-              |  SELECT event_type, ${roundAtSql("avg(n)", 6)} AS mu,
-              |    ${roundAtSql("stddev_samp(CAST(n AS DOUBLE))", 6)} AS sigma
-              |  FROM daily GROUP BY 1
-              |  HAVING ${roundAtSql("stddev_samp(CAST(n AS DOUBLE))", 6)} > 0)
+              |  SELECT event_type, ${roundAtSql("s1 / nd", 6)} AS mu,
+              |    ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1.0), 0.0))", 6)} AS sigma
+              |  FROM st
+              |  WHERE ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1.0), 0.0))", 6)} > 0)
               |SELECT daily.event_type, CAST(day AS VARCHAR) AS day, n, mu, sigma,
               |  ${roundAtSql("(n - mu) / sigma", 6)} AS z
               |FROM daily JOIN stats ON stats.event_type = daily.event_type

@@ -602,22 +602,27 @@ object RelationalQueries {
         val l = Tables.lineitem(s, dir)
         l.groupBy("l_returnflag", "l_linestatus")
           .agg(
+            // r12 float-sum audit: money sums accumulate as exact decimals
+            // (order-free at any SF, the 2-dp inputs are exactly imaged);
+            // sum_qty's doubles are integer-valued, so its double sum is
+            // exact below 2^53 and stays as-is
             sum("l_quantity").as("sum_qty"),
-            roundAt(sum("l_extendedprice"), 2).as("sum_base_price"),
-            roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-            roundAt(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+            roundAt(sum(dec2(col("l_extendedprice"))).cast("double"), 2).as("sum_base_price"),
+            roundAt(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - rate2(col("l_discount")))).cast("double"), 4).as("sum_disc_price"),
+            roundAt(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - rate2(col("l_discount")))
+              * (lit(1).cast("decimal(3,2)") + rate2(col("l_tax")))).cast("double"), 6).as("sum_charge"),
             (sum("l_quantity") / count(lit(1))).as("avg_qty"),
-            (roundAt(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+            (roundAt(sum(dec2(col("l_extendedprice"))).cast("double"), 2) / count(lit(1))).as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
               |  sum(l_quantity) AS sum_qty,
-              |  ${roundAtSql("sum(l_extendedprice)", 2)} AS sum_base_price,
-              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount))", 4)} AS sum_disc_price,
-              |  ${roundAtSql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))", 6)} AS sum_charge,
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("l_extendedprice")}) AS DOUBLE)", 2)} AS sum_base_price,
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("l_extendedprice")} * (1 - ${rate2Sql("l_discount")})) AS DOUBLE)", 4)} AS sum_disc_price,
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("l_extendedprice")} * (1 - ${rate2Sql("l_discount")}) * (1 + ${rate2Sql("l_tax")})) AS DOUBLE)", 6)} AS sum_charge,
               |  sum(l_quantity) / count(*) AS avg_qty,
-              |  ${roundAtSql("sum(l_extendedprice)", 2)} / count(*) AS avg_price,
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("l_extendedprice")}) AS DOUBLE)", 2)} / count(*) AS avg_price,
               |  count(*) AS count_order
               |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -628,16 +633,16 @@ object RelationalQueries {
         Tables.orders(s, dir)
           .groupBy("o_orderpriority")
           .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(roundAt(sum("o_totalprice"), 2))
+          .agg(roundAt(sum(dec2(col("o_totalprice"))).cast("double"), 2))
           .na.fill(0.0)
           .select(col("o_orderpriority"), col("F").as("status_f"),
             col("O").as("status_o"), col("P").as("status_p"))
           .orderBy("o_orderpriority")
       },
       Some(s"""SELECT o_orderpriority,
-              |  coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)}, 0) AS status_f,
-              |  coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)}, 0) AS status_o,
-              |  coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)}, 0) AS status_p
+              |  coalesce(${roundAtSql(s"CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${dec2Sql("o_totalprice")} END) AS DOUBLE)", 2)}, 0) AS status_f,
+              |  coalesce(${roundAtSql(s"CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${dec2Sql("o_totalprice")} END) AS DOUBLE)", 2)}, 0) AS status_o,
+              |  coalesce(${roundAtSql(s"CAST(sum(CASE WHEN o_orderstatus = 'P' THEN ${dec2Sql("o_totalprice")} END) AS DOUBLE)", 2)}, 0) AS status_p
               |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("a4_kpi_derive",
@@ -646,7 +651,7 @@ object RelationalQueries {
         val wide = Tables.orders(s, dir)
           .groupBy("o_orderpriority")
           .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(roundAt(sum("o_totalprice"), 2))
+          .agg(roundAt(sum(dec2(col("o_totalprice"))).cast("double"), 2))
           .na.fill(0.0)
         wide.select(col("o_orderpriority"),
             money(col("F") + col("O")).as("closed_open_total"),
@@ -655,9 +660,9 @@ object RelationalQueries {
       },
       Some(s"""WITH wide AS (
               |  SELECT o_orderpriority,
-              |    coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)}, 0) AS f,
-              |    coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)}, 0) AS o,
-              |    coalesce(${roundAtSql("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)}, 0) AS p
+              |    coalesce(${roundAtSql(s"CAST(sum(CASE WHEN o_orderstatus = 'F' THEN ${dec2Sql("o_totalprice")} END) AS DOUBLE)", 2)}, 0) AS f,
+              |    coalesce(${roundAtSql(s"CAST(sum(CASE WHEN o_orderstatus = 'O' THEN ${dec2Sql("o_totalprice")} END) AS DOUBLE)", 2)}, 0) AS o,
+              |    coalesce(${roundAtSql(s"CAST(sum(CASE WHEN o_orderstatus = 'P' THEN ${dec2Sql("o_totalprice")} END) AS DOUBLE)", 2)}, 0) AS p
               |  FROM orders GROUP BY 1)
               |SELECT o_orderpriority, ${moneySql("f + o")} AS closed_open_total,
               |  ${moneySql("f + o + p")} AS grand_total
@@ -749,11 +754,11 @@ object RelationalQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"),
-            roundAt(sum("o_totalprice").over(w), 2).as("running_total"))
+            roundAt(sum(dec2(col("o_totalprice"))).over(w).cast("double"), 2).as("running_total"))
           .orderBy("o_orderkey")
       },
       Some(s"""SELECT o_orderkey, o_custkey,
-              |  ${roundAtSql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_total
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)} AS running_total
               |FROM orders ORDER BY 1""".stripMargin)),
 
     Q("w4_topn_per_group",
@@ -784,10 +789,10 @@ object RelationalQueries {
     Q("o2_topk_by_aggregate",
       (s, dir) => Tables.orders(s, dir)
         .groupBy("o_custkey")
-        .agg(roundAt(sum("o_totalprice"), 2).as("total_spend"))
+        .agg(roundAt(sum(dec2(col("o_totalprice"))).cast("double"), 2).as("total_spend"))
         .orderBy(col("total_spend").desc, col("o_custkey"))
         .limit(8),
-      Some(s"""SELECT o_custkey, ${roundAtSql("sum(o_totalprice)", 2)} AS total_spend
+      Some(s"""SELECT o_custkey, ${roundAtSql(s"CAST(sum(${dec2Sql("o_totalprice")}) AS DOUBLE)", 2)} AS total_spend
               |FROM orders GROUP BY 1
               |ORDER BY 2 DESC, 1 LIMIT 8""".stripMargin)),
 

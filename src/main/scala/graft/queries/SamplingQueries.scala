@@ -316,7 +316,10 @@ object SamplingQueries {
           .groupBy("tier")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-            roundAt(avg("dup_word_fraction"), 6).as("avg_dup_frac"))
+            // r12 float-sum audit: the 6-dp-rounded fraction is exactly
+            // decimal-imaged, so the mean's sum is order-free at any SF
+            roundAt(sum(col("dup_word_fraction").cast("decimal(18,6)"))
+              .cast("double") / count(lit(1)), 6).as("avg_dup_frac"))
           .orderBy("tier")
       },
       Some(s"""WITH sig AS (
@@ -342,7 +345,7 @@ object SamplingQueries {
               |        FROM tiered))
               |SELECT tier, count(*) AS n_docs,
               |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-              |  ${roundAtSql("avg(dup_word_fraction)", 6)} AS avg_dup_frac
+              |  ${roundAtSql("CAST(sum(CAST(dup_word_fraction AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS avg_dup_frac
               |FROM gated GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("y9_source_cap",

@@ -196,12 +196,12 @@ object ScaleQueries {
         Tables.orders(s, dir)
           .repartition(col("o_custkey"))
           .groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_orders"), roundAt(sum("o_totalprice"), 2).as("total"))
+          .agg(count(lit(1)).as("n_orders"), roundAt(sum(dec2(col("o_totalprice"))).cast("double"), 2).as("total"))
           .filter(col("n_orders") >= 10)
           .orderBy("o_custkey")
       },
       Some(s"""SELECT o_custkey, count(*) AS n_orders,
-              |  ${roundAtSql("sum(o_totalprice)", 2)} AS total
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("o_totalprice")}) AS DOUBLE)", 2)} AS total
               |FROM orders GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""".stripMargin)),
 
     Q("z4_exact_percentiles",

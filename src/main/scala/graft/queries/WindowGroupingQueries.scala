@@ -78,12 +78,12 @@ object WindowGroupingQueries {
               .cast("long").as("epoch_day"),
             col("o_totalprice"))
           .withColumn("trailing_30d",
-            roundAt(sum("o_totalprice").over(w), 2))
+            roundAt(sum(dec2(col("o_totalprice"))).over(w).cast("double"), 2))
           .select("o_orderkey", "o_custkey", "epoch_day", "trailing_30d")
           .orderBy("o_orderkey")
       },
       Some(s"""SELECT o_orderkey, o_custkey, epoch_day,
-              |  ${roundAtSql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)", 2)} AS trailing_30d
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY epoch_day RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)} AS trailing_30d
               |FROM (
               |  SELECT o_orderkey, o_custkey, o_totalprice,
               |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
@@ -206,18 +206,18 @@ object WindowGroupingQueries {
         val byNation = Tables.customer(s, dir)
           .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
           .groupBy("c_nationkey")
-          .agg(roundAt(sum("o_totalprice"), 4).as("revenue"))
-        val total = byNation.agg(roundAt(sum("revenue"), 4).as("total"))
+          .agg(roundAt(sum(dec2(col("o_totalprice"))).cast("double"), 4).as("revenue"))
+        val total = byNation.agg(roundAt(sum(col("revenue").cast("decimal(18,4)")).cast("double"), 4).as("total"))
         byNation.crossJoin(broadcast(total))
           .select(col("c_nationkey"), col("revenue"),
             roundAt(col("revenue") / col("total"), 6).as("share"))
           .orderBy("c_nationkey")
       },
       Some(s"""WITH by_nation AS (
-              |  SELECT c_nationkey, ${roundAtSql("sum(o_totalprice)", 4)} AS revenue
+              |  SELECT c_nationkey, ${roundAtSql(s"CAST(sum(${dec2Sql("o_totalprice")}) AS DOUBLE)", 4)} AS revenue
               |  FROM customer JOIN orders ON c_custkey = o_custkey
               |  GROUP BY 1),
-              |t AS (SELECT ${roundAtSql("sum(revenue)", 4)} AS total FROM by_nation)
+              |t AS (SELECT ${roundAtSql("CAST(sum(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE)", 4)} AS total FROM by_nation)
               |SELECT c_nationkey, revenue, ${roundAtSql("revenue / total", 6)} AS share
               |FROM by_nation, t ORDER BY 1""".stripMargin)),
 
@@ -234,10 +234,10 @@ object WindowGroupingQueries {
     Q("a16_cube",
       (s, dir) => Tables.orders(s, dir)
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(roundAt(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .agg(roundAt(sum(dec2(col("o_totalprice"))).cast("double"), 2).as("total"), count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
       Some(s"""SELECT o_orderstatus, o_orderpriority,
-              |  ${roundAtSql("sum(o_totalprice)", 2)} AS total, count(*) AS n
+              |  ${roundAtSql(s"CAST(sum(${dec2Sql("o_totalprice")}) AS DOUBLE)", 2)} AS total, count(*) AS n
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)),
 
