@@ -490,11 +490,29 @@ object DedupQueries {
     * sf1/sf1-skew hash-exact vs an arbitrary-order DuckDB oracle, whose
     * agreement shows the sums are orders of magnitude inside the
     * boundary at every tested scale); making it structural would mean
-    * DECIMAL wsum end-to-end (t17's sufficient-statistics pattern). Threshold 0.15 chosen from the measured
-    * regimes (0.62 at sf1-plain where count-everything wins 8.6 s vs
-    * 225 s; → 0 on boilerplate corpora where the prefix engine wins by
-    * the same kind of margin — WeightedPrefixScaleSpec measures the
-    * volume gap).
+    * DECIMAL wsum end-to-end (t17's sufficient-statistics pattern).
+    *
+    * Cutoff 0.08 (r12 — moved from 0.15 after the crossover was
+    * finally BRACKETED; r10 item 2). The r10 cutoff sat between two
+    * far measurements (0.62 flat sf1: count-everything wins 8×;
+    * 0.0005 boilerplate: prefix wins 1 900× in volume). The r12
+    * CrossoverSweep fills the middle at sf0.1 — the flat corpus
+    * unioned with a template block dialed across the band, both
+    * engines timed warm, outputs verified equal per point:
+    * fraction 0.38 → count-everything 6.0× faster, 0.175 → 4.8×,
+    * 0.092 → STILL 2.4×, 0.056 → tie (prefix 14.5 s vs 15.4). The
+    * wall-clock crossover is ≈ 0.06, so 0.15 dispatched a ~13 s
+    * prefix plan where a ~3–5 s count-everything plan existed across
+    * the whole 0.06–0.15 band. 0.08 sits inside the measured bracket
+    * (0.056, 0.092) — every measured point on both sides dispatches
+    * to its faster engine — biased above the tie point because the
+    * losing direction is asymmetric at scale: picking count-
+    * everything slightly below the true crossover costs a bounded
+    * ~2×, while its Σ df² cost grows quadratically in template mass
+    * (B=2400 → 3200 moved it 5.5 s → 15.4 s) so above the crossover
+    * the prefix side must win before the explosion. BASELINE §r12
+    * records the full bracketing table; WeightedPrefixScaleSpec pins
+    * the mid-regime fixture's fraction and engine equality.
     */
   // docs is BY-NAME and currently dead on both branches (the prefix
   // engine reads only the index; the count-everything branch runs
@@ -503,7 +521,7 @@ object DedupQueries {
   // adding a scan to x28's plan.
   private[queries] def weightedJaccardAdaptive(docs: => DataFrame,
       postings0: DataFrame, t: Double,
-      probeFractionCutoff: Double = 0.15): DataFrame = {
+      probeFractionCutoff: Double = 0.08): DataFrame = {
     val slack = lit(t - 1e-6 - 1e-9)
     val r = postings0.filter(col("df") >= 2)
       .agg(sum("df").as("vol"),
