@@ -724,6 +724,90 @@ object SimilarityQueries {
               |  ${roundAtSql("min(cos)", 6)} AS min_cos
               |FROM cos GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("x35_embedding_outliers",
+      (s, dir) => {
+        // embedding OUTLIER detection — the curation step after x12's
+        // cohesion report: flag the individual vectors far from their
+        // label's centroid (likely mislabeled / noise / adversarial
+        // rows a training corpus should drop). Each member's cosine to
+        // its label centroid rides x12's exact plumbing (labels·d
+        // partial agg → labels-sized centroid table broadcast back →
+        // one narrow zip_with fold per member, corpus never exploded
+        // twice); the per-label score distribution then follows this
+        // round's float discipline — the 6-dp-rounded cosine is exactly
+        // decimal-imaged, Σ and Σ² accumulate as exact decimals, and
+        // mu/sigma/z derive in the e9 formula (same expression
+        // structure as the DuckDB twin), so the z-scores are hash-exact
+        // at any SF, not just at test scale. Output is corpus-sized
+        // (every vector with its z and flag); z ≥ 2 on (mu − cos)
+        // flags LOW-cohesion members, one-sided by design. sigma = 0
+        // labels (all members identical) flag nothing.
+        val unit = vecs(s, dir)
+          .select(col("vec_id"), col("label"),
+            expr("transform(v, x -> x / norm)").as("u"))
+        val comp = unit.select(col("label"), posexplode(col("u")))
+          .toDF("label", "i", "x")
+        val centArr = comp.groupBy("label", "i").agg(avg("x").as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+            .as("carr"))
+          .withColumn("cnorm", sqrt(expr(
+            "aggregate(transform(carr, c -> c * c), cast(0 as double), (acc, y) -> acc + y)")))
+        val scored = unit.join(broadcast(centArr), Seq("label"))
+          .withColumn("cos", roundAt(expr(
+            "aggregate(zip_with(u, carr, (a, b) -> a * b), cast(0 as double), (acc, y) -> acc + y)")
+            / col("cnorm"), 6))
+          .select("vec_id", "label", "cos")
+        val c6 = col("cos").cast("decimal(18,6)")
+        val stats = scored.groupBy("label")
+          .agg(count(lit(1)).cast("double").as("nn"),
+            sum(c6).cast("double").as("s1"),
+            sum(c6 * c6).cast("double").as("s2"))
+          .select(col("label"),
+            roundAt(col("s1") / col("nn"), 6).as("mu"),
+            roundAt(sqrt(greatest(
+              (col("s2") - col("s1") * col("s1") / col("nn"))
+                / (col("nn") - lit(1.0)), lit(0.0))), 6).as("sigma"))
+        scored.join(broadcast(stats), Seq("label"))
+          .withColumn("z", when(col("sigma") > 0,
+            roundAt((col("mu") - col("cos")) / col("sigma"), 6)))
+          .withColumn("outlier", coalesce(col("z") >= 2.0, lit(false)))
+          .select("vec_id", "label", "cos", "z", "outlier")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS ($vecsSql),
+              |unit AS (
+              |  SELECT vec_id, label, list_transform(v, x -> x / norm) AS u FROM e),
+              |expanded AS (
+              |  SELECT vec_id, label, t.i AS i, u[t.i + 1] AS x
+              |  FROM unit, unnest(range(0, len(u))) t(i)),
+              |comp AS (
+              |  SELECT label, i, avg(x) AS c FROM expanded GROUP BY 1, 2),
+              |centnorm AS (
+              |  SELECT label, sqrt(sum(c * c)) AS cnorm FROM comp GROUP BY 1),
+              |dots AS (
+              |  SELECT ex.vec_id, ex.label, sum(ex.x * comp.c) AS dot
+              |  FROM expanded ex JOIN comp ON comp.label = ex.label AND comp.i = ex.i
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT dots.vec_id, dots.label,
+              |    ${roundAtSql("dot / cnorm", 6)} AS cos
+              |  FROM dots JOIN centnorm ON dots.label = centnorm.label),
+              |st AS (
+              |  SELECT label, CAST(count(*) AS DOUBLE) AS nn,
+              |    CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+              |    CAST(sum(CAST(cos AS DECIMAL(18,6)) * CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS s2
+              |  FROM scored GROUP BY 1),
+              |stats AS (
+              |  SELECT label, ${roundAtSql("s1 / nn", 6)} AS mu,
+              |    ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1.0), 0.0))", 6)} AS sigma
+              |  FROM st)
+              |SELECT vec_id, scored.label, cos,
+              |  CASE WHEN sigma > 0 THEN ${roundAtSql("(mu - cos) / sigma", 6)} END AS z,
+              |  coalesce(CASE WHEN sigma > 0 THEN ${roundAtSql("(mu - cos) / sigma", 6)} END >= 2.0, false) AS outlier
+              |FROM scored JOIN stats ON scored.label = stats.label
+              |ORDER BY vec_id""".stripMargin)),
+
     Q("x13_embedding_quantization",
       (s, dir) => {
         // int8 scalar quantization of the embedding store — the 4×
