@@ -173,14 +173,16 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg")))
         s.split("\\s+")(0)
       } catch { case _: Throwable => "-1" }
-    // samples carry their pass index so the spread can exclude passes
-    // that started above the load gate (r10: a known-hot pass's sample
-    // surfaced as a phantom 2.6× `spread` row for corpus_curate — the
-    // min caught a quiet window but the max dutifully reported the load
-    // spike as if it were query variance)
+    // samples carry their pass index AND their own entry-start loadavg
+    // so the spread can exclude hot samples (r10: a known-hot pass's
+    // sample surfaced as a phantom 2.6× `spread` row for corpus_curate —
+    // the min caught a quiet window but the max dutifully reported the
+    // load spike as if it were query variance; r11 ADVICE: keying off
+    // pass START alone let a spike beginning mid-pass poison the
+    // retained max — the per-entry sample is the finer filter)
     val acc = scala.collection.mutable.LinkedHashMap(
       entries.map { case (n, _) =>
-        n -> scala.collection.mutable.ArrayBuffer.empty[(Int, Double)] }: _*)
+        n -> scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)] }: _*)
     val failedEntries = scala.collection.mutable.Set.empty[String]
     val loadavgs = scala.collection.mutable.ArrayBuffer.empty[String]
     val maxPass = entries.map { case (n, _) => repsFor(n) }.foldLeft(1)(math.max)
@@ -225,9 +227,13 @@ object Bench {
           // cold pass ran < 5s; heavy entries absorb pauses in the ratio
           // anyway and their post-entry garbage is exactly what this
           // collects before the next short one.
-          if (passIdx > 1 && acc(name).headOption.exists(_._2 < 5.0)) System.gc()
+          if (passIdx > 1 && acc(name).headOption.exists(_._3 < 5.0)) System.gc()
+          val entryLoad = loadAvg1m().toDoubleOption.getOrElse(-1.0)
           val t0 = System.nanoTime()
-          try { body(); acc(name) += (passIdx -> (System.nanoTime() - t0) / 1e9) }
+          try {
+            body()
+            acc(name) += ((passIdx, entryLoad, (System.nanoTime() - t0) / 1e9))
+          }
           catch { case _: Throwable => failedEntries += name; errors += name }
           // queries may cache intermediate frames; drop them so later
           // entries aren't measured under accumulated memory pressure
@@ -257,6 +263,18 @@ object Bench {
     // untrustworthy instead of publishing them silently.
     def hotPass(i: Int): Boolean =
       loadavgs.lift(i - 1).flatMap(_.toDoubleOption).exists(_ > loadGate)
+    // entry-level hotness (r11 ADVICE: a spike beginning MID-pass slips
+    // past the pass-start gate and poisons the retained max). The gate
+    // is HIGHER than the pass gate because mid-pass 1-minute loadavg
+    // includes the battery's own 32 worker threads (~8–12 measured on a
+    // quiet box); above ~2× the pass gate the window provably contains
+    // a neighbor. Applies to the SPREAD filter only — the all-hot
+    // re-run trigger stays pass-start-based so self-load can never
+    // spin re-run rounds on a quiet box.
+    val entryGate = sys.env.get("SPARK_GRAFT_BENCH_ENTRYGATE")
+      .flatMap(_.toDoubleOption).getOrElse(2.0 * loadGate)
+    def hotSample(t: (Int, Double, Double)): Boolean =
+      hotPass(t._1) || t._2 > entryGate
     def allHot(name: String): Boolean = {
       val ts = acc(name)
       ts.nonEmpty && ts.forall(t => hotPass(t._1))
@@ -301,11 +319,11 @@ object Bench {
       name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0)
                else {
                  val warm = (if (ts.size >= 3) ts.drop(1) else ts).toSeq
-                 val quiet = warm.filterNot(t => hotPass(t._1))
-                 if (quiet.isEmpty && loadavgs.indices.exists(i => hotPass(i + 1)))
+                 val quiet = warm.filterNot(hotSample)
+                 if (quiet.isEmpty && warm.exists(hotSample))
                    spreadUnfiltered += name
-                 (ts.map(_._2).min,
-                   (if (quiet.nonEmpty) quiet else warm).map(_._2).max)
+                 (ts.map(_._3).min,
+                   (if (quiet.nonEmpty) quiet else warm).map(_._3).max)
                })
     }
 
