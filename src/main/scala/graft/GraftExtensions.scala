@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"common_count_at_least expects 3 arguments, got ${children.length}")
         graft.functions.CommonCountAtLeast(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("two_smallest"),
+      graft.functions.TwoSmallest.info,
+      children => {
+        require(children.length == 1,
+          s"two_smallest expects 1 argument, got ${children.length}")
+        graft.functions.TwoSmallest(children.head).toAggregateExpression()
+      }))
     Seq[(String, ExpressionInfo, Expression => Expression)](
       ("shingles", Shingles.info, Shingles(_)),
       ("minhash_bases", MinHashBases.info, MinHashBases(_)),

@@ -83,6 +83,18 @@ case class TwoSmallest(child: Expression)
 }
 
 object TwoSmallest {
+  // usage surface through DESCRIBE FUNCTION — the multiset semantics
+  // must be visible to external SQL users, not only in the scaladoc
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[TwoSmallest].getName, null, "two_smallest",
+    "two_smallest(expr) - Aggregate returning the two smallest values " +
+      "of expr as struct<m1, m2> in one pass (min and runner-up), with " +
+      "map-side partial aggregation.",
+    "MULTISET semantics: duplicated values count separately, so on " +
+      "(5, 5, 7) the result is (5, 5) — unlike min(x) filtered by " +
+      "x <> min. Nulls are skipped; empty input yields (null, null); " +
+      "a single value yields (v, null).")
+
   /** registry-free `Column` form (see [[JaccardSimilarity.apply]]). */
   def apply(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.NativeColumn

@@ -52,6 +52,19 @@ class TwoSmallestSpec extends SparkSpec {
     assert(got === ((5L, 5L)))
   }
 
+  test("SQL registration: two_smallest works through expr() and GROUP BY") {
+    import spark.implicits._
+    val got = Seq((1L, 30L), (1L, 10L), (1L, 20L), (2L, 7L))
+      .toDF("k", "v").repartition(3)
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr("two_smallest(v)").as("m"))
+      .select(col("k"), col("m.m1"), col("m.m2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1L) === ((10L, Some(20L))))
+    assert(got(2L) === ((7L, None)))
+  }
+
   test("orders strings lexically (non-numeric key types)") {
     import spark.implicits._
     val got = Seq("pear", "apple", "quince", "banana").toDF("v")
