@@ -625,6 +625,17 @@ object DedupQueries {
     */
   private[queries] def pigeonhole48Neighbors(hashes: DataFrame,
       idCol: String, hashCol: String, saltChunk: Long = 1024L): DataFrame = {
+    // Known trade, measured r12: the hash frame is consumed twice here
+    // (group stats + the final id join) and once more by every caller's
+    // output join, so the hash KERNEL runs 3× per query — for the
+    // multimodal callers that kernel includes the per-payload decode.
+    // A .cache() here was tried and REVERTED: it more than doubles the
+    // AQE job count (16 → 39 measured — InMemoryRelation blocks
+    // exchange reuse) and rebuilds per run under the clearCache
+    // measurement contract, costing more than the re-computed kernel at
+    // every tested scale. When decode is genuinely expensive the right
+    // reuse is a persisted hash artifact (the writeFrameIndex pattern),
+    // not an in-plan cache.
     // ALL group stats — size, min id, and the min's own in-group nearest
     // (second-min id) — in ONE groupBy with map-side partial aggregation
     // ([[graft.functions.TwoSmallest]] keeps the ordered pair in the agg
