@@ -87,7 +87,7 @@ ALL_QUERIES = [
     "t16_stupid_backoff", "t17_token_estimator_train",
     "t18_bpe_train", "t19_bpe_encode",
     "m3_video_frame_dedup", "x34_perceptual_hash_dedup",
-    "m4_audio_envelope_dedup",
+    "m4_audio_envelope_dedup", "x35_embedding_outliers",
 ]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
