@@ -166,6 +166,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x35 outlier scoring rides x12's narrow shape: one explode, broadcast stats, no cartesian") {
+    // x35 adds a labels-sized stats join on top of x12's plumbing. The
+    // scored frame is consumed twice (stats build + the output join), so
+    // the plan carries TWO copies of the centroid-build subtree — two
+    // narrow corpus passes, the same recompute-over-cache trade measured
+    // and documented on the pigeonhole engine — but never more (a third
+    // Generate would mean the scoring pass itself started exploding
+    // component rows, the x12 r3 mistake). Both the centroid table and
+    // the mu/sigma table must come back as broadcasts (labels-sized by
+    // construction), and nothing may fall back to a sort-merge or cross
+    // join of the vector corpus.
+    val p = plan("x35_embedding_outliers")
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size <= 2,
+      s"corpus exploded beyond the two centroid-build copies:\n$p")
+    assert("""BroadcastHashJoin""".r.findAllIn(p).size >= 2,
+      s"x35 lost a labels-sized broadcast (centroids or stats):\n$p")
+    assert(p.contains("zip_with"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("x23/x24 reduced-space scoring is narrow: no explode, query side broadcast") {
     // the projection (16 constant-sign folds) and the truncation (slice)
     // are per-row maps — neither may explode the corpus to component
