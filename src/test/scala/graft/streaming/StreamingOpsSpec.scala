@@ -836,11 +836,18 @@ class StreamingOpsSpec extends SparkSpec {
     val (b1, b2) = odds.partition(_.doc_id < mid)
 
     val input = MemoryStream[StreamingOps.DocRow]
+    // compactTrigger = 1: batch 1 folds batch 0's segment into cmp_1
+    // mid-run, so the rebuild-equality below ALSO proves the cluster
+    // stream's auto-compaction changes nothing (the curate stream's
+    // dedicated spec covers the policy in depth)
     val query = StreamingOps.clusterMaintainStream(input.toDF(),
-      Seq(s"$base/seed_idx"), s"$base/seed_labels", s"$base/state", s"$base/ckpt")
+      Seq(s"$base/seed_idx"), s"$base/seed_labels", s"$base/state",
+      s"$base/ckpt", compactTrigger = 1)
     input.addData(b1); query.processAllAvailable()
     input.addData(b2); query.processAllAvailable()
     query.stop()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$base/state/segments/cmp_1")), "trigger=1 never compacted")
 
     // after two batches the label table covers evens + all odds and
     // equals the batch rebuild over the whole corpus — merges across
