@@ -656,12 +656,19 @@ object DedupQueries {
     // group aggregation needs
     val dh = grpStats.select(col(hashCol), col("grp_n"), col("grp_min"))
     val pairs = pigeonholeDistinctPairs(dh, hashCol, saltChunk)
-    // fold each neighboring GROUP's size/min into per-hash externals
+    // fold each neighboring GROUP's size/min into per-hash externals.
+    // Both directions of each unordered pair come out of ONE evaluation
+    // via a 2-element explode — the r11 unionAll of two projections
+    // re-ran the entire block-join subtree per branch (exchange reuse
+    // dedups the shuffles but not the post-shuffle join work), doubling
+    // the engine's per-pair cost at every scale (r12).
     val ext = pairs
-      .select(col("h_a").as(hashCol), col("b_grp_n").as("nbr_n"),
-        col("b_grp_min").as("nbr_min"))
-      .unionAll(pairs.select(col("h_b").as(hashCol), col("a_grp_n"),
-        col("a_grp_min")))
+      .select(explode(array(
+        struct(col("h_a").as("h"), col("b_grp_n").as("nbr_n"),
+          col("b_grp_min").as("nbr_min")),
+        struct(col("h_b").as("h"), col("a_grp_n").as("nbr_n"),
+          col("a_grp_min").as("nbr_min")))).as("e"))
+      .select(col("e.h").as(hashCol), col("e.nbr_n"), col("e.nbr_min"))
       .groupBy(hashCol)
       .agg(sum("nbr_n").as("ext_n"), min("nbr_min").as("ext_min"))
     hashes.join(grpStats.join(ext, Seq(hashCol), "left"), Seq(hashCol))
