@@ -815,7 +815,13 @@ object Corpus {
     graft.etl.EtlIO.writeParquet(
       readIndexShingles(spark, indexPaths), s"$staging/shingles")
     graft.core.Scratch.deleteTree(outAbs)
-    java.nio.file.Files.move(staging, outAbs)
+    // ATOMIC_MOVE makes the no-torn-publish guarantee explicit: a plain
+    // move could legally fall back to copy+delete (e.g. cross-device) and
+    // die mid-copy with a half-populated published path; with the flag the
+    // publish either happens as one rename or throws with nothing at
+    // outAbs (same contract as StreamingOps.publishDirAtomic).
+    java.nio.file.Files.move(staging, outAbs,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The DAILY operation of a 100 TB corpus: curate a NEW batch against

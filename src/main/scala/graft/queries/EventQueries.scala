@@ -559,9 +559,15 @@ object EventQueries {
             sum(n19 * n19).cast("double").as("s2"))
           .select(col("event_type"),
             roundAt(col("s1") / col("nd"), 6).as("mu"),
-            roundAt(sqrt(greatest(
+            // nd = 1 makes the sample-variance quotient 0/0 = NaN and the
+            // engines then DISAGREE (Spark's floor-based roundAt maps NaN
+            // to 0 so the filter drops the group; DuckDB propagates NaN
+            // and NaN > 0 is true there, keeping it) — guard the
+            // single-day type explicitly so both engines drop it.
+            when(col("nd") > 1, roundAt(sqrt(greatest(
               (col("s2") - col("s1") * col("s1") / col("nd"))
-                / (col("nd") - lit(1.0)), lit(0.0))), 6).as("sigma"))
+                / (col("nd") - lit(1.0)), lit(0.0))), 6))
+              .otherwise(lit(0.0)).as("sigma"))
           .filter(col("sigma") > 0)
         daily.join(stats, Seq("event_type"))
           .withColumn("z", roundAt((col("n") - col("mu")) / col("sigma"), 6))
@@ -582,7 +588,8 @@ object EventQueries {
               |  SELECT event_type, ${roundAtSql("s1 / nd", 6)} AS mu,
               |    ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1.0), 0.0))", 6)} AS sigma
               |  FROM st
-              |  WHERE ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1.0), 0.0))", 6)} > 0)
+              |  WHERE nd > 1
+              |    AND ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nd) / (nd - 1.0), 0.0))", 6)} > 0)
               |SELECT daily.event_type, CAST(day AS VARCHAR) AS day, n, mu, sigma,
               |  ${roundAtSql("(n - mu) / sigma", 6)} AS z
               |FROM daily JOIN stats ON stats.event_type = daily.event_type

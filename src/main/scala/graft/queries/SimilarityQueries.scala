@@ -765,9 +765,16 @@ object SimilarityQueries {
             sum(c6 * c6).cast("double").as("s2"))
           .select(col("label"),
             roundAt(col("s1") / col("nn"), 6).as("mu"),
-            roundAt(sqrt(greatest(
+            // nn = 1 would make the sample-variance quotient 0/0 = NaN,
+            // and the engines disagree on NaN downstream (Spark's
+            // floor-based roundAt maps it to 0; DuckDB propagates it and
+            // NaN > 0 is true there) — so the singleton label is guarded
+            // EXPLICITLY: sigma := 0, honoring the documented
+            // "sigma = 0 labels flag nothing" contract in both engines.
+            when(col("nn") > 1, roundAt(sqrt(greatest(
               (col("s2") - col("s1") * col("s1") / col("nn"))
-                / (col("nn") - lit(1.0)), lit(0.0))), 6).as("sigma"))
+                / (col("nn") - lit(1.0)), lit(0.0))), 6))
+              .otherwise(lit(0.0)).as("sigma"))
         scored.join(broadcast(stats), Seq("label"))
           .withColumn("z", when(col("sigma") > 0,
             roundAt((col("mu") - col("cos")) / col("sigma"), 6)))
@@ -800,7 +807,9 @@ object SimilarityQueries {
               |  FROM scored GROUP BY 1),
               |stats AS (
               |  SELECT label, ${roundAtSql("s1 / nn", 6)} AS mu,
-              |    ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1.0), 0.0))", 6)} AS sigma
+              |    CASE WHEN nn > 1
+              |      THEN ${roundAtSql("sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1.0), 0.0))", 6)}
+              |      ELSE 0.0 END AS sigma
               |  FROM st)
               |SELECT vec_id, scored.label, cos,
               |  CASE WHEN sigma > 0 THEN ${roundAtSql("(mu - cos) / sigma", 6)} END AS z,

@@ -36,4 +36,36 @@ class EmbeddingOutlierSpec extends SparkSpec {
       assert(cos < mean(l), s"vec $id flagged above its label mean")
     }
   }
+
+  test("x35 singleton label: sigma is exactly 0, z null, nothing flagged (no NaN)") {
+    // nn = 1 makes the sample-variance quotient 0/0 = NaN; the engines
+    // disagree on NaN downstream (Spark roundAt floors it to 0, DuckDB
+    // propagates it and NaN > 0 is true there), so x35 guards the
+    // degenerate group explicitly. This pins the guarded behavior on a
+    // fixture the shipped testdata doesn't contain: one singleton label
+    // among normal multi-member ones.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def v(xs: Float*): Seq[Float] = xs
+    val rows = Seq(
+      Row(1L, v(1f, 0f, 0f), 0), Row(2L, v(0.9f, 0.1f, 0f), 0),
+      Row(3L, v(0.8f, 0.2f, 0f), 0), Row(4L, v(-1f, 0f, 0f), 0),
+      Row(5L, v(0f, 1f, 0f), 7)) // label 7 is a singleton
+    val dir = java.nio.file.Files.createTempDirectory("x35solo").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("x35_embedding_outliers")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))))
+      .toMap
+    assert(out(5L) === ((None, false)), "singleton label must flag nothing, z null")
+    out.values.flatMap(_._1).foreach(z => assert(!z.isNaN, "NaN z leaked"))
+    graft.core.Scratch.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
