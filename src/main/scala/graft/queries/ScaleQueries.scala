@@ -224,17 +224,34 @@ object ScaleQueries {
               |    x -> CAST(${roundAtSql("x", 4)} AS VARCHAR)), '|') AS quartiles
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // approximate distinct (HLL): rows-only check — approximation is
-    // engine-specific so no value oracle; the exact twin a11 covers the
-    // semantics, this covers the scale path (constant memory per group).
-    // ScaleBoundSpec bounds the error at ≤5% of the exact count.
+    // approximate distinct (HLL): the sketch VALUE is engine-internal
+    // (Spark HLL++ vs whatever the oracle engine runs), so the
+    // cross-engine contract is the ERROR BOUND, not the estimate — and
+    // the query verifies that bound itself (r12 verdict: the old
+    // rows-only row read as "untested" in the driver artifact). It
+    // emits the exact twin columns (deterministic in both engines)
+    // plus `within_5pct` = |approx − exact|/exact ≤ 0.05 computed
+    // against Spark's own exact count; since the exact columns are
+    // hash-pinned cross-engine, the verdict IS a DuckDB-exact vs
+    // Spark-approx bounded compare, and the driver artifact carries
+    // pass/fail. (Production uses the approx path alone — the exact
+    // count here is the verification twin, same pattern as z8's
+    // exact_users column. ScaleBoundSpec keeps the quantified error
+    // log.)
     Q("z3_approx_count_distinct",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        .agg(approx_count_distinct("l_partkey").as("approx"),
+          countDistinct("l_partkey").as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("within_5pct"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  count(DISTINCT l_partkey) AS exact_parts,
+             |  true AS within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("z8_hll_sketch_rollup",
       (s, dir) => {
@@ -247,11 +264,10 @@ object ScaleQueries {
         // data, which is what makes pre-aggregated rollups possible for
         // a measure (distinct) that doesn't sum. Output pins the
         // rolled-up estimate next to the single-pass direct estimate
-        // and the exact distinct; ScaleBoundSpec asserts rollup ==
-        // direct exactly (union of per-day register states == the
-        // whole-stream register state, so the merge loses NOTHING) and
-        // bounds the estimate error vs exact. Rows-only here —
-        // estimates have no cross-engine value oracle (z3's contract).
+        // and the exact distinct; the rollup == direct equality (union
+        // of per-day register states == the whole-stream register
+        // state, so the merge loses NOTHING) and the error envelope are
+        // verified IN the query as oracled boolean verdicts.
         val ev = Tables.eventsTs(s, dir)
           .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
         val daily = ev.groupBy("event_type", "day")
@@ -263,11 +279,27 @@ object ScaleQueries {
           .join(ev.groupBy("event_type").agg(
             expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
             countDistinct("user_id").as("exact_users")), Seq("event_type"))
-          .select("event_type", "n_days", "n_events", "exact_users",
-            "est_direct", "est_rollup")
+          // self-verifying (r12 verdict): the estimates are
+          // engine-internal, so the oracled payload is the exact twin
+          // columns plus the two contract verdicts — merge losslessness
+          // (rollup == direct EXACTLY) and the lgK=12 error envelope
+          // (3σ ≈ 5%) against the exact count. The exact columns are
+          // hash-pinned cross-engine, so a DuckDB run agreeing on them
+          // certifies the Spark-side bound was taken against the truth;
+          // ScaleBoundSpec keeps the quantified estimate log.
+          .select(col("event_type"), col("n_days"), col("n_events"),
+            col("exact_users"),
+            (col("est_rollup") === col("est_direct")).as("rollup_eq_direct"),
+            (abs(col("est_direct") - col("exact_users")).cast("double")
+              / col("exact_users") <= 0.05).as("within_5pct"))
           .orderBy("event_type")
       },
-      None),
+      Some("""SELECT event_type,
+             |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+             |  count(*) AS n_events,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  true AS rollup_eq_direct, true AS within_5pct
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("z6_bloom_semi_join",
       (s, dir) => {
@@ -413,22 +445,45 @@ object ScaleQueries {
       }),
 
     // approximate grouped quantiles (Greenwald-Khanna summary — Spark's
-    // approx_percentile, not a KLL sketch): no-oracle-by-design —
-    // the summary is engine-specific; z4 pins the exact semantics this
-    // approximates, and ScaleBoundSpec bounds the rank error against
-    // it. At 100 TB this is the only affordable percentile: constant
-    // sketch memory per group, map-side mergeable, vs z4's full sort.
+    // approx_percentile, not a KLL sketch): the summary is
+    // engine-specific, so the cross-engine contract is GK's RANK error
+    // bound, verified IN the query (r12 verdict — the old rows-only row
+    // read as untested). approx_percentile returns an actual data
+    // value; rank error ≤ 1% means that value lies between the exact
+    // q∓0.01 quantiles (accuracy 10000 guarantees 1e-4, so the 1% gate
+    // has two orders of margin). The exact quantile sandwich comes from
+    // z4's engine-pinned percentile ≡ quantile_cont, so the oracled
+    // payload is the exact quartiles (the z4 semantic) plus the
+    // per-group verdict. At 100 TB production runs the approx path
+    // alone: constant sketch memory per group, map-side mergeable, vs
+    // z4's full sort — the exact sandwich here is the verification
+    // twin.
     Q("z5_approx_percentiles",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(expr(
           "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
-          .as("q"))
+          .as("a"),
+          expr("percentile(l_extendedprice, array(0.24D, 0.25D, 0.26D, " +
+            "0.49D, 0.5D, 0.51D, 0.74D, 0.75D, 0.76D))").as("e"))
         .select(col("l_returnflag"),
-          expr("concat_ws('|', transform(q, x -> cast(x as string)))")
-            .as("quartiles"))
+          expr(s"concat_ws('|', cast(${roundAtSql("e[1]", 4)} as string), " +
+            s"cast(${roundAtSql("e[4]", 4)} as string), " +
+            s"cast(${roundAtSql("e[7]", 4)} as string))").as("exact_quartiles"),
+          expr("a[0] >= e[0] AND a[0] <= e[2] AND " +
+            "a[1] >= e[3] AND a[1] <= e[5] AND " +
+            "a[2] >= e[6] AND a[2] <= e[8]").as("within_rank_1pct"))
         .orderBy("l_returnflag"),
-      None),
+      Some(s"""WITH q AS (
+              |  SELECT l_returnflag,
+              |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS e
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag,
+              |  concat_ws('|', CAST(${roundAtSql("e[1]", 4)} AS VARCHAR),
+              |    CAST(${roundAtSql("e[2]", 4)} AS VARCHAR),
+              |    CAST(${roundAtSql("e[3]", 4)} AS VARCHAR)) AS exact_quartiles,
+              |  true AS within_rank_1pct
+              |FROM q ORDER BY 1""".stripMargin)),
 
     Q("z10_kmv_distinct",
       (s, dir) => {
@@ -436,8 +491,9 @@ object ScaleQueries {
         // 2002; Beyer et al. 2007 "On Synopses for Distinct-Value
         // Estimation") over per-source trigram-shingle vocabularies —
         // the "distinct n-grams per source" diversity profile a corpus
-        // report wants. Unlike z3/z5/z8 (HLL/GK internal state → no
-        // oracle), KMV over md5 is FULLY deterministic: the sketch IS
+        // report wants. Unlike z3/z5/z8 (HLL/GK internal state → the
+        // oracle pins a bound VERDICT, not the estimate), KMV over md5
+        // is FULLY deterministic: the sketch IS
         // the k smallest hash values, so the estimate (k−1)/F(h_k) is
         // hash-exact cross-engine — a sketch family with a first-class
         // DuckDB oracle. Mergeability is demonstrated IN the query: the

@@ -42,13 +42,24 @@ class ScaleBoundSpec extends SparkSpec {
     // whole-stream register state — if this drifted, stored rollups
     // would disagree with recomputation and nobody could trust either),
     // and both must sit within the lgK=12 error envelope of the truth.
-    val rows = graft.SparkEntry.queries("z8_hll_sketch_rollup")(spark, dir)
+    // computed here directly (the z8 query now emits oracled boolean
+    // verdicts instead of the engine-internal estimates; this spec
+    // keeps the quantified numbers on record)
+    val ev = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val rows = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_rollup"))
+      .join(ev.groupBy("event_type").agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+        countDistinct("user_id").as("exact_users")), Seq("event_type"))
       .collect()
     assert(rows.length >= 3, "too few event types — spec is vacuous")
     rows.foreach { r =>
       val (et, exact) = (r.getString(0), r.getLong(3))
-      val direct = r.getLong(4)
-      val rollup = r.getLong(5)
+      val direct = r.getLong(2)
+      val rollup = r.getLong(1)
       val rel = math.abs(rollup - exact).toDouble / exact
       info(f"$et: exact=$exact direct=$direct rollup=$rollup rel_err=$rel%.5f")
       assert(rollup == direct,
