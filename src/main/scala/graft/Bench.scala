@@ -364,8 +364,23 @@ object Bench {
     val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // The battery's own self-load profile (r12 verdict item 7): the
+    // entry gate (2× loadGate) that filters spreads was chosen from one
+    // box's self-load estimate; recording the distribution of
+    // entry-start 1-minute loadavg across THIS run lets a future reader
+    // check the gate against measured self-load instead of folklore —
+    // on a quiet box these quantiles ARE the battery's own 32 worker
+    // threads bleeding into the 1-minute average.
+    val entryLoads = acc.values.flatten.map(_._2).filter(_ >= 0).toSeq.sorted
+    def loadPct(p: Double): Double =
+      if (entryLoads.isEmpty) -1.0
+      else entryLoads(math.round(p * (entryLoads.size - 1)).toInt)
+    val selfLoadJson = if (entryLoads.isEmpty) "" else
+      s""""self_load":{"n":${entryLoads.size},"p10":${fmt(loadPct(0.1))},""" +
+        s""""p50":${fmt(loadPct(0.5))},"p90":${fmt(loadPct(0.9))},""" +
+        s""""max":${fmt(entryLoads.last)}},"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},$common,"phases":$phasesJson,"queries":${qmap(results, _._1)},"spread":${qmap(results, _._2)}}"""
+      s"""{"metric":"total","value":${fmt(total)},$selfLoadJson$common,"phases":$phasesJson,"queries":${qmap(results, _._1)},"spread":${qmap(results, _._2)}}"""
     val short0 = results.filter(r => headline.contains(r._1))
     val short =
       s"""{"metric":"total","value":${fmt(total)},$common,"phases":$phasesJson,"queries":${qmap(short0, _._1)},"queries_full":"BENCH_LOCAL.json"}"""

@@ -785,7 +785,9 @@ object Corpus {
     * pins curate-against-compacted ≡ curate-against-N-segments).
     * Segments being write-once, the swap is coordination-free: write
     * the compacted segment, point the next ingest's `indexPaths` at it,
-    * delete the inputs at leisure.
+    * delete the inputs at leisure — [[gcSegments]] is that deletion for
+    * the managed seg_/cmp_ layout, with the replay-safety watermark
+    * derived for you.
     */
   def compactSegments(spark: org.apache.spark.sql.SparkSession,
       indexPaths: Seq[String], outPath: String): Unit = {
@@ -823,6 +825,21 @@ object Corpus {
     java.nio.file.Files.move(staging, outAbs,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Retention sweep for a MANAGED segment directory (the seg_N/cmp_N
+    * layout the ingest streams write) — the dual of [[compactSegments]]:
+    * compaction bounds the read set, this reclaims the superseded
+    * artifacts no legal replay can reach, bounding on-disk growth too.
+    * Thin alias for [[graft.streaming.StreamingOps.gcSegments]], which
+    * owns the layout and the watermark derivation (newest compacted
+    * artifact at or below the checkpoint-committed batch) — see its
+    * scaladoc for the replay-safety argument and the loud-failure
+    * contract below the watermark. Returns the deleted paths.
+    */
+  def gcSegments(segmentBasePath: String,
+      lastCommittedBatchId: Long): Seq[String] =
+    graft.streaming.StreamingOps.gcSegments(segmentBasePath,
+      lastCommittedBatchId)
 
   /** The DAILY operation of a 100 TB corpus: curate a NEW batch against
     * the already-curated corpus without touching it. Pipeline:

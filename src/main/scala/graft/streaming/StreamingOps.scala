@@ -407,14 +407,97 @@ object StreamingOps {
     * [[graft.corpus.Corpus.compactSegments]]), so a batch's output is
     * identical whether or not a compaction landed between runs — the
     * property that keeps the foreachBatch replay contract intact.
+    *
+    * Loud failure below the GC watermark: once [[gcSegments]] has
+    * reclaimed the artifacts covered by `cmp_W`, a read set for
+    * `beforeId` ≤ W can no longer be reconstructed (its cmps and
+    * segments are gone) — returning whatever still exists would
+    * silently curate against a PARTIAL index, so the call throws
+    * instead. Legal replays always have `beforeId` > W by the GC
+    * contract.
     */
   def segmentReadSet(segmentBasePath: String, beforeId: Long): Seq[String] = {
+    gcWatermark(segmentBasePath).filter(beforeId <= _).foreach { w =>
+      throw new IllegalStateException(
+        s"segment read set for batch $beforeId at $segmentBasePath is below " +
+          s"the GC watermark $w — its inputs were reclaimed by gcSegments " +
+          "and any reconstruction would be silently partial. Deep replay " +
+          "below the watermark requires restoring the directory from a " +
+          "backup (or re-seeding the checkpoint past the watermark).")
+    }
     val cmp = numberedVersions(segmentBasePath, "cmp_")
       .filter(_ < beforeId).lastOption
     val segs = numberedVersions(segmentBasePath, "seg_")
       .filter(n => n < beforeId && cmp.forall(n > _))
     cmp.map(n => s"$segmentBasePath/cmp_$n").toSeq ++
       segs.map(n => s"$segmentBasePath/seg_$n")
+  }
+
+  /** The GC watermark of a managed segment directory: the id of the
+    * newest compacted artifact whose covered inputs [[gcSegments]] has
+    * reclaimed, or None if no GC has ever run. Every artifact with id
+    * below the watermark is gone; `cmp_W` itself is always retained.
+    */
+  def gcWatermark(segmentBasePath: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(segmentBasePath, "_GC_WATERMARK")
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try(
+      java.nio.file.Files.readString(p).trim.toLong).toOption
+  }
+
+  /** Retention sweep for a managed segment directory — the missing half
+    * of the LSM loop (r12 verdict: auto-compaction bounds the READ set,
+    * but superseded segments and older cmp artifacts accumulated one
+    * per batch forever; at 100 TB that is unbounded storage for data no
+    * legal replay can reach). The safe watermark derives from the
+    * replay contract itself: the engine only ever re-fires batches
+    * AFTER the last checkpoint-committed one, and a (re-)fired batch
+    * B > `lastCommittedBatchId` reads the newest `cmp_C` with C < B
+    * plus the segments above C — so with W = the newest cmp id
+    * ≤ `lastCommittedBatchId`, every legal read set is contained in
+    * `{cmp_W} ∪ {seg_n, cmp_n : n > W}` (cmp ids only grow, so no
+    * batch above the committed horizon can select a cmp below W).
+    * Everything else — `seg_n` with n ≤ W and `cmp_n` with n < W — is
+    * unreachable and is deleted here.
+    *
+    * Crash-ordering: the `_GC_WATERMARK` marker is advanced (atomic
+    * rename, monotonic — a stale caller cannot move it back) BEFORE any
+    * deletion, so a crash mid-sweep leaves the loud
+    * [[segmentReadSet]] guard already active rather than a silently
+    * partial directory; the next sweep finishes the deletions
+    * idempotently. No-op (returns empty) until a compaction at or below
+    * the committed horizon exists — GC only ever reclaims inputs whose
+    * union survives in a retained cmp, never the data itself.
+    *
+    * `lastCommittedBatchId` is the newest batch the stream's CHECKPOINT
+    * has committed (inside foreachBatch of batch B, B−1; from outside,
+    * read the checkpoint's offset log). Passing a too-new id would let
+    * the sweep take artifacts a pending replay still needs — the stream
+    * hook (`gcSuperseded` on [[curateStreamIncremental]] /
+    * [[clusterMaintainStream]]) passes the provably safe value.
+    * Returns the deleted paths.
+    */
+  def gcSegments(segmentBasePath: String,
+      lastCommittedBatchId: Long): Seq[String] = {
+    val cmps = numberedVersions(segmentBasePath, "cmp_")
+    cmps.filter(_ <= lastCommittedBatchId).lastOption match {
+      case None => Seq.empty
+      case Some(w) =>
+        val base = java.nio.file.Paths.get(segmentBasePath)
+        if (gcWatermark(segmentBasePath).forall(_ < w)) {
+          val tmp = base.resolve("._GC_WATERMARK.tmp")
+          java.nio.file.Files.writeString(tmp, w.toString)
+          java.nio.file.Files.move(tmp, base.resolve("_GC_WATERMARK"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val doomed =
+          numberedVersions(segmentBasePath, "seg_").filter(_ <= w)
+            .map(n => s"seg_$n") ++
+          cmps.filter(_ < w).map(n => s"cmp_$n")
+        doomed.foreach(d => graft.core.Scratch.deleteTree(base.resolve(d)))
+        doomed.map(d => s"$segmentBasePath/$d")
+    }
   }
 
   /** LSM compaction trigger for the rolling-ingest streams: once the
@@ -458,12 +541,19 @@ object StreamingOps {
     * into one compacted artifact whenever it exceeds `compactTrigger`
     * paths ([[maybeCompactSegments]]; pass Int.MaxValue to manage
     * compaction externally), so steady-state probe cost rides segment
-    * VOLUME, not ingest count.
+    * VOLUME, not ingest count. With `gcSuperseded` the batch then also
+    * reclaims the artifacts no legal replay can reach
+    * ([[gcSegments]] at the checkpoint-committed horizon batchId − 1),
+    * closing the other half of the LSM loop: ON-DISK artifact count
+    * stays bounded too, not just the read set. Opt-in because deleted
+    * segments also foreclose manual deep-replay/forensics below the
+    * watermark (the [[segmentReadSet]] guard then fails loudly).
     */
   def curateStreamIncremental(newDocs: DataFrame, seedIndexPaths: Seq[String],
       segmentBasePath: String, outputPath: String, checkpointPath: String,
       threshold: Double = 0.5, qualityGate: Boolean = false,
-      compactTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      compactTrigger: Int = 8,
+      gcSuperseded: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -480,6 +570,10 @@ object StreamingOps {
         advanceLatestPointer(segmentBasePath, batchId)
         maybeCompactSegments(batch.sparkSession, segmentBasePath, batchId,
           compactTrigger)
+        // batchId − 1 is the provably committed horizon while this batch
+        // is still in flight; its own compaction (if any) becomes
+        // GC-eligible on the NEXT batch — steady state lags one batch
+        if (gcSuperseded) gcSegments(segmentBasePath, batchId - 1)
         batch.sparkSession.catalog.clearCache()
       }
       .start()
@@ -534,12 +628,15 @@ object StreamingOps {
     * [[cdcUpsertStream]]; [[vacuumSnapshotVersions]] applies to
     * `labels/` for retention. Segments auto-compact past
     * `compactTrigger` paths, same policy and replay argument as
-    * [[curateStreamIncremental]].
+    * [[curateStreamIncremental]]; `gcSuperseded` likewise reclaims
+    * segment artifacts below the committed-horizon watermark
+    * ([[gcSegments]]).
     */
   def clusterMaintainStream(newDocs: DataFrame, seedIndexPaths: Seq[String],
       seedClustersPath: String, basePath: String, checkpointPath: String,
       threshold: Double = 0.5,
-      compactTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      compactTrigger: Int = 8,
+      gcSuperseded: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -563,6 +660,7 @@ object StreamingOps {
         advanceLatestPointer(s"$basePath/segments", batchId)
         maybeCompactSegments(spark, s"$basePath/segments", batchId,
           compactTrigger)
+        if (gcSuperseded) gcSegments(s"$basePath/segments", batchId - 1)
         spark.catalog.clearCache()
       }
       .start()

@@ -105,31 +105,53 @@ object StreamBench {
     val (probeCmpSec, probeCmpPairs) = timeProbe(Seq(s"$base/compacted"))
     spark.catalog.clearCache()
 
-    // ---- 1c. auto-compaction steady state (r12): the SAME ingest loop
-    // run twice at a higher batch count — LSM trigger 4 vs compaction
-    // disabled. Without the trigger every batch reads one more segment
-    // path than the last (probe cost rides ingest COUNT forever); with
-    // it the read set stays bounded, so late-batch durations stay flat
-    // and the occasional compaction inside foreachBatch is the visible,
-    // amortized price. read_paths = what the NEXT batch would open.
+    // ---- 1c. auto-compaction steady state (r12) + trigger sweep (r13):
+    // the SAME ingest loop at LSM triggers 4/8/16 and disabled. Without
+    // the trigger every batch reads one more segment path than the last
+    // (probe cost rides ingest COUNT forever); with it the read set
+    // stays bounded, so late-batch durations stay flat and the
+    // occasional compaction inside foreachBatch is the visible,
+    // amortized price. The sweep puts the SHIPPED default (8) on record
+    // next to its neighbors instead of extrapolating from the trigger-4
+    // evidence (r12 verdict gap). read_paths = what the NEXT batch
+    // would open; n_artifacts = seg_/cmp_ dirs on disk at the end.
     val acBatches =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_AC_BATCHES", "12").toInt
-    def autoCmpRun(tag: String, trigger: Int) = {
+    def diskArtifacts(segBase: String): Int =
+      Option(new java.io.File(segBase).listFiles).map(_.count(f =>
+        f.getName.startsWith("seg_") || f.getName.startsWith("cmp_")))
+        .getOrElse(0)
+    def autoCmpRun(tag: String, trigger: Int, nBatches: Int = acBatches,
+        gc: Boolean = false) = {
       val in = MemoryStream[graft.streaming.StreamingOps.DocRow]
+      val segBase = s"$base/ac_$tag/segments"
       val q = graft.streaming.StreamingOps.curateStreamIncremental(
-        in.toDF(), Seq(s"$base/seed"), s"$base/ac_$tag/segments",
+        in.toDF(), Seq(s"$base/seed"), segBase,
         s"$base/ac_$tag/out", s"$base/ac_$tag/ckpt",
-        compactTrigger = trigger)
-      val fed = evens.grouped(math.max(1, evens.size / acBatches)).map { b =>
-        in.addData(b); q.processAllAvailable(); b.size
+        compactTrigger = trigger, gcSuperseded = gc)
+      val artCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val fed = evens.grouped(math.max(1, evens.size / nBatches)).map { b =>
+        in.addData(b); q.processAllAvailable()
+        artCounts += diskArtifacts(segBase)
+        b.size
       }.toSeq
       val stats = batchStats(q, fed)
       q.stop()
       (stats, graft.streaming.StreamingOps.segmentReadSet(
-        s"$base/ac_$tag/segments", Long.MaxValue).size)
+        segBase, Long.MaxValue).size, artCounts.toSeq)
     }
-    val (acOnStats, acOnPaths) = autoCmpRun("on", 4)
-    val (acOffStats, acOffPaths) = autoCmpRun("off", Int.MaxValue)
+    val acSweep = Seq("t4" -> 4, "t8" -> 8, "t16" -> 16,
+      "off" -> Int.MaxValue).map { case (tag, trig) =>
+      (tag, trig, autoCmpRun(tag, trig))
+    }
+    // ---- 1d. GC'd long run (r13): shipped trigger, gcSuperseded on,
+    // 3x the ingest length that previously accumulated — the evidence
+    // that ON-DISK artifact count is bounded too (the read set was
+    // already bounded by 1c; without GC the disk grows one artifact per
+    // batch forever). max/final artifact counts over the run are the
+    // headline numbers.
+    val (gcStats, gcPaths, gcArts) =
+      autoCmpRun("gc", 8, nBatches = 3 * acBatches, gc = true)
 
     // ---- 2. CDC upsert stream: seed snapshot = customer, stream U/D/I
     val cust = graft.core.Tables.customer(spark, dir)
@@ -231,10 +253,16 @@ object StreamBench {
         s""","state_rows":$kmvStateRows""") + "," +
       fmt("frame_dedup_stream", fdStats,
         s""","pairs_emitted":$fdPairs""") + "," +
-      fmt("curate_stream_autocompact_on", acOnStats,
-        s""","read_paths":$acOnPaths""") + "," +
-      fmt("curate_stream_autocompact_off", acOffStats,
-        s""","read_paths":$acOffPaths""") +
+      acSweep.map { case (tag, trig, (stats, paths, arts)) =>
+        fmt(s"curate_stream_autocompact_$tag", stats,
+          s""","trigger":${if (trig == Int.MaxValue) -1 else trig}""" +
+            s""","read_paths":$paths,"artifacts_final":${arts.last}""" +
+            s""","artifacts_max":${arts.max}""")
+      }.mkString(",") + "," +
+      fmt("curate_stream_gc_long", gcStats,
+        s""","trigger":8,"read_paths":$gcPaths""" +
+          s""","artifacts_final":${gcArts.last},"artifacts_max":${gcArts.max}""" +
+          s""","artifacts_per_batch":[${gcArts.mkString(",")}]""") +
       s""","segment_compaction":{"n_segments":${allSegs.size},""" +
       f""""probe_sec_segments":$probeSegSec%.3f,"probe_sec_compacted":$probeCmpSec%.3f,""" +
       s""""pairs_segments":$probeSegPairs,"pairs_compacted":$probeCmpPairs}""" +

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The retention half of the LSM loop (r12 verdict): [[StreamingOps
+  * .gcSegments]] must reclaim exactly the artifacts no legal replay can
+  * reach — curation output over the surviving read set is IDENTICAL,
+  * on-disk artifact count actually shrinks, and any attempt to
+  * reconstruct a read set below the watermark fails loudly instead of
+  * silently curating against a partial index.
+  */
+class SegmentGcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docRows = Tables.documents(spark, sfDir)
+    .select($"doc_id", $"source", $"text").as[StreamingOps.DocRow]
+
+  /** drive an ingest through `nBatches` micro-batches; returns
+    * (segment base, out path, curated doc_ids). */
+  private def ingest(base: String, nBatches: Int, trigger: Int,
+      gc: Boolean): Set[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val seed = s"$base/seed"
+    graft.corpus.Corpus.writeLshIndex(
+      Tables.documents(spark, sfDir).filter($"doc_id" % 2 =!= 0), seed)
+    val newDocs = docRows.filter(_.doc_id % 2 == 0)
+      .collect().toSeq.sortBy(_.doc_id)
+    val input = MemoryStream[StreamingOps.DocRow]
+    val q = StreamingOps.curateStreamIncremental(input.toDF(), Seq(seed),
+      s"$base/segments", s"$base/out", s"$base/ckpt",
+      compactTrigger = trigger, gcSuperseded = gc)
+    newDocs.grouped(math.max(1, newDocs.size / nBatches)).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  private def artifactNames(segBase: String): Seq[String] =
+    new java.io.File(segBase).listFiles.toSeq.map(_.getName)
+      .filter(n => n.startsWith("seg_") || n.startsWith("cmp_")).sorted
+
+  test("gcSegments reclaims only unreachable artifacts: probe result identical, disk shrinks, marker set") {
+    val base = tmpDir("seg_gc")
+    ingest(base, nBatches = 8, trigger = 2, gc = false)
+    val segBase = s"$base/segments"
+    val before = artifactNames(segBase)
+    val lastBatch = StreamingOps.latestCompleteVersion(segBase).get
+    // the reference probe BEFORE GC, over the read set a next batch
+    // would use
+    def probe(): Set[(Long, Long)] = {
+      spark.catalog.clearCache()
+      graft.corpus.Corpus.dedupAgainstIndex(
+        Tables.documents(spark, sfDir).filter($"doc_id" % 2 === 0),
+        Seq(s"$base/seed") ++
+          StreamingOps.segmentReadSet(segBase, lastBatch + 1), 0.5)
+        .select("new_id", "index_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val beforePairs = probe()
+    val deleted = StreamingOps.gcSegments(segBase, lastBatch)
+    assert(deleted.nonEmpty, "trigger=2 over 8 batches left nothing to GC")
+    val after = artifactNames(segBase)
+    assert(after.size < before.size)
+    // the retained cmp at the watermark survives, everything below is gone
+    val w = StreamingOps.gcWatermark(segBase).get
+    assert(after.contains(s"cmp_$w"))
+    assert(after.forall { n =>
+      val id = n.dropWhile(!_.isDigit).toLong
+      if (n.startsWith("seg_")) id > w else id >= w
+    }, s"artifact below watermark $w survived: $after")
+    assert(probe() == beforePairs,
+      "GC changed the dedup probe result — it took a reachable artifact")
+    assert(beforePairs.nonEmpty, "no dedup pairs — spec is vacuous")
+    // idempotent re-run: nothing left to take, marker unchanged
+    assert(StreamingOps.gcSegments(segBase, lastBatch).isEmpty)
+    assert(StreamingOps.gcWatermark(segBase) == Some(w))
+    spark.catalog.clearCache()
+  }
+
+  test("a read set below the GC watermark fails loudly; above it still works") {
+    val base = tmpDir("seg_gc_replay")
+    ingest(base, nBatches = 8, trigger = 2, gc = false)
+    val segBase = s"$base/segments"
+    val lastBatch = StreamingOps.latestCompleteVersion(segBase).get
+    StreamingOps.gcSegments(segBase, lastBatch)
+    val w = StreamingOps.gcWatermark(segBase).get
+    val ex = intercept[IllegalStateException] {
+      StreamingOps.segmentReadSet(segBase, w)
+    }
+    assert(ex.getMessage.contains("GC watermark"))
+    // the boundary: W+1 is the first batch id any legal replay can hold
+    val rs = StreamingOps.segmentReadSet(segBase, w + 1)
+    assert(rs == Seq(s"$segBase/cmp_$w"),
+      s"batch ${w + 1} must read exactly the retained cmp, got $rs")
+    spark.catalog.clearCache()
+  }
+
+  test("stream with gcSuperseded: output equals the unmanaged run, disk artifact count bounded") {
+    val baseOn = tmpDir("seg_gc_on")
+    val baseOff = tmpDir("seg_gc_off")
+    val gcOut = ingest(baseOn, nBatches = 8, trigger = 2, gc = true)
+    val plainOut = ingest(baseOff, nBatches = 8, trigger = 2, gc = false)
+    assert(gcOut == plainOut,
+      "in-stream GC changed curation output — it reclaimed a reachable artifact")
+    assert(gcOut.nonEmpty, "no curated docs — spec is vacuous")
+    // bounded: the gc run keeps the retained cmp plus the ≤ trigger+1
+    // artifacts above it (steady state lags one batch behind the
+    // compaction); the unmanaged run keeps one seg per batch plus every
+    // cmp ever written, growing with ingest count forever
+    val onArts = artifactNames(s"$baseOn/segments")
+    val offArts = artifactNames(s"$baseOff/segments")
+    assert(onArts.size < offArts.size,
+      s"gc freed nothing: on=$onArts off=$offArts")
+    assert(onArts.size <= 5,
+      s"gc run's artifact count not bounded at trigger 2: $onArts")
+    assert(StreamingOps.gcWatermark(s"$baseOn/segments").nonEmpty)
+    spark.catalog.clearCache()
+  }
+}

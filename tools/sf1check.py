@@ -77,12 +77,15 @@ SWAPPED = {"x4_dedup_ngram_jaccard": X4_SQL,
            "x20_containment_dedup": X20_SQL}
 
 # the full standing spot-check list (r11 verdict): exact + LSH + prefix
-# family + graph CC + simhash + split determinism + the BPE/backoff
-# family + all three multimodal dedups. x32's unsampled brute-force twin
-# stays excluded at sf1 by design (recorded since r8).
+# family + graph CC (full AND incremental — x29 joined in r13, it was
+# the heaviest corpus op without at-scale evidence) + simhash + split
+# determinism + the BPE/backoff family + all three multimodal dedups.
+# x32's unsampled brute-force twin stays excluded at sf1 by design
+# (recorded since r8).
 ALL_QUERIES = [
     "x1_dedup_exact", "x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard",
-    "x11_dedup_clusters", "x20_containment_dedup", "x28_weighted_jaccard",
+    "x11_dedup_clusters", "x29_dedup_clusters_update",
+    "x20_containment_dedup", "x28_weighted_jaccard",
     "x31_simhash_hamming", "y1_train_val_test_split",
     "t16_stupid_backoff", "t17_token_estimator_train",
     "t18_bpe_train", "t19_bpe_encode",
