@@ -46,6 +46,11 @@ object ShuffleProfile {
     // spill-boundary record show the fix measured, not just named
     sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
       .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    // diagnostic knob (r13): raise/lower the broadcast threshold to
+    // bracket plan-transition-driven byte growth (e.g. the x20 verify
+    // joins flipping broadcast → SMJ between sf1 and sf3)
+    sys.env.get("SPARK_GRAFT_ABJT")
+      .foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     val names = if (args.nonEmpty) args.toSeq
       else sys.env.get("SPARK_GRAFT_PROFILE_ONLY")
         .map(_.split(",").toSeq).getOrElse(defaults)
