@@ -548,21 +548,6 @@ object DedupQueries {
         lengthFilter = false, idfWeighted = true, weightsOnIndex = true)
   }
 
-  /** Dev-only A/B knob for the r13 pigeonhole fixed-cost probe
-    * (SPARK_GRAFT_PIGEONHOLE_BCAST=1): wraps the distinct-hash-sized
-    * side frames (bdf, ext, the stats join) in an explicit broadcast
-    * hint, turning their shuffle joins into broadcast joins BELOW AQE
-    * (AQE's own conversion still materializes both sides' shuffle files
-    * first — the sequential stage boundaries are the measured ~1 s
-    * fixed overhead, not the join strategy). Off by default; flipping
-    * it must never change results (inner/left equi-join semantics are
-    * strategy-independent), only the plan.
-    */
-  private def pigeonholeHint(df: DataFrame): DataFrame =
-    if (sys.env.get("SPARK_GRAFT_PIGEONHOLE_BCAST").exists(_.nonEmpty))
-      broadcast(df)
-    else df
-
   /** hamming-≤3 pairs over DISTINCT 48-bit hash values via pigeonhole
     * blocking (Manku et al., WWW'07): each hash splits into 4 12-bit
     * blocks; a pair at hamming ≤ 3 has its ≤ 3 differing bits in ≤ 3
@@ -592,7 +577,7 @@ object DedupQueries {
         expr(s"transform(sequence(0, 3), j -> shiftright($hashCol, 36 - 12 * j) & 4095)")): _*)
       .toDF((hashCol +: carry) ++ Seq("blk", "bval"): _*)
     val bdf = blocks.groupBy("blk", "bval").agg(count(lit(1)).as("bdf"))
-    val b = blocks.join(pigeonholeHint(bdf), Seq("blk", "bval"))
+    val b = blocks.join(bdf, Seq("blk", "bval"))
       .withColumn("nsalt",
         least(ceil(col("bdf") / lit(saltChunk.toDouble)), lit(256L)).cast("int"))
       .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
@@ -686,9 +671,7 @@ object DedupQueries {
       .select(col("e.h").as(hashCol), col("e.nbr_n"), col("e.nbr_min"))
       .groupBy(hashCol)
       .agg(sum("nbr_n").as("ext_n"), min("nbr_min").as("ext_min"))
-    hashes.join(
-        pigeonholeHint(grpStats.join(pigeonholeHint(ext), Seq(hashCol), "left")),
-        Seq(hashCol))
+    hashes.join(grpStats.join(ext, Seq(hashCol), "left"), Seq(hashCol))
       .withColumn("n_near",
         (col("grp_n") - 1 + coalesce(col("ext_n"), lit(0L))).cast("long"))
       .filter(col("n_near") > 0)
