@@ -651,11 +651,11 @@ object EventQueries {
               |  GROUP BY h.doc_id)
               |SELECT d.doc_id AS media_id,
               |  CAST(length(d.text) AS BIGINT) AS n_bytes,
-              |  ${roundAtSql("s.mean_b", 6)} AS mean_byte,
-              |  ${roundAtSql("s.ent", 6)} AS byte_entropy,
+              |  coalesce(${roundAtSql("s.mean_b", 6)}, 0.0) AS mean_byte,
+              |  coalesce(${roundAtSql("s.ent", 6)}, 0.0) AS byte_entropy,
               |  8 AS width, 8 AS height,
               |  CAST(ceil(ceil(length(d.text) / 256.0) / 4.0) AS BIGINT) AS n_frames
-              |FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+              |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
               |ORDER BY 1""".stripMargin)),
 
     Q("m3_video_frame_dedup",

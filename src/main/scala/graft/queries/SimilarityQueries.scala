@@ -1081,7 +1081,13 @@ object SimilarityQueries {
         // window over each node's OWN candidate list — partitioned by
         // vec_id, so a mega-cluster never serializes one sort. Directed
         // edges: both (a→b) and (b→a) come from the one equi-join.
-        val e = vecs(s, dir)
+        // zero-norm vectors carry no direction: their cosine to anything
+        // is 0/0, and the engines then DISAGREE on the ranking (Spark's
+        // expression yields 0.0, DuckDB propagates NaN which sorts as
+        // the GREATEST value in a DESC order — a zero vector would rank
+        // as everyone's first neighbor there). Excluded from the graph
+        // deterministically on both sides (r13 degencheck).
+        val e = vecs(s, dir).filter(col("norm") > 0)
         val assigned = assignNearest(e, sharedCentroids(s, dir)).cache()
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -1103,7 +1109,8 @@ object SimilarityQueries {
               |  SELECT a.cand_id AS vec_id, b.cand_id AS neighbor_id,
               |    ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} AS cosine
               |  FROM assigned a JOIN assigned b
-              |    ON a.centroid_id = b.centroid_id AND a.cand_id <> b.cand_id),
+              |    ON a.centroid_id = b.centroid_id AND a.cand_id <> b.cand_id
+              |    AND a.norm > 0 AND b.norm > 0),
               |ranked AS (
               |  SELECT vec_id, neighbor_id, cosine,
               |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id

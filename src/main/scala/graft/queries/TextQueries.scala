@@ -115,17 +115,24 @@ object TextQueries {
       (s, dir) => Tables.documents(s, dir)
         .withColumn("canon_fp",
           md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+        // empty text guarded explicitly (r13 degencheck): Spark's
+        // sequence(1, 0) infers step −1 and emits [1, 0] instead of an
+        // empty list, while DuckDB's list_reduce ERRORS on an empty
+        // input — both engines pin roll_hash = 0 for the zero-length
+        // payload (the fold's seed, i.e. the hash of no bytes)
         .withColumn("roll_hash", expr(
-          """aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-            |          cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin))
+          """CASE WHEN length(text) = 0 THEN cast(0 as bigint) ELSE
+            |aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+            |          cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007) END""".stripMargin))
         .withColumn("n_same_fp", count(lit(1)).over(Window.partitionBy("canon_fp")))
         .select("doc_id", "canon_fp", "roll_hash", "n_same_fp")
         .orderBy("doc_id"),
       Some("""WITH f AS (
              |  SELECT doc_id,
              |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS canon_fp,
+             |    CASE WHEN length(text) = 0 THEN 0 ELSE
              |    list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in range(1, length(text) + 1)],
-             |                (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_hash
+             |                (acc, c) -> (acc * 31 + c) % 1000000007) END AS roll_hash
              |  FROM documents)
              |SELECT doc_id, canon_fp, roll_hash, count(*) OVER (PARTITION BY canon_fp) AS n_same_fp
              |FROM f ORDER BY doc_id""".stripMargin)),

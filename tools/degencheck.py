@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Degenerate-corpus differential gate (r13).
+
+The round-12/13 ADVICE findings (x35 singleton-label NaN, e9 single-day
+type) shared one shape: an expression both engines compute fine on the
+SHIPPED fixtures diverges on a degenerate population the fixtures never
+contain — 0/0 sample variance, division by a zero norm, an empty text.
+The committed oracles can't catch what the data never exercises. This
+gate mechanizes that lens: build a fixture that IS the shipped sf0.001
+data PLUS a battery of degenerate rows, run the FULL graft.Verify dump
+on it, and hash-compare every oracled query against DuckDB — any
+engine disagreement on the degenerate population fails loudly.
+
+Degenerate rows appended (ids far above the shipped range so they
+can't collide):
+
+  documents: empty text, single word, "ab ab" (all-dup words), digits
+    only, one very long word, a singleton lang, a pair of byte-exact
+    duplicate docs, a doc that exactly equals a shipped doc's text
+    (cross-population exact dup), whitespace-only-ish single space.
+  embeddings: an all-zero vector (norm 0 — unit-normalization division),
+    a singleton label, two identical vectors (distance ties), a vector
+    with negative components only.
+  events: a singleton event type with ONE day (n=1 moment guards), a
+    type whose every event is the same instant, a zero/negative value.
+
+Usage: python3 tools/degencheck.py [--work /tmp/graft_degen] [--skip-build]
+Exit non-zero on any FAIL; writes <work>/degencheck_manifest.json.
+"""
+import sys, os, json, shutil, subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.001"
+
+
+def build(work):
+    import duckdb
+    os.makedirs(work, exist_ok=True)
+    # TPC-H tables pass through untouched (relational family unaffected)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"]:
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"),
+                    os.path.join(work, f"{t}.parquet"))
+    con = duckdb.connect()
+    B = 900000000  # degenerate id base, far above any shipped id
+
+    # one shipped text to duplicate across the population boundary
+    base_text = con.execute(
+        f"SELECT text FROM '{SRC}/documents.parquet' ORDER BY doc_id LIMIT 1"
+    ).fetchone()[0].replace("'", "''")
+    longword = "x" * 400
+    doc_rows = ",\n".join([
+        f"({B + 1}, '', 'en', 'web', 0)",
+        f"({B + 2}, 'hello', 'en', 'web', 5)",
+        f"({B + 3}, 'ab ab', 'en', 'web', 5)",
+        f"({B + 4}, '12345 67890', 'en', 'web', 11)",
+        f"({B + 5}, '{longword}', 'en', 'web', 400)",
+        f"({B + 6}, 'solitary language row here', 'xx', 'web', 26)",
+        f"({B + 7}, 'twin twin twin content row', 'en', 'web', 26)",
+        f"({B + 8}, 'twin twin twin content row', 'en', 'books', 26)",
+        f"({B + 9}, '{base_text}', 'en', 'web', {len(base_text)})",
+        f"({B + 10}, ' ', 'en', 'web', 1)",
+    ])
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{SRC}/documents.parquet'
+        UNION ALL
+        SELECT * FROM (VALUES {doc_rows})
+          v(doc_id, text, lang, source, n_chars)
+      ) TO '{work}/documents.parquet' (FORMAT PARQUET)""")
+
+    dim = con.execute(
+        f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    zero = "[" + ",".join(["0.0"] * dim) + "]"
+    neg = "[" + ",".join(["-0.25"] * dim) + "]"
+    twin = "[" + ",".join(
+        [f"{0.1 + 0.01 * (i % 7):.2f}" for i in range(dim)]) + "]"
+    emb_rows = ",\n".join([
+        f"({B + 1}, {zero}::FLOAT[], 901)",      # zero norm
+        f"({B + 2}, {twin}::FLOAT[], 902)",      # identical pair, label 902
+        f"({B + 3}, {twin}::FLOAT[], 902)",
+        f"({B + 4}, {neg}::FLOAT[], 903)",       # singleton label, negative
+    ])
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{SRC}/embeddings.parquet'
+        UNION ALL
+        SELECT vec_id, embedding, label FROM (VALUES {emb_rows})
+          v(vec_id, embedding, label)
+      ) TO '{work}/embeddings.parquet' (FORMAT PARQUET)""")
+
+    # props stays inside the table's uniform {"k": n} contract — e10's
+    # oracle documents schema_of_variant as oracled ONLY under a uniform
+    # props schema (heterogeneous JSON shapes have no portable oracle);
+    # the degenerate axes here are the GROUP populations, not the JSON
+    ev_rows = ",\n".join([
+        # singleton type, single day, single event (n=1 everywhere)
+        f"({B + 1}, TIMESTAMP '2024-03-03 12:00:00', {B + 1}, 'degen_solo', 1.5, '{{\"k\": 1}}')",
+        # a type whose every event shares one instant (zero variance)
+        f"({B + 2}, TIMESTAMP '2024-03-04 08:00:00', {B + 2}, 'degen_instant', 2.0, '{{\"k\": 2}}')",
+        f"({B + 3}, TIMESTAMP '2024-03-04 08:00:00', {B + 3}, 'degen_instant', 0.0, '{{\"k\": 3}}')",
+        f"({B + 4}, TIMESTAMP '2024-03-04 08:00:00', {B + 4}, 'degen_instant', -3.25, '{{\"k\": 4}}')",
+    ])
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{SRC}/events.parquet'
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM (VALUES {ev_rows}) v(event_id, ts, user_id, event_type, value, props)
+      ) TO '{work}/events.parquet' (FORMAT PARQUET)""")
+    print(f"degen fixture built under {work}")
+
+
+def main(argv):
+    def opt(name, default):
+        return argv[argv.index(name) + 1] if name in argv else default
+    work = opt("--work", "/tmp/graft_degen")
+    out = os.path.join(work, "verify_out")
+    if "--skip-build" not in argv:
+        build(work)
+    rc = subprocess.call(
+        ["sbt", "--error", f"runMain graft.Verify {work} {out}"], cwd=REPO)
+    result = {"work": work, "verify_rc": rc}
+    if rc == 0:
+        rc = subprocess.call(
+            [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"),
+             work, out])
+        result["compare_rc"] = rc
+    result["result"] = "pass" if rc == 0 else "FAIL"
+    json.dump(result, open(os.path.join(work, "degencheck_manifest.json"), "w"),
+              indent=1)
+    print("DEGENCHECK " + result["result"])
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
