@@ -40,6 +40,9 @@ import graft.core.Sessions
   *       # rewrite parquet z-ordered on two columns for file skipping
   *   vacuum --snapshots D [--keep 7]
   *       # retention-sweep versioned snapshot dirs (v_N), newest kept
+  *   gc-segments --segments D --committed N
+  *       # reclaim managed index artifacts (seg_/cmp_) unreachable by
+  *       # any replay of batches > N (the checkpoint-committed horizon)
   *   version
   */
 object Cli {
@@ -230,6 +233,17 @@ object Cli {
       val deleted = graft.streaming.StreamingOps.vacuumSnapshotVersions(
         opts("snapshots"), opts.getOrElse("keep", "7").toInt)
       println(s"vacuum=${opts("snapshots")} deleted=${deleted.mkString(",")}")
+    case Some("gc-segments") =>
+      // the operational triad's third leg beside compact-segments and
+      // vacuum: reclaim index artifacts no legal replay can reach.
+      // --committed is the newest batch the stream's CHECKPOINT has
+      // committed — passing a too-new id would take artifacts a pending
+      // replay still needs (see StreamingOps.gcSegments scaladoc).
+      val opts = parse(args.tail)
+      val gone = graft.corpus.Corpus.gcSegments(
+        opts("segments"), opts("committed").toLong)
+      println(s"gc-segments=${opts("segments")} deleted=${gone.size} " +
+        s"watermark=${graft.streaming.StreamingOps.gcWatermark(opts("segments")).getOrElse(-1L)}")
     case Some("stream-demo") =>
       val opts = parse(args.tail)
       withSession { spark =>
@@ -246,7 +260,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: run|generate|curate|curate-inc|index|compact-segments|posting-index|" +
-          "ann-index|ann-append|pagerank|cluster-update|zorder|vacuum|stream-demo|version (see Scaladoc)")
+          "ann-index|ann-append|pagerank|cluster-update|zorder|vacuum|gc-segments|stream-demo|version (see Scaladoc)")
       sys.exit(2)
   }
 
