@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Pins the degenerate-population contracts the r13 degencheck gate
+  * established (tools/degencheck.py found all four as live cross-engine
+  * divergences), so a regression is caught by `sbt test` alone without
+  * the DuckDB differential run: empty text is a DEFINED fingerprint and
+  * a DEFINED media row, and a zero-norm vector is deterministically
+  * absent from the KNN graph.
+  */
+class DegenerateContractSpec extends SparkSpec {
+
+  private lazy val docDir: String = {
+    val dir = tmpDir("degen_docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "alpha beta gamma delta", "en", "web", 22L),
+      Row(2L, "epsilon zeta eta theta", "en", "web", 22L),
+      Row(99L, "", "en", "web", 0L)) // the zero-byte payload
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t4: empty text fingerprints to roll_hash 0, not an engine-dependent fold of sequence(1,0)") {
+    val got = graft.SparkEntry.queries("t4_fingerprint")(spark, docDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 99L))
+    assert(got(99L) == 0L, "empty text must hash to the fold seed 0")
+    assert(got(1L) != 0L && got(2L) != 0L)
+  }
+
+  test("m2: the zero-byte payload emits a defined media row (the codec pipeline is total)") {
+    val got = graft.SparkEntry.queries("m2_media_features")(spark, docDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4),
+          r.getInt(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set(1L, 2L, 99L),
+      "the empty payload row must not be dropped")
+    assert(got(99L) == ((0L, 0.0, 0.0, 8, 8, 0L)),
+      s"zero-byte media contract violated: ${got(99L)}")
+  }
+
+  test("x25: a zero-norm vector joins no KNN edge in either direction") {
+    val dir = tmpDir("degen_vecs")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val d = 6
+    def v(seed: Int): Seq[Float] =
+      (0 until d).map(i => 0.1f + ((seed * 7 + i * 3) % 11) / 10.0f)
+    val rows = (1L to 10L).map(i => Row(i, v(i.toInt), (i % 3).toInt)) :+
+      Row(99L, Seq.fill(d)(0.0f), 7) // the zero-norm vector
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("x25_knn_graph")(spark, dir).collect()
+    assert(out.nonEmpty, "no KNN edges at all — spec is vacuous")
+    assert(!out.exists(r => r.getLong(0) == 99L || r.getLong(2) == 99L),
+      "a zero-norm vector (cosine 0/0 — the engines disagree on NaN " +
+        "ranking) leaked into the KNN graph")
+    spark.catalog.clearCache()
+  }
+}
