@@ -34,7 +34,14 @@ package graft
   * hot-pass samples (no quiet warm sample existed) are listed in
   * `spread_unfiltered`, and the worst max/min ratio across entries is
   * summarized in the stdout line (`noise`) so a noisy run is visible
-  * in the official record.
+  * in the official record. The record additionally carries the QUIET
+  * evidence (r13 verdict: the official artifact read 13% above the
+  * same tree's quiet batteries, so cross-round artifact compares were
+  * comparing box load): `queries_quiet` = per-entry min over samples
+  * from below-gate windows only (−1 when an entry never saw one) and
+  * `quiet_total` = their sum with overall-min fallback — the headline
+  * number a cross-round comparison should use when `self_load` shows
+  * the run was load-skewed.
   *
   * Emission contract: the driver captures only a ~2 KiB tail of stdout,
   * and the full 90-query map is ~2.4 KB — longer than the window, which
@@ -82,6 +89,14 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = graft.core.Sessions.local("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", graft.core.Sessions.cpus))
+    // the sketch entries (z3/z5/z8) time their PRODUCTION approx shape
+    // here — the exact verification twins those queries fold in for the
+    // DuckDB oracle are a Verify-path concern, and timing them under the
+    // sketch entry's name misstated the approx op's cost (r13 ADVICE).
+    // Verify never sets this, so the correctness artifact still pins the
+    // full self-verifying shape. Recorded in the JSON as
+    // `approx_production_shape` so the two records can't be confused.
+    spark.conf.set("graft.bench.approxOnly", "true")
     // warm the session (codegen, shuffle service, FS footers) so the
     // first measured query doesn't absorb ~4s of one-time init
     graft.core.Tables.names.foreach { t =>
@@ -314,23 +329,41 @@ object Bench {
     // because otherwise the record's hot_passes_spread_excluded claim
     // would read as applying to every entry when it didn't (r11 ADVICE).
     val spreadUnfiltered = scala.collection.mutable.SortedSet.empty[String]
-    val results: Seq[(String, (Double, Double))] = entries.map { case (name, _) =>
+    // (min over ALL samples, max over warm quiet samples, min over QUIET
+    // samples). The third is the r13 verdict's process-gap fix: the
+    // official artifact's headline total was recorded at self_load p90
+    // 7.4 and read 13% above the same tree's quiet batteries, so a
+    // judge comparing artifacts across rounds was comparing box load.
+    // quiet-min = min restricted to samples whose pass started below
+    // the load gate AND whose own entry-start loadavg sat below the
+    // entry gate; −1 when no quiet sample exists (the entry is then in
+    // `all_hot_entries` and its quiet-min falls back to the overall min
+    // in `quiet_total`).
+    val results: Seq[(String, (Double, Double, Double))] = entries.map { case (name, _) =>
       val ts = acc(name)
-      name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0)
+      name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0, -1.0)
                else {
                  val warm = (if (ts.size >= 3) ts.drop(1) else ts).toSeq
                  val quiet = warm.filterNot(hotSample)
                  if (quiet.isEmpty && warm.exists(hotSample))
                    spreadUnfiltered += name
+                 val quietAll = ts.toSeq.filterNot(hotSample)
                  (ts.map(_._3).min,
-                   (if (quiet.nonEmpty) quiet else warm).map(_._3).max)
+                   (if (quiet.nonEmpty) quiet else warm).map(_._3).max,
+                   if (quietAll.nonEmpty) quietAll.map(_._3).min else -1.0)
                })
     }
 
-    def qmap(rs: Seq[(String, (Double, Double))], pick: ((Double, Double)) => Double) =
+    def qmap(rs: Seq[(String, (Double, Double, Double))],
+        pick: ((Double, Double, Double)) => Double) =
       rs.map { case (k, mm) => "\"" + k + "\":" + fmt(pick(mm)) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
-    val noise = results.collect { case (_, (mn, mx)) if mn > 0.05 => mx / mn }
+    val total = results.collect { case (_, (mn, _, _)) if mn >= 0 => mn }.sum
+    // headline total over quiet minima (falling back to the overall min
+    // where an entry never saw a quiet window): the artifact now CARRIES
+    // the quiet evidence instead of leaving it in BASELINE prose
+    val quietTotal = results.collect {
+      case (_, (mn, _, qn)) if mn >= 0 => if (qn >= 0) qn else mn }.sum
+    val noise = results.collect { case (_, (mn, mx, _)) if mn > 0.05 => mx / mn }
       .foldLeft(1.0)(math.max)
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // numeric sf parsed from the dir name (…/sf0.1 → 0.1); falls back to
@@ -361,7 +394,7 @@ object Bench {
          else "") +
         (if (allHotEntries.nonEmpty)
           s""""all_hot_entries":${nameArr(allHotEntries)},""" else "")
-    val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"approx_production_shape":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // The battery's own self-load profile (r12 verdict item 7): the
@@ -380,10 +413,10 @@ object Bench {
         s""""p50":${fmt(loadPct(0.5))},"p90":${fmt(loadPct(0.9))},""" +
         s""""max":${fmt(entryLoads.last)}},"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},$selfLoadJson$common,"phases":$phasesJson,"queries":${qmap(results, _._1)},"spread":${qmap(results, _._2)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"quiet_total":${fmt(quietTotal)},$selfLoadJson$common,"phases":$phasesJson,"queries":${qmap(results, _._1)},"queries_quiet":${qmap(results, _._3)},"spread":${qmap(results, _._2)}}"""
     val short0 = results.filter(r => headline.contains(r._1))
     val short =
-      s"""{"metric":"total","value":${fmt(total)},$common,"phases":$phasesJson,"queries":${qmap(short0, _._1)},"queries_full":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"quiet_total":${fmt(quietTotal)},$common,"phases":$phasesJson,"queries":${qmap(short0, _._1)},"queries_full":"BENCH_LOCAL.json"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     spark.stop()
     // full record first (head may be clipped by the driver's tail

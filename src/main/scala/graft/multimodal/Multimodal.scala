@@ -72,8 +72,11 @@ object Multimodal {
     // Null text would become a null payload and NPE inside the codec's
     // mapPartitions (r10 self-review — the same null-intolerance fixed
     // for the simhash kernel): an undecodable row is dropped here, and
-    // the m2/x34 oracles drop it identically (m2's stats inner join;
-    // x34's explicit WHERE). width × height sets the fake frame
+    // the m2/x34 oracles drop it identically (both via an explicit
+    // WHERE text IS NOT NULL — m2's moved off its stats inner join in
+    // r13 when the empty-text row became a LEFT JOIN so zero-byte
+    // payloads survive; null and empty are now distinct contracts,
+    // both in degencheck's battery). width × height sets the fake frame
     // geometry — m3 uses a finer 32×2 grid so shipped-corpus payloads
     // carry enough frames for the shared-frame rule to have evidence.
     docs.filter(col("text").isNotNull).select(

@@ -656,7 +656,14 @@ object EventQueries {
               |  8 AS width, 8 AS height,
               |  CAST(ceil(ceil(length(d.text) / 256.0) / 4.0) AS BIGINT) AS n_frames
               |FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+              |WHERE d.text IS NOT NULL
               |ORDER BY 1""".stripMargin)),
+              // WHERE text IS NOT NULL mirrors mediaFromDocuments' explicit
+              // null-payload drop (an undecodable row never enters the codec
+              // pipeline); the LEFT JOIN stays for EMPTY text, whose row
+              // survives with zero stats (r13 degencheck find #3). A
+              // null-text document row lives in degencheck's battery so a
+              // drift here hash-fails rather than lingering (r13 ADVICE).
 
     Q("m3_video_frame_dedup",
       (s, dir) => {

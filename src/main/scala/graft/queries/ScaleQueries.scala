@@ -21,6 +21,22 @@ object ScaleQueries {
     * released by spark.catalog.clearCache().
     */
   private[queries] val KmvK = 64
+
+  /** r13 ADVICE: z3/z5/z8 fold an EXACT verification twin (countDistinct,
+    * a full percentile sort, an exact-users join) into the same frame as
+    * the approximate operator so the DuckDB oracle can pin a bound
+    * verdict — but a bench row timing that frame measures twin + approx,
+    * not the production approx path the scaladoc claims ("constant
+    * sketch memory per group"). This session-conf gate lets the BENCH
+    * run the approx-only production shape while Verify (which never
+    * sets it) keeps the self-verifying twin shape the correctness
+    * artifact requires. The two shapes share every approx-side
+    * expression verbatim, so the gated plan is a strict subtree of the
+    * verified one — the flag can only drop verification columns, never
+    * change the approximate computation being timed.
+    */
+  private[queries] def approxOnly(s: SparkSession): Boolean =
+    s.conf.getOption("graft.bench.approxOnly").contains("true")
   private def kmvSketch(s: SparkSession, dir: String): DataFrame = {
     val h = Tables.documents(s, dir)
       .select(col("source"),
@@ -230,7 +246,7 @@ object ScaleQueries {
     // the query verifies that bound itself (r12 verdict: the old
     // rows-only row read as "untested" in the driver artifact). It
     // emits the exact twin columns (deterministic in both engines)
-    // plus `within_5pct` = |approx − exact|/exact ≤ 0.05 computed
+    // plus `within_3rsd` = |approx − exact|/exact ≤ 3·rsd computed
     // against Spark's own exact count; since the exact columns are
     // hash-pinned cross-engine, the verdict IS a DuckDB-exact vs
     // Spark-approx bounded compare, and the driver artifact carries
@@ -239,18 +255,33 @@ object ScaleQueries {
     // exact_users column. ScaleBoundSpec keeps the quantified error
     // log.)
     Q("z3_approx_count_distinct",
-      (s, dir) => Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx"),
-          countDistinct("l_partkey").as("exact_parts"),
-          count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("n"), col("exact_parts"),
-          (abs(col("approx") - col("exact_parts")).cast("double")
-            / col("exact_parts") <= 0.05).as("within_5pct"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        // the bound verdict's width (r13 ADVICE): approx_count_distinct
+        // runs HLL++ at the DEFAULT rsd 0.05 — a 1-SIGMA parameter, so a
+        // correctly functioning sketch legitimately exceeds it with
+        // ~32% probability per group on an adversarial cardinality. The
+        // oracle gate is 3·rsd (≈ 99.7% envelope): deterministic-pass on
+        // any healthy fixture, and a breach still means the sketch is
+        // actually broken, not unlucky. Derived from the configured rsd
+        // so retuning the sketch retunes the gate.
+        val rsd = 0.05
+        val grouped = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        if (approxOnly(s))
+          grouped.agg(approx_count_distinct("l_partkey", rsd).as("approx"),
+            count(lit(1)).as("n"))
+            .orderBy("l_returnflag")
+        else grouped
+          .agg(approx_count_distinct("l_partkey", rsd).as("approx"),
+            countDistinct("l_partkey").as("exact_parts"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("n"), col("exact_parts"),
+            (abs(col("approx") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= 3 * rsd).as("within_3rsd"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag, count(*) AS n,
              |  count(DISTINCT l_partkey) AS exact_parts,
-             |  true AS within_5pct
+             |  true AS within_3rsd
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("z8_hll_sketch_rollup",
@@ -273,9 +304,17 @@ object ScaleQueries {
         val daily = ev.groupBy("event_type", "day")
           .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
             count(lit(1)).as("n"))
-        daily.groupBy("event_type")
+        val rollup = daily.groupBy("event_type")
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_rollup"),
             sum("n").as("n_events"), count(lit(1)).as("n_days"))
+        // production shape (r13 ADVICE gate): build the per-day sketches
+        // and MERGE — the whole point of the rollup is that the direct
+        // re-scan and the exact count never run; they exist below only
+        // as the oracle's verification twins
+        if (approxOnly(s))
+          rollup.select("event_type", "n_days", "n_events", "est_rollup")
+            .orderBy("event_type")
+        else rollup
           .join(ev.groupBy("event_type").agg(
             expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
             countDistinct("user_id").as("exact_users")), Seq("event_type"))
@@ -459,21 +498,34 @@ object ScaleQueries {
     // z4's full sort — the exact sandwich here is the verification
     // twin.
     Q("z5_approx_percentiles",
-      (s, dir) => Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(expr(
-          "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
-          .as("a"),
-          expr("percentile(l_extendedprice, array(0.24D, 0.25D, 0.26D, " +
-            "0.49D, 0.5D, 0.51D, 0.74D, 0.75D, 0.76D))").as("e"))
-        .select(col("l_returnflag"),
-          expr(s"concat_ws('|', cast(${roundAtSql("e[1]", 4)} as string), " +
-            s"cast(${roundAtSql("e[4]", 4)} as string), " +
-            s"cast(${roundAtSql("e[7]", 4)} as string))").as("exact_quartiles"),
-          expr("a[0] >= e[0] AND a[0] <= e[2] AND " +
-            "a[1] >= e[3] AND a[1] <= e[5] AND " +
-            "a[2] >= e[6] AND a[2] <= e[8]").as("within_rank_1pct"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        val grouped = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        // production shape (r13 ADVICE gate): the GK sketch alone —
+        // constant memory per group, no full sort; the exact 9-point
+        // percentile below is the oracle's verification sandwich only
+        if (approxOnly(s))
+          grouped.agg(expr(
+            "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+            .as("a"))
+            .select(col("l_returnflag"),
+              expr("concat_ws('|', transform(a, x -> cast(x as string)))")
+                .as("approx_quartiles"))
+            .orderBy("l_returnflag")
+        else grouped
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+            .as("a"),
+            expr("percentile(l_extendedprice, array(0.24D, 0.25D, 0.26D, " +
+              "0.49D, 0.5D, 0.51D, 0.74D, 0.75D, 0.76D))").as("e"))
+          .select(col("l_returnflag"),
+            expr(s"concat_ws('|', cast(${roundAtSql("e[1]", 4)} as string), " +
+              s"cast(${roundAtSql("e[4]", 4)} as string), " +
+              s"cast(${roundAtSql("e[7]", 4)} as string))").as("exact_quartiles"),
+            expr("a[0] >= e[0] AND a[0] <= e[2] AND " +
+              "a[1] >= e[3] AND a[1] <= e[5] AND " +
+              "a[2] >= e[6] AND a[2] <= e[8]").as("within_rank_1pct"))
+          .orderBy("l_returnflag")
+      },
       Some(s"""WITH q AS (
               |  SELECT l_returnflag,
               |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS e

@@ -461,13 +461,26 @@ object StreamingOps {
     * unreachable and is deleted here.
     *
     * Crash-ordering: the `_GC_WATERMARK` marker is advanced (atomic
-    * rename, monotonic — a stale caller cannot move it back) BEFORE any
-    * deletion, so a crash mid-sweep leaves the loud
-    * [[segmentReadSet]] guard already active rather than a silently
-    * partial directory; the next sweep finishes the deletions
+    * rename, monotonic) BEFORE any deletion, so a crash mid-sweep leaves
+    * the loud [[segmentReadSet]] guard already active rather than a
+    * silently partial directory; the next sweep finishes the deletions
     * idempotently. No-op (returns empty) until a compaction at or below
     * the committed horizon exists — GC only ever reclaims inputs whose
     * union survives in a retained cmp, never the data itself.
+    *
+    * Concurrency (r13 ADVICE): monotonicity of the marker was
+    * check-then-act, which held single-threaded but not between a live
+    * stream's `gcSuperseded` hook and the `gc-segments` CLI — an
+    * interleaved stale sweep could regress the marker AFTER a newer
+    * sweep's deletions, silently disarming the [[segmentReadSet]]
+    * guard. The sweep now runs under a per-directory mutex: a JVM-level
+    * monitor (two streams in one process) plus an OS advisory file lock
+    * on `._GC_LOCK` (`FileChannel.tryLock` — released by the OS even if
+    * the process dies, so no stale-lock janitor is needed; same
+    * same-filesystem assumption as the atomic-rename publishes). A
+    * caller that finds the lock held SKIPS the sweep (returns empty):
+    * GC is opportunistic maintenance — whoever holds the lock is
+    * already doing the work, and the next batch retries.
     *
     * `lastCommittedBatchId` is the newest batch the stream's CHECKPOINT
     * has committed (inside foreachBatch of batch B, B−1; from outside,
@@ -477,26 +490,61 @@ object StreamingOps {
     * [[clusterMaintainStream]]) passes the provably safe value.
     * Returns the deleted paths.
     */
+  /** one JVM-level monitor per normalized segment directory — the
+    * intra-process half of [[gcSegments]]'s mutex (FileLock alone throws
+    * OverlappingFileLockException when two threads of ONE process race,
+    * instead of excluding them).
+    */
+  private val gcMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def gcSegments(segmentBasePath: String,
       lastCommittedBatchId: Long): Seq[String] = {
-    val cmps = numberedVersions(segmentBasePath, "cmp_")
-    cmps.filter(_ <= lastCommittedBatchId).lastOption match {
-      case None => Seq.empty
-      case Some(w) =>
-        val base = java.nio.file.Paths.get(segmentBasePath)
-        if (gcWatermark(segmentBasePath).forall(_ < w)) {
-          val tmp = base.resolve("._GC_WATERMARK.tmp")
-          java.nio.file.Files.writeString(tmp, w.toString)
-          java.nio.file.Files.move(tmp, base.resolve("_GC_WATERMARK"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-        val doomed =
-          numberedVersions(segmentBasePath, "seg_").filter(_ <= w)
-            .map(n => s"seg_$n") ++
-          cmps.filter(_ < w).map(n => s"cmp_$n")
-        doomed.foreach(d => graft.core.Scratch.deleteTree(base.resolve(d)))
-        doomed.map(d => s"$segmentBasePath/$d")
+    val baseKey = java.nio.file.Paths.get(segmentBasePath)
+      .toAbsolutePath.normalize.toString
+    val monitor = gcMonitors.computeIfAbsent(baseKey, _ => new Object)
+    monitor.synchronized {
+      val cmps = numberedVersions(segmentBasePath, "cmp_")
+      cmps.filter(_ <= lastCommittedBatchId).lastOption match {
+        case None => Seq.empty
+        case Some(w) =>
+          val base = java.nio.file.Paths.get(segmentBasePath)
+          val ch = java.nio.channels.FileChannel.open(
+            base.resolve("._GC_LOCK"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val lock = ch.tryLock()
+            if (lock == null) Seq.empty // another process is sweeping
+            else try {
+              // marker check-then-advance is safe HERE because both the
+              // read and the rename happen inside the mutex
+              if (gcWatermark(segmentBasePath).forall(_ < w)) {
+                val tmp = base.resolve("._GC_WATERMARK.tmp")
+                java.nio.file.Files.writeString(tmp, w.toString)
+                java.nio.file.Files.move(tmp, base.resolve("_GC_WATERMARK"),
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+              // sweep at the DIRECTORY's watermark, not this caller's w:
+              // a stale caller (smaller horizon) arriving after a newer
+              // sweep must finish the newer sweep's deletions, never
+              // resurrect reclaim-pending artifacts below it
+              val dirW = gcWatermark(segmentBasePath).getOrElse(w)
+              // re-list under the lock: the pre-lock `cmps` listing may be
+              // stale if another sweep ran between the listing and the
+              // lock acquisition
+              val doomed =
+                numberedVersions(segmentBasePath, "seg_").filter(_ <= dirW)
+                  .map(n => s"seg_$n") ++
+                numberedVersions(segmentBasePath, "cmp_").filter(_ < dirW)
+                  .map(n => s"cmp_$n")
+              doomed.foreach(d =>
+                graft.core.Scratch.deleteTree(base.resolve(d)))
+              doomed.map(d => s"$segmentBasePath/$d")
+            } finally lock.release()
+          } finally ch.close()
+      }
     }
   }
 

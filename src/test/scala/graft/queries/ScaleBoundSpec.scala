@@ -373,4 +373,45 @@ class ScaleBoundSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: expected 2 ws tokens / 2 BPE symbols ('ab' merged), got $r")
     }
   }
+
+  test("z3/z5/z8: the approx-only bench shape stays consistent with the verified shape") {
+    // r13 ADVICE gate: Bench times the production approx path
+    // (graft.bench.approxOnly=true) while Verify pins the self-verifying
+    // twin shape. The two must describe the same population — same
+    // groups, same exact side-counts, and the gated estimates must sit
+    // inside the envelope the verified shape's verdicts certify.
+    val d = "/root/testdata/sf0.001"
+    def q(name: String) = graft.SparkEntry.queries(name)(spark, d)
+    val (z3v, z5v, z8v) = (q("z3_approx_count_distinct").collect(),
+      q("z5_approx_percentiles").collect(), q("z8_hll_sketch_rollup").collect())
+    spark.conf.set("graft.bench.approxOnly", "true")
+    try {
+      val z3a = q("z3_approx_count_distinct").collect()
+      assert(z3a.map(_.getString(0)).toSeq == z3v.map(_.getString(0)).toSeq)
+      assert(z3a.map(r => r.getString(0) -> r.getLong(2)).toMap ==
+        z3v.map(r => r.getString(0) -> r.getLong(1)).toMap, "row counts diverged")
+      z3a.foreach { r =>
+        val exact = z3v.find(_.getString(0) == r.getString(0)).get.getLong(2)
+        assert(math.abs(r.getLong(1) - exact).toDouble / exact <= 0.15,
+          s"${r.getString(0)}: gated approx ${r.getLong(1)} outside 3rsd of $exact")
+      }
+      val z5a = q("z5_approx_percentiles").collect()
+      assert(z5a.map(_.getString(0)).toSeq == z5v.map(_.getString(0)).toSeq)
+      assert(z5a.forall(_.getString(1).split("\\|").length == 3),
+        "approx_quartiles must carry 3 values per group")
+      val z8a = q("z8_hll_sketch_rollup").collect()
+      assert(z8a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        z8v.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+        "(event_type, n_days, n_events) diverged between shapes")
+      z8a.foreach { r =>
+        val exact = z8v.find(_.getString(0) == r.getString(0)).get.getLong(3)
+        val est = r.getLong(3)
+        assert(math.abs(est - exact).toDouble / exact <= 0.05,
+          s"${r.getString(0)}: gated rollup $est outside 5% of $exact")
+      }
+    } finally {
+      spark.conf.unset("graft.bench.approxOnly")
+      spark.catalog.clearCache()
+    }
+  }
 }

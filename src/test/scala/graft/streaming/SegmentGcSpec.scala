@@ -124,4 +124,40 @@ class SegmentGcSpec extends SparkSpec {
     assert(StreamingOps.gcWatermark(s"$baseOn/segments").nonEmpty)
     spark.catalog.clearCache()
   }
+
+  test("a sweep skips (not regresses) when another process holds the GC lock") {
+    // r13 ADVICE: the marker advance was check-then-act, so a stale
+    // sweep interleaved with a newer one (live-stream hook vs the CLI
+    // subcommand) could move _GC_WATERMARK backward AFTER the newer
+    // sweep's deletions — silently disarming the segmentReadSet guard.
+    // The sweep now runs under a per-directory file lock; a contender
+    // must SKIP (empty result, marker untouched), never interleave.
+    val base = tmpDir("seg_gc_lock")
+    ingest(base, nBatches = 8, trigger = 2, gc = false)
+    val segBase = s"$base/segments"
+    val lastBatch = StreamingOps.latestCompleteVersion(segBase).get
+    StreamingOps.gcSegments(segBase, lastBatch)
+    val w = StreamingOps.gcWatermark(segBase).get
+    // simulate the other process: hold the advisory lock from a second
+    // channel. Same-JVM FileLock overlap throws rather than blocks, so
+    // take it from a child process instead — the exact CLI-vs-stream
+    // contention the fix targets.
+    val holder = new ProcessBuilder("python3", "-c",
+      s"""import fcntl, time, sys
+         |f = open('$segBase/._GC_LOCK', 'w')
+         |fcntl.lockf(f, fcntl.LOCK_EX)  # POSIX record lock — the same
+         |# namespace as Java NIO FileLock on Linux (BSD flock is NOT)
+         |print('locked', flush=True)
+         |time.sleep(30)""".stripMargin).redirectErrorStream(true).start()
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(holder.getInputStream))
+      assert(r.readLine() == "locked", "lock-holder process failed to start")
+      assert(StreamingOps.gcSegments(segBase, lastBatch).isEmpty,
+        "sweep must skip while the lock is held elsewhere")
+      assert(StreamingOps.gcWatermark(segBase) == Some(w),
+        "a skipped sweep must not touch the watermark")
+    } finally holder.destroyForcibly()
+    spark.catalog.clearCache()
+  }
 }

@@ -17,7 +17,8 @@ can't collide):
   documents: empty text, single word, "ab ab" (all-dup words), digits
     only, one very long word, a singleton lang, a pair of byte-exact
     duplicate docs, a doc that exactly equals a shipped doc's text
-    (cross-population exact dup), whitespace-only-ish single space.
+    (cross-population exact dup), whitespace-only-ish single space,
+    NULL text (r14 — distinct contract from empty text).
   embeddings: an all-zero vector (norm 0 — unit-normalization division),
     a singleton label, two identical vectors (distance ties), a vector
     with negative components only.
@@ -60,6 +61,9 @@ def build(work):
         f"({B + 8}, 'twin twin twin content row', 'en', 'books', 26)",
         f"({B + 9}, '{base_text}', 'en', 'web', {len(base_text)})",
         f"({B + 10}, ' ', 'en', 'web', 1)",
+        # NULL text (r13 ADVICE: m2's LEFT JOIN oracle would have kept a
+        # null-text doc the Spark codec path drops) — distinct from empty
+        f"({B + 11}, NULL, 'en', 'web', 0)",
     ])
     con.execute(f"""
       COPY (
