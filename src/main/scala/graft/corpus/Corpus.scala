@@ -94,21 +94,29 @@ object Corpus {
   private def nearDupPairsFrom(sh: DataFrame,
       threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sig = bandSignatures(sh).cache()
-    val cand = sig.as("a").join(sig.as("b"),
+    val cand0 = sig.as("a").join(sig.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // verify-regime dispatch (r14 — [[dispatchVerifySets]]): the two
+    // set joins broadcast when the measured set bytes fit the budget
+    // (the measuring agg also materializes sh's cache, work the verify
+    // paid anyway), degrade to candidate-pruned broadcast, then SMJ.
+    // The hint rides a local reference; bandSignatures above keeps the
+    // unhinted sh plan.
+    val (cand, side, caches) =
+      dispatchVerifySets(cand0, Seq("doc_a", "doc_b"), sh, setFrameBytes(sh))
     val pairs = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(side.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(side.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("jaccard",
         graft.functions.MoneyFunctions.roundAt(
           JaccardSimilarity(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    (pairs, Seq(sig))
+    (pairs, sig +: caches)
   }
 
   /** LSH-verified near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
@@ -597,21 +605,135 @@ object Corpus {
       indexPaths.map(p => spark.read.parquet(s"$p/shingles"))
         .reduce(_.unionByName(_))
 
+  // ---- exact-verify regime dispatch (r14) ---------------------------------
+
+  /** Broadcast budget for the exact-verify joins, derived from task
+    * memory: maxHeap / 8 (override: session conf
+    * `graft.verify.broadcastBudget`, bytes — the bracketing/spec knob,
+    * same role as x28's `probeFractionCutoff` parameter). Rationale: a
+    * broadcast relation exists twice at peak (driver build + the
+    * executor copy; one JVM in local mode, per-executor on a cluster),
+    * so a side ≤ heap/8 keeps peak broadcast footprint ≤ heap/4 —
+    * comfortably inside the 0.6·heap unified region next to the probe
+    * side's working set. On a cluster the denominator rides
+    * per-EXECUTOR heap, the same memory-per-task lever the r9/r13 scale
+    * runs turned; the floor keeps tiny test JVMs from degrading to SMJ
+    * on KB-sized fixtures.
+    */
+  private[graft] def verifyBroadcastBudget(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.verify.broadcastBudget").map(_.toLong)
+      .getOrElse(math.max(Runtime.getRuntime.maxMemory() / 8, 64L << 20))
+
+  /** MEASURED in-memory byte estimate of a shingle-set frame (any frame
+    * carrying `sh: array<string>`): one column-pruned aggregate —
+    * Σ_rows (Σ_elems (len + 16) + 64), the UnsafeRow array layout's
+    * string payload + per-element offset/padding + row overhead. The
+    * x28 dispatch's discipline (measure the regime statistic on the
+    * real data, never trust a static threshold) applied to the verify
+    * join: this is the number Spark's own autoBroadcastJoinThreshold
+    * never sees accurately for a cached/derived frame.
+    */
+  private[graft] def setFrameBytes(sets: DataFrame): Long = {
+    val r = sets.agg(sum(coalesce(
+        expr("aggregate(sh, 0L, (acc, x) -> acc + length(x) + 16L)"),
+        lit(0L)) + lit(64L)).as("b")).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Measured regime dispatch for a BATCH exact-verify join — the r13
+    * verdict's one `weak` finding made self-driving. The decade-3
+    * bracketing (BASELINE §r13) pinned the failure: at sf1 the two
+    * shingle-set verify joins broadcast and the plan is candidate-linear;
+    * at sf3 Spark's static threshold flips them to SortMergeJoin and the
+    * plan carries shingle-ARRAY rows through sorts — 547 s / 11 GB
+    * shuffle / 314 GB spill vs 87 s / 1.1 GB / 0 spill with the verify
+    * side broadcast (6×, and at sf10 the SMJ regime exceeds the box's
+    * disk entirely while broadcast completes). The exchange bytes are
+    * proven linear (fixed-plan 3.32→11.0 GB for 3×), so the PLAN CHOICE
+    * is the failure, not the movement — exactly x28's situation before
+    * its probe-volume dispatch, so this is the same idea: one measured
+    * statistic chooses the regime, and both regimes are output-identical
+    * (VerifyRegimeSpec pins it), so the dispatch can change the plan but
+    * never the answer.
+    *
+    * Regimes, in measured order of preference:
+    *  1. whole-set broadcast — [[setFrameBytes]](sets) ≤ budget: hint the
+    *     verify side; both verify joins share ONE broadcast exchange
+    *     (ReusedExchange). This is the regime the 2g diagnostic knob
+    *     reached manually at sf3/sf10.
+    *  2. candidate-pruned broadcast — the full set frame is over budget
+    *     but the DISTINCT-CANDIDATE subset (the only rows the verify can
+    *     ever read) fits: semi-join-prune the sets to candidate ids,
+    *     re-measure, broadcast the pruned frame. The candidate frame is
+    *     cached first (pair ids only — two longs/row) so the measuring
+    *     action doesn't re-run the candidate join for the verify.
+    *  3. SMJ on the natural frames — nothing fits: the sf10-on-one-box
+    *     regime, correct and disk-bound; on a cluster both its terms
+    *     (memory per task × aggregate spill disk) scale with the
+    *     deployment.
+    *
+    * The hint wraps a LOCAL reference used only by the verify joins —
+    * the r13 `shuffle_hash` experiment proved that hinting the SHARED
+    * cached frame poisons the candidate machinery upstream (62 GB W,
+    * reverted), so the candidate side always sees the unhinted plan.
+    *
+    * Returns (candidates to use, verify side to use, caches created) —
+    * callers must release the caches (directly or via the existing
+    * clearCache contracts).
+    */
+  private[graft] def dispatchVerifySets(cand0: DataFrame,
+      candIdCols: Seq[String], sets: DataFrame,
+      setsBytes: Long): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val budget = verifyBroadcastBudget(sets.sparkSession)
+    if (setsBytes <= budget) (cand0, broadcast(sets), Nil)
+    else {
+      val cand = cand0.cache()
+      val ids = candIdCols.map(c => cand.select(col(c).as("doc_id")))
+        .reduce(_.union(_)).distinct()
+      val pruned = sets.join(ids, Seq("doc_id"), "left_semi").cache()
+      if (setFrameBytes(pruned) <= budget) (cand, broadcast(pruned),
+        Seq(cand, pruned))
+      else { pruned.unpersist(); (cand, sets, Seq(cand)) }
+    }
+  }
+
   /** exact-verify tail shared by the batch and streaming incremental
     * paths: candidates (new_id, sha, index_id) join the index shingle
     * sets, jaccard rounded at 6 dp before thresholding (the oracle
     * contract).
+    *
+    * Regime dispatch (r14), static-side only: the index shingle frame is
+    * broadcast when its file-listing size estimate fits the task-memory
+    * budget ([[verifyBroadcastBudget]]) — the estimate is the optimizer's
+    * own stats over the parquet read (file bytes; works on any Hadoop
+    * FS) × a parquet→UnsafeRow expansion factor, because a MEASURING
+    * scan here would be paid once per micro-batch by the streaming
+    * callers. No candidate-pruned middle regime on this path: pruning
+    * needs an action on the candidate frame, which is illegal when the
+    * candidates are a stream ([[graft.streaming.StreamingOps
+    * .dedupStreamAgainstIndex]] shares this tail so the contracts can't
+    * diverge). Over budget → natural plan (stream-static or SMJ).
     */
+  private[graft] val ParquetToRowExpansion = 4L
+
   private[graft] def verifyAgainstIndex(candWithSha: DataFrame,
-      idxSh: DataFrame, threshold: Double): DataFrame =
+      idxSh: DataFrame, threshold: Double): DataFrame = {
+    val est = idxSh.queryExecution.optimizedPlan.stats.sizeInBytes *
+      ParquetToRowExpansion
+    val side =
+      if (est <= BigInt(verifyBroadcastBudget(idxSh.sparkSession)))
+        broadcast(idxSh)
+      else idxSh
     candWithSha
-      .join(idxSh.select(col("doc_id").as("index_id"), col("sh").as("shb")),
+      .join(side.select(col("doc_id").as("index_id"), col("sh").as("shb")),
         Seq("index_id"))
       .withColumn("jaccard",
         graft.functions.MoneyFunctions.roundAt(
           JaccardSimilarity(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "index_id", "jaccard")
+  }
 
   /** Dedup a NEW batch against a persisted index (see [[writeLshIndex]]):
     * returns (new_id, index_id, jaccard ≥ threshold). The batch is

@@ -697,9 +697,18 @@ object DedupQueries {
     * join the candidate (doc_a, doc_b) ids back to the shingle SETS and
     * compute the exact score — cost rides the candidate count, not Σ df².
     * `sets` must carry (doc_id, lang, sh, n).
+    *
+    * Verify-regime dispatch (r14, the r13 verdict's `weak` finding):
+    * the two set joins here are exactly the joins whose natural plan
+    * flips broadcast→SMJ at decade-3 and dies carrying shingle arrays
+    * through sorts (547 s/314 GB spill vs 87 s/0 with the verify side
+    * broadcast — BASELINE §r13). [[graft.corpus.Corpus.dispatchVerifySets]]
+    * now picks the regime from a measured statistic; `setsBytes` lets
+    * the x4/x20 callers pass the once-per-artifact memoized measurement
+    * instead of re-measuring per invocation.
     */
-  private[queries] def jaccardVerify(cand: DataFrame, sets: DataFrame,
-      t: Double): DataFrame = {
+  private[queries] def jaccardVerify(cand0: DataFrame, sets: DataFrame,
+      t: Double, setsBytes: Option[Long] = None): DataFrame = {
     // native count-only intersect with reach-threshold early exit
     // (CommonCountAtLeast): j ≥ t − 1e-6 forces c ≥ tEff·(n_a+n_b)/(1+tEff),
     // so a bailed (−1) pair could never pass the 6-dp-rounded filter
@@ -709,9 +718,12 @@ object DedupQueries {
     val tEff = t - 1e-6
     val minReq = ceil(lit(tEff) * (col("sa.n") + col("sb.n"))
       / lit(1.0 + tEff) - lit(1e-9)).cast("int")
+    val (cand, side, _) = graft.corpus.Corpus.dispatchVerifySets(
+      cand0, Seq("doc_a", "doc_b"), sets,
+      setsBytes.getOrElse(graft.corpus.Corpus.setFrameBytes(sets)))
     cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(side.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(side.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("common", graft.functions.CommonCountAtLeast(
         col("sa.sh"), col("sb.sh"), minReq).cast("long"))
       .withColumn("jaccard", roundAt(col("common").cast("double")
@@ -722,19 +734,23 @@ object DedupQueries {
 
   /** exact-verification stage of the containment pair — both directional
     * containments plus the jaccard for context. `sets` must carry
-    * (doc_id, sh, n).
+    * (doc_id, sh, n). Same r14 verify-regime dispatch as
+    * [[jaccardVerify]] (x20 shares x4's decade-3 plan transition).
     */
-  private[queries] def containmentVerify(cand: DataFrame, sets: DataFrame,
-      t: Double): DataFrame = {
+  private[queries] def containmentVerify(cand0: DataFrame, sets: DataFrame,
+      t: Double, setsBytes: Option[Long] = None): DataFrame = {
     // early-exit bound for containment: max(c/n_a, c/n_b) = c/min(n_a,n_b),
     // so a pass at t − 1e-6 forces c ≥ tEff·min — bailed pairs can never
     // clear the rounded filter (margin argument at [[jaccardVerify]])
     val tEff = t - 1e-6
     val minReq = ceil(lit(tEff) * least(col("sa.n"), col("sb.n"))
       - lit(1e-9)).cast("int")
+    val (cand, side, _) = graft.corpus.Corpus.dispatchVerifySets(
+      cand0, Seq("doc_a", "doc_b"), sets,
+      setsBytes.getOrElse(graft.corpus.Corpus.setFrameBytes(sets)))
     cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(side.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(side.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("common", graft.functions.CommonCountAtLeast(
         col("sa.sh"), col("sb.sh"), minReq).cast("long"))
       .withColumn("cont_a_in_b",
@@ -815,6 +831,19 @@ object DedupQueries {
 
   private[queries] def sharedIndexedPostings(s: SparkSession, dir: String): DataFrame =
     graft.corpus.Corpus.readPostingIndex(s, sharedIndexPath(s, dir))
+
+  /** the shared artifact's measured set-frame bytes, once per (process,
+    * sf dir) — the verify-regime dispatch statistic for every x4/x20
+    * invocation over the same persisted docs (measuring per call would
+    * re-scan the artifact's sh column on each bench rep for a number
+    * that can't change under a write-once layout).
+    */
+  private val sharedSetBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[queries] def sharedSetFrameBytes(s: SparkSession, dir: String): Long =
+    sharedSetBytesCache.computeIfAbsent(dir, _ => java.lang.Long.valueOf(
+      graft.corpus.Corpus.setFrameBytes(sharedShingledDocs(s, dir)))).longValue
 
   /** one materialized cluster table per (session, sf dir) for x17: the
     * keeper POLICY is a window over an existing cluster table, and in
@@ -966,13 +995,18 @@ object DedupQueries {
     *
     * Cached twice, both bounded by what each consumer needs: the shingle
     * sets feed BOTH verify joins; the band signature table (8 tiny
-    * rows/doc) feeds BOTH sides of the candidate self-join. NO broadcast
-    * hints anywhere: the signature table and shingle frames grow
+    * rows/doc) feeds BOTH sides of the candidate self-join. No STATIC
+    * broadcast hints: the signature table and shingle frames grow
     * O(corpus), so a hard-coded broadcast would OOM the driver at real
-    * corpus sizes — unhinted, the planner/AQE size-gates the strategy
-    * and the plan degrades to shuffle joins at scale. The verify uses
-    * the native codegen jaccard_similarity (one fused hash-set pass).
-    * Shared by x2 (pair listing) and x11 (cluster building).
+    * corpus sizes. The VERIFY joins' regime is instead chosen by the r14
+    * measured dispatch ([[graft.corpus.Corpus.dispatchVerifySets]] inside
+    * nearDupPairs) — broadcast while the measured set bytes fit a
+    * heap-derived budget, candidate-pruned broadcast next, SMJ last —
+    * because leaving the choice to the static threshold was the r13
+    * verdict's one `weak` finding (6× at sf3, disk-death at sf10). The
+    * verify uses the native codegen jaccard_similarity (one fused
+    * hash-set pass). Shared by x2 (pair listing) and x11 (cluster
+    * building).
     */
   private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     graft.corpus.Corpus.nearDupPairs(Tables.documents(s, dir))
@@ -1469,9 +1503,15 @@ object DedupQueries {
         // candidate volume scales with the Zipf tail, not the hot head.
         // Lossless-vs-unpruned + salt-invariance pinned in DedupSaltSpec.
         //
-        // NO broadcast hint anywhere in the subtree: posting lists grow
-        // O(total shingles) with the corpus, so a hard-coded broadcast
-        // dies at scale; AQE still broadcasts small runtime sides.
+        // No STATIC broadcast hint in the candidate subtree: posting
+        // lists grow O(total shingles) with the corpus, so a hard-coded
+        // broadcast dies at scale; AQE still broadcasts small runtime
+        // sides. The VERIFY joins are different (r14): their regime is
+        // chosen by a measured dispatch (Corpus.dispatchVerifySets —
+        // whole-set broadcast / candidate-pruned broadcast / SMJ from
+        // measured set bytes vs a heap-derived budget), because the r13
+        // decade-3 bracketing proved Spark's static threshold picks the
+        // 6×-slower array-carrying SMJ exactly where it hurts.
         // Per-key salt fan-out (nsalt = ceil(df / saltChunk) ≤ 256)
         // spreads a pathological posting list over reducer chunks while
         // normal keys pay zero replication.
@@ -1484,7 +1524,7 @@ object DedupQueries {
         jaccardVerify(
           containmentCandidatesFrom(sharedIndexedPostings(s, dir), t,
             maxLenRatio = Some(1.0 / (t - 1e-6))),
-          docs, t)
+          docs, t, Some(sharedSetFrameBytes(s, dir)))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH d AS (
@@ -1514,7 +1554,8 @@ object DedupQueries {
         val docs = sharedShingledDocs(s, dir).cache()
         containmentVerify(
           containmentCandidatesFrom(sharedIndexedPostings(s, dir), 0.4),
-          docs.select(col("doc_id"), col("sh"), col("n")), 0.4)
+          docs.select(col("doc_id"), col("sh"), col("n")), 0.4,
+          Some(sharedSetFrameBytes(s, dir)))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH d AS (

@@ -87,6 +87,16 @@ class PlanAuditSpec extends SparkSpec {
     // size gate (autoBroadcastJoinThreshold against actual stats), which
     // degrades to a shuffle join at scale — so the invariant to enforce
     // is "no ResolvedHint in the logical plan", not "no broadcast ever".
+    //
+    // r14 refinement: the exact-verify joins DO now hint their verify
+    // side — but only through the measured regime dispatch
+    // (Corpus.dispatchVerifySets), which size-gates the hint against a
+    // heap-derived budget and degrades to SMJ at scale. Mechanized
+    // invariant: with the dispatch budget forced to ZERO, every plan
+    // below must carry no ResolvedHint at all — any hint that survives
+    // a zero budget is by construction hard-coded, the exact disease
+    // this audit exists to catch.
+    spark.conf.set("graft.verify.broadcastBudget", "0")
     // (y3_tfidf_topk and x28_weighted_jaccard are excluded: their one
     // hint each broadcasts a single-row global-count aggregate — bounded
     // by construction, not O(corpus); x28's is the corpus-N scalar that
@@ -114,6 +124,8 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!x28.contains("ResolvedHint"),
       s"x28 hard-codes a join-strategy hint:\n$x28")
+    spark.conf.unset("graft.verify.broadcastBudget")
+    spark.catalog.clearCache()
   }
 
   test("x4/x20 prefix-candidate engines: equi joins only, cached shingle/index frames serve the re-reads") {
