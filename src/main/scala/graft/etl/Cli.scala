@@ -43,6 +43,13 @@ import graft.core.Sessions
   *   gc-segments --segments D --committed N
   *       # reclaim managed index artifacts (seg_/cmp_) unreachable by
   *       # any replay of batches > N (the checkpoint-committed horizon)
+  *   frame-index --documents D --out D
+  *       # persist the multimodal frame-hash index (capped postings +
+  *       # per-media hash sets — Multimodal.writeFrameIndex layout)
+  *   curate-media-inc --documents D --index seg0[,seg1,…]
+  *       --append-segment D --out D [--min-shared 2]
+  *       # incremental media dedup against persisted frame segments;
+  *       # survivors' capped postings+sets land as a new segment
   *   version
   */
 object Cli {
@@ -244,6 +251,26 @@ object Cli {
         opts("segments"), opts("committed").toLong)
       println(s"gc-segments=${opts("segments")} deleted=${gone.size} " +
         s"watermark=${graft.streaming.StreamingOps.gcWatermark(opts("segments")).getOrElse(-1L)}")
+    case Some("frame-index") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        graft.multimodal.Multimodal.writeFrameIndex(spark,
+          spark.read.parquet(opts("documents")), opts("out"))
+        println(s"frame-index=${opts("out")}")
+      }
+    case Some("curate-media-inc") =>
+      val opts = parse(args.tail)
+      withSession { spark =>
+        val survivors = graft.multimodal.Multimodal.curateMediaIncremental(
+          spark.read.parquet(opts("documents")),
+          opts("index").split(",").toSeq.filter(_.nonEmpty),
+          opts("append-segment"),
+          opts.getOrElse("min-shared", "2").toInt)
+        EtlIO.writeParquet(survivors, opts("out"))
+        println(s"curate-media-inc=${opts("out")} " +
+          s"survivors=${spark.read.parquet(opts("out")).count()} " +
+          s"segment=${opts("append-segment")}")
+      }
     case Some("stream-demo") =>
       val opts = parse(args.tail)
       withSession { spark =>

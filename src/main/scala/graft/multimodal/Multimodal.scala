@@ -262,41 +262,211 @@ object Multimodal {
     */
   val FRAME_DF_CAP: Int = 64
 
-  /** persist a corpus's frame-hash posting table (media_id, fhash48) at
-    * m3's geometry — the index side of the streaming frame dedup.
-    * Non-discriminative hashes (carried by > [[FRAME_DF_CAP]] media —
-    * m3's own evidence rule, `EventQueries` m3) are dropped at WRITE
-    * time, so every posting list in the artifact is bounded and the
-    * streaming probe join ([[graft.streaming.StreamingOps.frameDedupStream]])
-    * can never see a hot frame hash fan a batch row out df-wide — the
-    * r10 verdict's uncapped-index finding.
-    */
   /** sidecar file name + content marking a frame-index artifact as
-    * written under the df-capped layout. [[graft.streaming.StreamingOps
+    * written under the current layout. [[graft.streaming.StreamingOps
     * .frameDedupStream]] REQUIRES it: an index written before the cap
     * moved to write time (r11) still carries unbounded posting lists,
     * and nothing else would detect the stale layout — the probe would
     * quietly re-inherit the r10 hot-hash fan-out (r11 ADVICE). The
-    * content records the cap the artifact was built with, so a future
-    * cap change can also be detected rather than assumed.
+    * content records the cap AND the layout version, so both a cap
+    * change and the r14 postings+sets restructuring are detected
+    * rather than assumed (a v1 artifact has postings at the root and
+    * no sets table — a v2 reader would find nothing to probe).
     */
   val FRAME_INDEX_LAYOUT_FILE: String = "_graft_frame_index_layout"
-  def frameIndexLayoutMarker: String = s"dfcap=$FRAME_DF_CAP\n"
+  def frameIndexLayoutMarker: String = s"dfcap=$FRAME_DF_CAP\npostings+sets v2\n"
 
+  /** persist a corpus's frame-hash index at m3's geometry — the static
+    * side of the streaming frame dedup. Two tables (r14, r13 verdict
+    * item 2 — mirroring the text index's `$p/shingles` sidecar):
+    *
+    *   `$path/postings` — (media_id, fhash48), the candidate join side.
+    *     Non-discriminative hashes (carried by > [[FRAME_DF_CAP]] media —
+    *     m3's evidence rule) are dropped at WRITE time, so every posting
+    *     list is bounded and a hot frame hash can never fan a probe row
+    *     out df-wide (the r10 verdict's uncapped-index finding).
+    *   `$path/sets` — (media_id, fhs: array<long>), each indexed media's
+    *     whole capped hash set, precomputed ONCE here. Before r14 the
+    *     streaming probe rebuilt this table with a full-index
+    *     groupBy(collect_set) EVERY micro-batch — per-batch cost riding
+    *     index size instead of batch size, the exact disease the text
+    *     path's persisted shingle table killed.
+    */
   def writeFrameIndex(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val fh = frameHashes(mediaFromDocuments(spark, docs, width = 32, height = 2),
         everyN = FRAME_EVERY_N)
       .select("media_id", "fhash48").distinct()
+    writeFrameArtifacts(fh, path)
+  }
+
+  /** the ONE writer of the capped postings+sets layout (shared by
+    * [[writeFrameIndex]] and the incremental segment append in
+    * [[curateMediaIncremental]], so the two can never diverge).
+    * `fh` must be a DISTINCT (media_id, fhash48) frame; the df cap is
+    * applied here, then both tables derive from the same capped frame.
+    */
+  private[graft] def writeFrameArtifacts(fh0: DataFrame, path: String): Unit = {
+    val fh = fh0.cache()
     val keep = fh.groupBy("fhash48")
       .agg(count(lit(1)).as("dfm"))
       .filter(col("dfm") <= FRAME_DF_CAP)
       .select("fhash48")
-    fh.join(keep, Seq("fhash48"))
-      .select("media_id", "fhash48")
-      .write.mode("overwrite").parquet(path)
+    val capped = fh.join(keep, Seq("fhash48"))
+      .select("media_id", "fhash48").cache()
+    capped.write.mode("overwrite").parquet(s"$path/postings")
+    capped.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    capped.unpersist()
+    fh.unpersist()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, FRAME_INDEX_LAYOUT_FILE),
       frameIndexLayoutMarker)
+  }
+
+  /** readers for [[writeFrameArtifacts]]' layout — multi-path (an index
+    * is a set of immutable segments, unioned at read time, the same
+    * composition rule as the text LSH index). Empty path list = empty
+    * index (day-0 bootstrap).
+    */
+  private[graft] def readFrameIndexPostings(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) emptyFrame(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fhash48",
+          org.apache.spark.sql.types.LongType))))
+    else paths.map(p => spark.read.parquet(s"$p/postings"))
+      .reduce(_.unionByName(_))
+
+  private[graft] def readFrameIndexSets(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) emptyFrame(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fhs",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    else paths.map(p => spark.read.parquet(s"$p/sets"))
+      .reduce(_.unionByName(_))
+
+  private def emptyFrame(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** loud layout gate shared by every frame-index READER path (the
+    * r11 ADVICE pattern, marker equality): fails at construction on a
+    * missing/stale marker instead of probing a wrong-layout artifact.
+    */
+  private[graft] def requireFrameIndexLayout(path: String): Unit = {
+    val markerPath = java.nio.file.Paths.get(path, FRAME_INDEX_LAYOUT_FILE)
+    require(java.nio.file.Files.exists(markerPath) &&
+        new String(java.nio.file.Files.readAllBytes(markerPath)) ==
+          frameIndexLayoutMarker,
+      s"frame index at $path lacks the current layout marker " +
+        s"($FRAME_INDEX_LAYOUT_FILE, dfcap=$FRAME_DF_CAP, postings+sets " +
+        "v2): rewrite it with Multimodal.writeFrameIndex before probing")
+  }
+
+  /** Incremental media curation — the frame-hash twin of
+    * [[graft.corpus.Corpus.curateIncremental]] (r13 verdict item 3: the
+    * text path had the full production loop, media had only a
+    * static-index probe that never learned). Pipeline: frame-hash the
+    * batch (one codec pass) → drop media sharing ≥ `minShared` capped
+    * frame hashes with the persisted index segments (batch×index
+    * candidates only — the indexed corpus's payloads are never
+    * re-decoded) → drop in-batch losers (the higher id of any
+    * qualifying pair, the x18 keeper rule) → write the SURVIVORS'
+    * capped postings+sets as a new immutable segment under
+    * `appendSegmentPath`, so the next batch's `indexPaths` is this one
+    * plus that path. The df cap is per-segment (each artifact bounds
+    * its own posting lists); a hash hot across MANY segments still
+    * fans out at most cap × segments before compaction folds the
+    * segments and re-caps — the same bounded-degradation argument as
+    * the text index's per-segment band keys.
+    *
+    * Returns the surviving batch rows (lazy, on cached batch frames —
+    * release with `spark.catalog.clearCache()` between ingests); the
+    * segment write runs eagerly as the call's side effect.
+    */
+  def curateMediaIncremental(newDocs: DataFrame, indexPaths: Seq[String],
+      appendSegmentPath: String, minShared: Int = 2): DataFrame = {
+    val spark = newDocs.sparkSession
+    indexPaths.foreach(requireFrameIndexLayout)
+    val withChars =
+      if (newDocs.columns.contains("n_chars")) newDocs
+      else newDocs.withColumn("n_chars", length(col("text")).cast("long"))
+    val fh = frameHashes(
+        mediaFromDocuments(spark, withChars, width = 32, height = 2),
+        everyN = FRAME_EVERY_N)
+      .select("media_id", "fhash48").distinct().cache()
+    // in-batch evidence: the batch's own df cap (m3's rule at batch scope)
+    val keep = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
+      .filter(col("dfm") <= FRAME_DF_CAP).select("fhash48")
+    val capped = fh.join(keep, Seq("fhash48")).cache()
+    val sets = capped.groupBy("media_id")
+      .agg(collect_set("fhash48").as("fhs")).cache()
+    // vs the index: posting-equality candidates, exact set-intersect
+    // verify from the PERSISTED sets table (never a per-batch rebuild)
+    val idxMatches = capped.select(col("media_id").as("new_id"), col("fhash48"))
+      .join(readFrameIndexPostings(spark, indexPaths)
+        .select(col("media_id").as("index_id"), col("fhash48")), Seq("fhash48"))
+      .select("new_id", "index_id").dropDuplicates("new_id", "index_id")
+      .join(sets.select(col("media_id").as("new_id"), col("fhs").as("fha")),
+        Seq("new_id"))
+      .join(readFrameIndexSets(spark, indexPaths)
+        .select(col("media_id").as("index_id"), col("fhs").as("fhb")),
+        Seq("index_id"))
+      .filter(size(array_intersect(col("fha"), col("fhb"))) >= minShared)
+      .select(col("new_id").as("media_id")).distinct()
+    // within the batch: capped is distinct (media_id, fhash48), so the
+    // per-pair match-row count IS the shared distinct-hash count
+    val batchLosers = capped.as("a").join(capped.as("b"),
+        col("a.fhash48") === col("b.fhash48") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("keep_id"), col("b.media_id").as("loser"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("loser").as("media_id")).distinct()
+    val dropIds = idxMatches.union(batchLosers).distinct()
+      .withColumnRenamed("media_id", "doc_id")
+    val survivors = newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+    writeFrameArtifacts(
+      capped.join(survivors.select(col("doc_id").as("media_id")),
+        Seq("media_id")).select("media_id", "fhash48"),
+      appendSegmentPath)
+    survivors
+  }
+
+  /** fold a frame-segment read set into one compacted artifact — the
+    * media analog of [[graft.corpus.Corpus.compactSegments]]: a pure
+    * union of the postings, re-written through the shared layout writer
+    * (so the sets table and the df cap are RE-DERIVED over the union —
+    * compaction also evicts hashes that crossed the cap only ACROSS
+    * segments, restoring the single-artifact evidence bound). Same
+    * fresh-path + stage-then-atomic-rename publish discipline as the
+    * text compactor (a crash between the postings and sets writes can
+    * never leave a torn artifact at the published path).
+    */
+  def compactFrameSegments(spark: SparkSession, paths: Seq[String],
+      outPath: String): Unit = {
+    require(paths.nonEmpty, "compactFrameSegments needs at least one segment")
+    paths.foreach(requireFrameIndexLayout)
+    val outAbs = java.nio.file.Paths.get(outPath).toAbsolutePath.normalize
+    paths.foreach { p =>
+      val in = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      require(!outAbs.startsWith(in) && !in.startsWith(outAbs),
+        s"compactFrameSegments output $outPath overlaps input segment $p")
+    }
+    val staging = outAbs.resolveSibling("." + outAbs.getFileName + ".staging")
+    graft.core.Scratch.deleteTree(staging)
+    writeFrameArtifacts(
+      readFrameIndexPostings(spark, paths).distinct(), staging.toString)
+    graft.core.Scratch.deleteTree(outAbs)
+    java.nio.file.Files.move(staging, outAbs,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** column-level digest/size checks (the oracle-checked slice — see

@@ -227,20 +227,54 @@ object StreamBench {
     kmvQ.stop()
 
     // ---- 5. multimodal frame-hash dedup stream against persisted index
+    // r14 A/B at TWO index sizes (r13 verdict item 2's done criterion):
+    // the same batch stream probes a ~10%-corpus index and the full-odd
+    // index. Per-batch cost must ride the BATCH — candidate join +
+    // persisted-sets lookup — not the index: the pre-r14 probe rebuilt
+    // the per-media hash sets with a full-index groupBy(collect_set)
+    // EVERY micro-batch, so this ratio rode index size.
+    graft.multimodal.Multimodal.writeFrameIndex(
+      spark, docs.filter(col("doc_id") % 20 === 1), s"$base/frame_index_small")
     graft.multimodal.Multimodal.writeFrameIndex(
       spark, docs.filter(col("doc_id") % 2 =!= 0), s"$base/frame_index")
-    val fdIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
-    val fdQ = graft.streaming.StreamingOps.frameDedupStream(
-        fdIn.toDF(), s"$base/frame_index")
-      .writeStream.format("memory").queryName("sb_framededup")
-      .option("checkpointLocation", s"$base/ckpt_fd")
-      .outputMode("append").start()
-    val fdFed = evens.grouped(chunk).map { b =>
-      fdIn.addData(b); fdQ.processAllAvailable(); b.size
+    def fdRun(idxPath: String, name: String): (Seq[(Long, Long, Long)], Long) = {
+      val fdIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
+      val fdQ = graft.streaming.StreamingOps.frameDedupStream(
+          fdIn.toDF(), idxPath)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$base/ckpt_$name")
+        .outputMode("append").start()
+      val fed = evens.grouped(chunk).map { b =>
+        fdIn.addData(b); fdQ.processAllAvailable(); b.size
+      }.toSeq
+      val stats = batchStats(fdQ, fed)
+      val pairs = spark.table(name).count()
+      fdQ.stop()
+      (stats, pairs)
+    }
+    val (fdStatsSmall, fdPairsSmall) = fdRun(s"$base/frame_index_small",
+      "sb_framededup_small")
+    val (fdStats, fdPairs) = fdRun(s"$base/frame_index", "sb_framededup")
+
+    // ---- 5b. the r14 media ingest LOOP (mediaStreamIncremental):
+    // cross-batch dedup + per-batch segment append + compaction + GC —
+    // the full production loop the static-index probe above is only the
+    // read half of
+    val msIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
+    val msQ = graft.streaming.StreamingOps.mediaStreamIncremental(
+      msIn.toDF(), Seq(s"$base/frame_index"),
+      s"$base/media_segments", s"$base/media_out", s"$base/ckpt_ms",
+      compactTrigger = 8, gcSuperseded = true)
+    val msFed = evens.grouped(chunk).map { b =>
+      msIn.addData(b); msQ.processAllAvailable(); b.size
     }.toSeq
-    val fdStats = batchStats(fdQ, fdFed)
-    val fdPairs = spark.table("sb_framededup").count()
-    fdQ.stop()
+    val msStats = batchStats(msQ, msFed)
+    msQ.stop()
+    val msArts = Option(new java.io.File(s"$base/media_segments").listFiles)
+      .map(_.count(f => f.getName.startsWith("seg_") ||
+        f.getName.startsWith("cmp_"))).getOrElse(0)
+    val msSurvivors = spark.read.parquet(s"$base/media_out")
+      .count()
 
     println("{" +
       fmt("curate_stream_incremental", curStats,
@@ -251,8 +285,12 @@ object StreamBench {
         s""","state_rows":$stateRows,"rocksdb_mem_bytes":$rocksMem""") + "," +
       fmt("kmv_sketch_stream", kmvStats,
         s""","state_rows":$kmvStateRows""") + "," +
+      fmt("frame_dedup_stream_small_index", fdStatsSmall,
+        s""","pairs_emitted":$fdPairsSmall,"index_bytes":${du(s"$base/frame_index_small")}""") + "," +
       fmt("frame_dedup_stream", fdStats,
-        s""","pairs_emitted":$fdPairs""") + "," +
+        s""","pairs_emitted":$fdPairs,"index_bytes":${du(s"$base/frame_index")}""") + "," +
+      fmt("media_stream_incremental", msStats,
+        s""","survivors":$msSurvivors,"artifacts_final":$msArts,"segments_bytes":${du(s"$base/media_segments")}""") + "," +
       acSweep.map { case (tag, trig, (stats, paths, arts)) =>
         fmt(s"curate_stream_autocompact_$tag", stats,
           s""","trigger":${if (trig == Int.MaxValue) -1 else trig}""" +

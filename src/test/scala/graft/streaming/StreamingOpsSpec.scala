@@ -320,7 +320,7 @@ class StreamingOpsSpec extends SparkSpec {
       Multimodal.mediaFromDocuments(spark, docsDf.filter($"doc_id" % 2 === 0),
         width = 32, height = 2), everyN = 2)
       .select("media_id", "fhash48").distinct()
-    val idx = spark.read.parquet(idxPath)
+    val idx = spark.read.parquet(s"$idxPath/postings")
     val expected = newFh.as("a")
       .join(idx.as("b"), $"a.fhash48" === $"b.fhash48")
       .groupBy($"a.media_id", $"b.media_id")
