@@ -19,11 +19,29 @@ can't collide):
     duplicate docs, a doc that exactly equals a shipped doc's text
     (cross-population exact dup), whitespace-only-ish single space,
     NULL text (r14 — distinct contract from empty text).
+  media (r14 — documents ARE the media population via the adapter):
+    a one-frame video (exactly one 64-byte frame at m3's 32x2
+    geometry), an all-identical-frames video (one 64-byte block
+    repeated), two silence-only audio payloads (constant bytes - the
+    m4 envelope hash is 0 for EVERY constant payload, so two different
+    constants collide at hamming 0; the oracle must agree on the
+    collision, not just on healthy hashes).
   embeddings: an all-zero vector (norm 0 — unit-normalization division),
     a singleton label, two identical vectors (distance ties), a vector
     with negative components only.
   events: a singleton event type with ONE day (n=1 moment guards), a
-    type whose every event is the same instant, a zero/negative value.
+    type whose every event is the same instant, a zero/negative value,
+    an 11-month silence gap inside one type (r14 — interarrival/anomaly
+    windows spanning a dead period).
+  relational (r14): an order with zero lineitems, a customer with zero
+    orders, a zero-quantity/zero-price lineitem on a shipped order —
+    the orphan/zero rows 100 TB referential joins actually contain.
+
+  ETL raw-table degenerates (empty fx table, zero-transaction month,
+  all-null account_type) are NOT reachable from this gate: the
+  cross-engine dump covers the oracled sf-table surface, while the ETL
+  pipeline runs on reference-shaped raw CSVs — those corner populations
+  are pinned in ScalaTest instead (EtlDegenerateSpec).
 
 Usage: python3 tools/degencheck.py [--work /tmp/graft_degen] [--skip-build]
 Exit non-zero on any FAIL; writes <work>/degencheck_manifest.json.
@@ -37,13 +55,48 @@ SRC = "/root/testdata/sf0.001"
 def build(work):
     import duckdb
     os.makedirs(work, exist_ok=True)
-    # TPC-H tables pass through untouched (relational family unaffected)
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"]:
+    # dimension tables pass through untouched; customer/orders/lineitem
+    # gain degenerate rows below (r14)
+    for t in ["region", "nation", "supplier", "part"]:
         shutil.copy(os.path.join(SRC, f"{t}.parquet"),
                     os.path.join(work, f"{t}.parquet"))
     con = duckdb.connect()
     B = 900000000  # degenerate id base, far above any shipped id
+
+    # r14 relational degenerates: referential orphans + zero-value rows.
+    # One shipped orderkey hosts the zero-quantity lineitem so it joins.
+    some_order = con.execute(
+        f"SELECT o_orderkey FROM '{SRC}/orders.parquet' ORDER BY 1 LIMIT 1"
+    ).fetchone()[0]
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{SRC}/customer.parquet'
+        UNION ALL
+        SELECT * FROM (VALUES
+          ({B + 1}, 'Customer#degen_no_orders', 0, 0.0, 'BUILDING'))
+          v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+      ) TO '{work}/customer.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{SRC}/orders.parquet'
+        UNION ALL
+        SELECT * FROM (VALUES
+          ({B + 1}, {B + 1}, 'O', 0.0, TIMESTAMP '1995-06-15 00:00:00',
+           '3-MEDIUM'))
+          v(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+            o_orderpriority)
+      ) TO '{work}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{SRC}/lineitem.parquet'
+        UNION ALL
+        SELECT * FROM (VALUES
+          ({some_order}, 1, 1, 99, 0.0, 0.0, 0.0, 0.0, 'N', 'O',
+           TIMESTAMP '1995-07-01 00:00:00'))
+          v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+            l_shipdate)
+      ) TO '{work}/lineitem.parquet' (FORMAT PARQUET)""")
 
     # one shipped text to duplicate across the population boundary
     base_text = con.execute(
@@ -64,6 +117,15 @@ def build(work):
         # NULL text (r13 ADVICE: m2's LEFT JOIN oracle would have kept a
         # null-text doc the Spark codec path drops) — distinct from empty
         f"({B + 11}, NULL, 'en', 'web', 0)",
+        # media corner rows (r14 — the adapter makes these videos/audio):
+        # exactly one 64-byte frame at the 32x2 geometry
+        f"({B + 12}, '{'f' * 64}', 'en', 'web', 64)",
+        # all-identical frames: one 64-char block repeated 8x
+        f"({B + 13}, '{'block of reused frame bytes padded to sixty-four chars exactly!!' * 8}', 'en', 'web', 512)",
+        # silence-only audio: constant payloads hash to envelope 0 —
+        # TWO different constants must collide identically in both engines
+        f"({B + 14}, '{'a' * 300}', 'en', 'web', 300)",
+        f"({B + 15}, '{'b' * 300}', 'en', 'web', 300)",
     ])
     con.execute(f"""
       COPY (
@@ -105,6 +167,10 @@ def build(work):
         f"({B + 2}, TIMESTAMP '2024-03-04 08:00:00', {B + 2}, 'degen_instant', 2.0, '{{\"k\": 2}}')",
         f"({B + 3}, TIMESTAMP '2024-03-04 08:00:00', {B + 3}, 'degen_instant', 0.0, '{{\"k\": 3}}')",
         f"({B + 4}, TIMESTAMP '2024-03-04 08:00:00', {B + 4}, 'degen_instant', -3.25, '{{\"k\": 4}}')",
+        # r14: an 11-month dead period inside one type — interarrival
+        # max-gap and day-window stats spanning a silence
+        f"({B + 5}, TIMESTAMP '2024-01-15 00:00:00', {B + 5}, 'degen_gap', 1.0, '{{\"k\": 5}}')",
+        f"({B + 6}, TIMESTAMP '2024-12-15 00:00:00', {B + 6}, 'degen_gap', 2.0, '{{\"k\": 6}}')",
     ])
     con.execute(f"""
       COPY (
