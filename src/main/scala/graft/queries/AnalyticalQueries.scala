@@ -666,6 +666,7 @@ object AnalyticalQueries {
 
     Q("g1_array_kit",
       (s, dir) => Tables.documents(s, dir)
+        .filter(col("text").isNotNull) // t1's NULL-text contract
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"),
           array_contains(col("w"), "spark").as("has_spark"),
@@ -682,7 +683,8 @@ object AnalyticalQueries {
              |  array_to_string(list_sort(list_distinct(w[1:10])), '|') AS sorted10,
              |  CAST(len(list_filter(w, x -> x <> 'the')) AS BIGINT) AS n_no_the,
              |  w[-1] AS last_word
-             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |      WHERE text IS NOT NULL)
              |ORDER BY 1""".stripMargin)),
 
     Q("a20_grouped_regression",

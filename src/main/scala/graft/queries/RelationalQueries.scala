@@ -543,12 +543,14 @@ object RelationalQueries {
 
     Q("f21_map_kit",
       (s, dir) => {
+        // t1's NULL-text contract (r14 degencheck)
         // MapType surface: build a word→count map per document (the
         // sketch-friendly per-row feature bag), then read it back with
         // element_at / size / sorted-keys rendering. Maps are rendered
         // as canonical strings for the cross-engine hash — engines
         // disagree on native map ordering by design.
         Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
           .withColumn("w", split(col("text"), " "))
           .withColumn("m", expr(
             """map_from_entries(transform(array_sort(array_distinct(slice(w, 1, 8))),
@@ -561,7 +563,8 @@ object RelationalQueries {
               .as("sum_counts"))
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |           WHERE text IS NOT NULL),
              |k AS (SELECT doc_id, w, list_sort(list_distinct(w[1:8])) AS ks FROM d)
              |SELECT doc_id,
              |  CAST(len(ks) AS BIGINT) AS n_keys,
@@ -579,6 +582,7 @@ object RelationalQueries {
         // round: the log/URL-parsing scalar kit. Patterns use only
         // RE2/PCRE-common syntax so both engines agree.
         Tables.documents(s, dir)
+          .filter(col("text").isNotNull) // t1's NULL-text contract
           .select(col("doc_id"),
             regexp_extract(col("text"), "(\\w+ing)\\b", 1).as("first_ing"),
             concat_ws("|", expr("regexp_extract_all(text, '(ta\\\\w+)', 1)")).as("ta_words"),
@@ -591,7 +595,7 @@ object RelationalQueries {
              |  coalesce(array_to_string(regexp_extract_all(text, '(ta\w+)', 1), '|'), '') AS ta_words,
              |  CAST(len(regexp_extract_all(text, 'scan')) AS BIGINT) AS n_scan,
              |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowel
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+             |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin)),
 
     // ── §2.4 aggregations ───────────────────────────────────────────────
     Q("a1_grouped_sum_pricing",

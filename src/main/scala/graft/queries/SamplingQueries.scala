@@ -123,7 +123,9 @@ object SamplingQueries {
         // sequential driver algorithm — this is the shuffle-friendly
         // assignment the distributed pipeline actually uses).
         // library surface: graft.corpus.Corpus.packShards
-        graft.corpus.Corpus.packShards(Tables.documents(s, dir), "source", 2000)
+        // t1's NULL-text contract (r14 degencheck)
+        graft.corpus.Corpus.packShards(
+          Tables.documents(s, dir).filter(col("text").isNotNull), "source", 2000)
           .select("source", "doc_id", "n_tokens", "shard_id")
           .orderBy("source", "doc_id")
       },
@@ -134,7 +136,7 @@ object SamplingQueries {
              |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
              |  FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-             |        FROM documents))
+             |        FROM documents WHERE text IS NOT NULL))
              |ORDER BY source, doc_id""".stripMargin)),
 
     Q("y5_contamination_check",
@@ -213,6 +215,7 @@ object SamplingQueries {
         // broadcasts, one narrow gate pass over the corpus — no
         // shuffle of the big side.
         val d = Tables.documents(s, dir)
+          .filter(col("text").isNotNull) // t1's NULL-text contract
           .select(col("source"), col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
         val tot = d.groupBy("source").agg(sum("n_tokens").as("t"))
@@ -235,7 +238,7 @@ object SamplingQueries {
               |  SELECT source, doc_id,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
               |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h6
-              |  FROM documents),
+              |  FROM documents WHERE text IS NOT NULL),
               |tot AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1),
               |sc AS (
               |  SELECT ${roundAtSql("sum(sqrt(CAST(t AS DOUBLE)))", 6)} AS ss,
@@ -497,6 +500,7 @@ object SamplingQueries {
         val L = 64
         val w = Window.partitionBy("source").orderBy("doc_id")
         Tables.documents(s, dir)
+          .filter(col("text").isNotNull) // t1's NULL-text contract
           .select(col("source"), col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n"))
           .withColumn("cend", sum("n").over(w))
@@ -511,7 +515,7 @@ object SamplingQueries {
       Some("""WITH t AS (
              |  SELECT source, doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-             |  FROM documents),
+             |  FROM documents WHERE text IS NOT NULL),
              |c AS (
              |  SELECT source, doc_id, n,
              |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cend

@@ -50,6 +50,13 @@ object TextQueries {
           s"WHEN ${rest.mkString(" AND ")} THEN '$l'"
         }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
         Tables.documents(s, dir)
+          // NULL-text contract (r14 degencheck): per-document text
+          // operators define their domain as PRESENT text — Spark's
+          // size(NULL) = -1 (ansi off) vs DuckDB's NULL propagation
+          // diverge on every derived stat otherwise. Uniform across
+          // t1/t2/t3/t4/t6/t8/t15/t17/y4/y6/y10/f21/f22/g1, pinned in
+          // DegenerateContractSpec.
+          .filter(col("text").isNotNull)
           .withColumn("w", split(col("text"), " "))
           .withColumn("pred", expr(caseSql))
           .groupBy(col("lang").as("actual"), col("pred"))
@@ -68,13 +75,15 @@ object TextQueries {
         }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
         s"""WITH scored AS (
            |  SELECT lang, $caseSql AS pred
-           |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+           |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents
+           |        WHERE text IS NOT NULL))
            |SELECT lang AS actual, pred, count(*) AS n FROM scored
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
     Q("t2_quality_score",
       (s, dir) => Tables.documents(s, dir)
+        .filter(col("text").isNotNull) // t1's NULL-text contract
         .withColumn("w", split(col("text"), " "))
         .select(
           col("doc_id"),
@@ -93,11 +102,13 @@ object TextQueries {
               |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
               |    ${roundAtSql("CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)", 6)} AS avg_token_len,
               |    ${roundAtSql("CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(w)", 6)} AS stopword_ratio
-              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+              |        WHERE text IS NOT NULL))
               |ORDER BY doc_id""".stripMargin)),
 
     Q("t3_token_count",
       (s, dir) => Tables.documents(s, dir)
+        .filter(col("text").isNotNull) // t1's NULL-text contract
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("ws_tokens"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|\\\\S', 0)")).cast("long").as("re_tokens"))
@@ -109,10 +120,11 @@ object TextQueries {
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
              |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S', 0))) AS BIGINT) AS sum_re_tokens
-             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("t4_fingerprint",
       (s, dir) => Tables.documents(s, dir)
+        .filter(col("text").isNotNull) // t1's NULL-text contract
         .withColumn("canon_fp",
           md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
         // empty text guarded explicitly (r13 degencheck): Spark's
@@ -133,7 +145,7 @@ object TextQueries {
              |    CASE WHEN length(text) = 0 THEN 0 ELSE
              |    list_reduce([CAST(ascii(substr(text, i, 1)) AS BIGINT) for i in range(1, length(text) + 1)],
              |                (acc, c) -> (acc * 31 + c) % 1000000007) END AS roll_hash
-             |  FROM documents)
+             |  FROM documents WHERE text IS NOT NULL)
              |SELECT doc_id, canon_fp, roll_hash, count(*) OVER (PARTITION BY canon_fp) AS n_same_fp
              |FROM f ORDER BY doc_id""".stripMargin)),
     Q("t5_normalize_redact",
@@ -166,7 +178,8 @@ object TextQueries {
         // One narrow codegen'd pass per doc, no shuffle — the filter
         // stage every pretraining pipeline runs before tokenization.
         // library surface: graft.corpus.Corpus.qualitySignals
-        graft.corpus.Corpus.qualitySignals(Tables.documents(s, dir))
+        graft.corpus.Corpus.qualitySignals(
+            Tables.documents(s, dir).filter(col("text").isNotNull))
           .select("doc_id", "n_words", "dup_word_fraction",
             "numeric_char_fraction", "symbol_word_fraction", "keep")
           .orderBy("doc_id")
@@ -180,7 +193,8 @@ object TextQueries {
               |    ${roundAtSql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 6)} AS dup_word_fraction,
               |    ${roundAtSql("CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)", 6)} AS numeric_char_fraction,
               |    ${roundAtSql("CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w)", 6)} AS symbol_word_fraction
-              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+              |        WHERE text IS NOT NULL))
               |ORDER BY doc_id""".stripMargin)),
 
     Q("t7_unigram_logprob",
@@ -235,6 +249,7 @@ object TextQueries {
         // y3's tf stage, linear in corpus tokens. Thresholds are
         // tunable constants; the mechanism is the operator.
         val docs = Tables.documents(s, dir)
+          .filter(col("text").isNotNull) // t1's NULL-text contract
           .withColumn("w", split(col("text"), " "))
           .withColumn("bgs", expr(
             """CASE WHEN size(w) >= 2
@@ -268,7 +283,8 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH d AS (
-              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              |  WHERE text IS NOT NULL),
               |g AS (
               |  SELECT doc_id,
               |    [w[i] || ' ' || w[i + 1] for i in range(1, len(w))] AS bgs,
@@ -545,6 +561,7 @@ object TextQueries {
         // groupBy(doc_id) with an in-group array_sort — no global sort.
         val segW = 10
         val segs = Tables.documents(s, dir)
+          .filter(col("text").isNotNull) // t1's NULL-text contract
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), posexplode(expr(
             s"""transform(sequence(0, cast(ceil(size(w) / $segW.0) as int) - 1),
@@ -564,7 +581,8 @@ object TextQueries {
                 .stripMargin)).as("text_dedup"))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |           WHERE text IS NOT NULL),
              |seg AS (
              |  SELECT doc_id, s['seg_no'] AS seg_no, s['seg'] AS seg
              |  FROM (SELECT doc_id, unnest([{'seg_no': k,
@@ -715,7 +733,8 @@ object TextQueries {
         // sums and the predict-every-doc projection — uncached, the
         // corpus scan + tokenization would run twice. Released by
         // spark.catalog.clearCache().
-        val d = graft.corpus.Corpus.withSplit(Tables.documents(s, dir))
+        val d = graft.corpus.Corpus.withSplit(
+            Tables.documents(s, dir).filter(col("text").isNotNull))
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), col("split"),
             roundAt(length(col("text")).cast("double") / 100.0, 6).as("x1"),
@@ -792,7 +811,7 @@ object TextQueries {
            |      ${SamplingQueries.bucketDuckSql} AS bucket
            |    FROM (SELECT doc_id, text,
            |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
-           |          FROM documents))),
+           |          FROM documents WHERE text IS NOT NULL))),
            |decf AS (
            |  SELECT split,
            |    CAST(x1 AS DECIMAL(18,6)) AS x1d,

@@ -48,6 +48,41 @@ class DegenerateContractSpec extends SparkSpec {
       s"zero-byte media contract violated: ${got(99L)}")
   }
 
+  test("per-document text operators drop NULL text uniformly (the r14 degencheck class)") {
+    // Spark's size(NULL) = -1 under ansi-off vs DuckDB's NULL
+    // propagation diverge on every stat a NULL-text doc touches — the
+    // r14 gate caught 14 queries at once. The contract: per-document
+    // text operators define their domain as PRESENT text; a null-text
+    // row is an ingest failure handled upstream (the same rule the
+    // media adapter applies at the codec boundary).
+    val dir = tmpDir("degen_nulltext")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "alpha beta gamma delta", "en", "web", 22L),
+      Row(2L, "epsilon zeta eta theta", "en", "books", 22L),
+      Row(98L, null, "en", "web", 0L)) // the null-text row
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("t2_quality_score", "t4_fingerprint", "t8_ngram_repetition",
+        "t15_segment_dedup", "y4_pack_shards", "y10_sequence_spans",
+        "f21_map_kit", "f22_regex_extract", "g1_array_kit").foreach { q =>
+      val ids = graft.SparkEntry.queries(q)(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L),
+        s"$q: null-text row handling diverged from the contract (got $ids)")
+    }
+    // aggregate-shaped members of the class: the null row contributes to
+    // NO group
+    val t3 = graft.SparkEntry.queries("t3_token_count")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t3 == Map("web" -> 1L, "books" -> 1L),
+      s"t3 must count only present-text docs, got $t3")
+    spark.catalog.clearCache()
+  }
+
   test("x25: a zero-norm vector joins no KNN edge in either direction") {
     val dir = tmpDir("degen_vecs")
     val schema = StructType(Seq(
