@@ -37,8 +37,10 @@ package graft
   * in the official record. The record additionally carries the QUIET
   * evidence (r13 verdict: the official artifact read 13% above the
   * same tree's quiet batteries, so cross-round artifact compares were
-  * comparing box load): `queries_quiet` = per-entry min over samples
-  * from below-gate windows only (−1 when an entry never saw one) and
+  * comparing box load): `queries_quiet` = per-entry min over WARM
+  * samples from below-gate windows only (rep 1 is excluded exactly as
+  * in `spread` — a quiet-but-cold sample is cache warm-up, not load
+  * signal; −1 when an entry never saw a quiet warm window) and
   * `quiet_total` = their sum with overall-min fallback — the headline
   * number a cross-round comparison should use when `self_load` shows
   * the run was load-skewed.
@@ -334,11 +336,11 @@ object Bench {
     // official artifact's headline total was recorded at self_load p90
     // 7.4 and read 13% above the same tree's quiet batteries, so a
     // judge comparing artifacts across rounds was comparing box load.
-    // quiet-min = min restricted to samples whose pass started below
-    // the load gate AND whose own entry-start loadavg sat below the
-    // entry gate; −1 when no quiet sample exists (the entry is then in
-    // `all_hot_entries` and its quiet-min falls back to the overall min
-    // in `quiet_total`).
+    // quiet-min = min restricted to WARM samples (rep 1 excluded, as in
+    // the spread max) whose pass started below the load gate AND whose
+    // own entry-start loadavg sat below the entry gate; −1 when no such
+    // sample exists (the entry is then in `all_hot_entries` and its
+    // quiet-min falls back to the overall min in `quiet_total`).
     val results: Seq[(String, (Double, Double, Double))] = entries.map { case (name, _) =>
       val ts = acc(name)
       name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0, -1.0)
@@ -347,10 +349,14 @@ object Bench {
                  val quiet = warm.filterNot(hotSample)
                  if (quiet.isEmpty && warm.exists(hotSample))
                    spreadUnfiltered += name
-                 val quietAll = ts.toSeq.filterNot(hotSample)
+                 // quiet-min draws from the WARM quiet set (the same set
+                 // as the spread max): ts would re-admit the cold rep-1
+                 // sample, and a quiet-but-cold 9 s recorded as the
+                 // load-clean headline is cache warm-up masquerading as
+                 // the signal quiet_total exists to isolate
                  (ts.map(_._3).min,
                    (if (quiet.nonEmpty) quiet else warm).map(_._3).max,
-                   if (quietAll.nonEmpty) quietAll.map(_._3).min else -1.0)
+                   if (quiet.nonEmpty) quiet.map(_._3).min else -1.0)
                })
     }
 

@@ -658,7 +658,9 @@ object Corpus {
     * never the answer.
     *
     * Regimes, in measured order of preference:
-    *  1. whole-set broadcast — [[setFrameBytes]](sets) ≤ budget: hint the
+    *  1. whole-set broadcast — [[setFrameBytes]](sets) < budget (strict,
+    *     so the zero-budget spec knob admits nothing, not even an empty
+    *     frame's 0-byte measurement): hint the
     *     verify side; both verify joins share ONE broadcast exchange
     *     (ReusedExchange). This is the regime the 2g diagnostic knob
     *     reached manually at sf3/sf10.
@@ -686,13 +688,16 @@ object Corpus {
       candIdCols: Seq[String], sets: DataFrame,
       setsBytes: Long): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val budget = verifyBroadcastBudget(sets.sparkSession)
-    if (setsBytes <= budget) (cand0, broadcast(sets), Nil)
+    // strict <: a zero/empty-frame measurement must not satisfy the
+    // zero-budget spec knob (budget 0 means "never hint", and
+    // PlanAuditSpec's no-hint audit depends on that reading literally)
+    if (setsBytes < budget) (cand0, broadcast(sets), Nil)
     else {
       val cand = cand0.cache()
       val ids = candIdCols.map(c => cand.select(col(c).as("doc_id")))
         .reduce(_.union(_)).distinct()
       val pruned = sets.join(ids, Seq("doc_id"), "left_semi").cache()
-      if (setFrameBytes(pruned) <= budget) (cand, broadcast(pruned),
+      if (setFrameBytes(pruned) < budget) (cand, broadcast(pruned),
         Seq(cand, pruned))
       else { pruned.unpersist(); (cand, sets, Seq(cand)) }
     }
@@ -722,7 +727,7 @@ object Corpus {
     val est = idxSh.queryExecution.optimizedPlan.stats.sizeInBytes *
       ParquetToRowExpansion
     val side =
-      if (est <= BigInt(verifyBroadcastBudget(idxSh.sparkSession)))
+      if (est < BigInt(verifyBroadcastBudget(idxSh.sparkSession)))
         broadcast(idxSh)
       else idxSh
     candWithSha

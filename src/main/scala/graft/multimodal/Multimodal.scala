@@ -374,11 +374,15 @@ object Multimodal {
     * [[graft.corpus.Corpus.curateIncremental]] (r13 verdict item 3: the
     * text path had the full production loop, media had only a
     * static-index probe that never learned). Pipeline: frame-hash the
-    * batch (one codec pass) → drop media sharing ≥ `minShared` capped
-    * frame hashes with the persisted index segments (batch×index
-    * candidates only — the indexed corpus's payloads are never
-    * re-decoded) → drop in-batch losers (the higher id of any
-    * qualifying pair, the x18 keeper rule) → write the SURVIVORS'
+    * batch (one codec pass) → collapse exact frame-set duplicates to
+    * their min id (uncapped sets, gated at set size ≥ `minShared` —
+    * so a >cap burst of copies in ONE batch collapses instead of
+    * pushing its own hashes over the df cap and evading dedup) → drop
+    * media sharing ≥ `minShared` capped frame hashes with the
+    * persisted index segments (batch×index candidates only — the
+    * indexed corpus's payloads are never re-decoded) → drop in-batch
+    * losers (the higher id of any qualifying pair, the x18 keeper
+    * rule) → write the SURVIVORS'
     * capped postings+sets as a new immutable segment under
     * `appendSegmentPath`, so the next batch's `indexPaths` is this one
     * plus that path. The df cap is per-segment (each artifact bounds
@@ -398,11 +402,34 @@ object Multimodal {
     val withChars =
       if (newDocs.columns.contains("n_chars")) newDocs
       else newDocs.withColumn("n_chars", length(col("text")).cast("long"))
-    val fh = frameHashes(
+    val fh0 = frameHashes(
         mediaFromDocuments(spark, withChars, width = 32, height = 2),
         everyN = FRAME_EVERY_N)
       .select("media_id", "fhash48").distinct().cache()
-    // in-batch evidence: the batch's own df cap (m3's rule at batch scope)
+    // collapse-first (r14 review find): media with IDENTICAL uncapped
+    // frame-hash sets collapse to their min id BEFORE the df cap is
+    // derived — the x31/x34/m4 pigeonhole discipline at set granularity.
+    // Without it, a single-batch burst of >cap exact copies pushes its
+    // own hashes over the cap, evades both dedup joins AND leaves the
+    // written segment empty of exactly the hashes later copies would
+    // match — high in-batch df from ONE piece of content is duplicate
+    // evidence, not boilerplate. Post-collapse, df counts distinct
+    // CONTENT (the thing the boilerplate rule means), so the burst
+    // collapses to one survivor whose hashes enter the index. The
+    // collapse is gated at size ≥ minShared so a singleton-set pair
+    // (one-frame video twins) keeps the pairwise path's minShared
+    // contract; grouping is by the exact sorted set (array equality),
+    // never a lossy hash of it. One batch-sized shuffle.
+    val exactLosers = fh0.groupBy("media_id")
+      .agg(sort_array(collect_set(col("fhash48"))).as("fhs_all"))
+      .filter(size(col("fhs_all")) >= minShared)
+      .withColumn("keep_id", min(col("media_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fhs_all"))))
+      .filter(col("media_id") =!= col("keep_id"))
+      .select("media_id")
+    val fh = fh0.join(exactLosers, Seq("media_id"), "left_anti").cache()
+    // in-batch evidence: the batch's own df cap (m3's rule at batch
+    // scope, post-collapse so it measures distinct content)
     val keep = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
       .filter(col("dfm") <= FRAME_DF_CAP).select("fhash48")
     val capped = fh.join(keep, Seq("fhash48")).cache()
@@ -430,8 +457,14 @@ object Multimodal {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("loser").as("media_id")).distinct()
-    val dropIds = idxMatches.union(batchLosers).distinct()
-      .withColumnRenamed("media_id", "doc_id")
+    // cached: the two-column drop set is consumed twice — by the segment
+    // write below and by the caller's survivors write — and WITHOUT the
+    // cache each consumer re-runs the full index probe (postings + sets
+    // parquet scans + both joins), i.e. a per-batch cost riding index
+    // size twice in the loop built to keep per-batch cost batch-sized.
+    // Released by the caller's clearCache contract (scaladoc above).
+    val dropIds = exactLosers.union(idxMatches).union(batchLosers).distinct()
+      .withColumnRenamed("media_id", "doc_id").cache()
     val survivors = newDocs.join(dropIds, Seq("doc_id"), "left_anti")
     writeFrameArtifacts(
       capped.join(survivors.select(col("doc_id").as("media_id")),

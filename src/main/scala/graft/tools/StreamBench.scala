@@ -24,7 +24,7 @@ object StreamBench {
     * every re-read (x4 for the curation loop) and would inflate the
     * throughput number.
     */
-  private def batchStats(q: StreamingQuery,
+  private[tools] def batchStats(q: StreamingQuery,
       fed: Seq[Int]): Seq[(Long, Long, Long)] = {
     val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
       .map(p => (p.batchId,
@@ -40,7 +40,7 @@ object StreamBench {
     prog.zip(fed).map { case ((b, ms), n) => (b, n.toLong, ms) }
   }
 
-  private def fmt(name: String, stats: Seq[(Long, Long, Long)],
+  private[tools] def fmt(name: String, stats: Seq[(Long, Long, Long)],
       extra: String = ""): String = {
     val rows = stats.map(_._2).sum
     val ms = stats.map(_._3).sum
@@ -49,10 +49,79 @@ object StreamBench {
       s""""rows_per_sec":${if (ms > 0) rows * 1000L / ms else -1}$extra}"""
   }
 
-  private def du(path: String): Long = {
+  private[tools] def du(path: String): Long = {
     val f = new java.io.File(path)
     if (f.isFile) f.length()
     else Option(f.listFiles()).map(_.map(c => du(c.getPath)).sum).getOrElse(0L)
+  }
+
+  /** the media streaming sections, shared with
+    * [[MediaStreamScale]] (same fixture split, same drive loop, same
+    * JSON fields — an sf0.1 row from either tool and an sf1 row from
+    * MediaStreamScale are the same experiment at different scales).
+    * Index side = odd doc_ids (plus a ~10%-corpus small index for the
+    * probe A/B), stream body = `evens` in `chunk`-sized micro-batches.
+    * Returns three comma-joined JSON fragments:
+    *
+    *  - frame_dedup_stream_small_index / frame_dedup_stream: the
+    *    static-index probe at two index sizes (r13 verdict item 2's
+    *    done criterion — per-batch cost must ride the BATCH, not the
+    *    index, now that the per-media hash sets are read from the
+    *    persisted `sets` table instead of a per-batch full-index
+    *    groupBy(collect_set) rebuild)
+    *  - media_stream_incremental: the full r14 ingest loop
+    *    (cross-batch dedup + segment append + compaction + GC)
+    */
+  private[tools] def mediaSections(spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      evens: Seq[graft.streaming.StreamingOps.DocRow],
+      chunk: Int, base: String, prefix: String): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.multimodal.Multimodal.writeFrameIndex(
+      spark, docs.filter(col("doc_id") % 20 === 1), s"$base/frame_index_small")
+    graft.multimodal.Multimodal.writeFrameIndex(
+      spark, docs.filter(col("doc_id") % 2 =!= 0), s"$base/frame_index")
+    def fdRun(idxPath: String, name: String): (Seq[(Long, Long, Long)], Long) = {
+      val fdIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
+      val fdQ = graft.streaming.StreamingOps.frameDedupStream(
+          fdIn.toDF(), idxPath)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$base/ckpt_$name")
+        .outputMode("append").start()
+      val fed = evens.grouped(chunk).map { b =>
+        fdIn.addData(b); fdQ.processAllAvailable(); b.size
+      }.toSeq
+      val stats = batchStats(fdQ, fed)
+      val pairs = spark.table(name).count()
+      fdQ.stop()
+      (stats, pairs)
+    }
+    val (fdStatsSmall, fdPairsSmall) = fdRun(s"$base/frame_index_small",
+      s"${prefix}_framededup_small")
+    val (fdStats, fdPairs) = fdRun(s"$base/frame_index", s"${prefix}_framededup")
+
+    val msIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
+    val msQ = graft.streaming.StreamingOps.mediaStreamIncremental(
+      msIn.toDF(), Seq(s"$base/frame_index"),
+      s"$base/media_segments", s"$base/media_out", s"$base/ckpt_ms",
+      compactTrigger = 8, gcSuperseded = true)
+    val msFed = evens.grouped(chunk).map { b =>
+      msIn.addData(b); msQ.processAllAvailable(); b.size
+    }.toSeq
+    val msStats = batchStats(msQ, msFed)
+    msQ.stop()
+    val msArts = Option(new java.io.File(s"$base/media_segments").listFiles)
+      .map(_.count(f => f.getName.startsWith("seg_") ||
+        f.getName.startsWith("cmp_"))).getOrElse(0)
+    val msSurvivors = spark.read.parquet(s"$base/media_out").count()
+
+    fmt("frame_dedup_stream_small_index", fdStatsSmall,
+      s""","pairs_emitted":$fdPairsSmall,"index_bytes":${du(s"$base/frame_index_small")}""") + "," +
+      fmt("frame_dedup_stream", fdStats,
+        s""","pairs_emitted":$fdPairs,"index_bytes":${du(s"$base/frame_index")}""") + "," +
+      fmt("media_stream_incremental", msStats,
+        s""","survivors":$msSurvivors,"artifacts_final":$msArts,"segments_bytes":${du(s"$base/media_segments")}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -226,55 +295,12 @@ object StreamBench {
       .map(_.numRowsTotal).lastOption.getOrElse(-1L)
     kmvQ.stop()
 
-    // ---- 5. multimodal frame-hash dedup stream against persisted index
-    // r14 A/B at TWO index sizes (r13 verdict item 2's done criterion):
-    // the same batch stream probes a ~10%-corpus index and the full-odd
-    // index. Per-batch cost must ride the BATCH — candidate join +
-    // persisted-sets lookup — not the index: the pre-r14 probe rebuilt
-    // the per-media hash sets with a full-index groupBy(collect_set)
-    // EVERY micro-batch, so this ratio rode index size.
-    graft.multimodal.Multimodal.writeFrameIndex(
-      spark, docs.filter(col("doc_id") % 20 === 1), s"$base/frame_index_small")
-    graft.multimodal.Multimodal.writeFrameIndex(
-      spark, docs.filter(col("doc_id") % 2 =!= 0), s"$base/frame_index")
-    def fdRun(idxPath: String, name: String): (Seq[(Long, Long, Long)], Long) = {
-      val fdIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
-      val fdQ = graft.streaming.StreamingOps.frameDedupStream(
-          fdIn.toDF(), idxPath)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$base/ckpt_$name")
-        .outputMode("append").start()
-      val fed = evens.grouped(chunk).map { b =>
-        fdIn.addData(b); fdQ.processAllAvailable(); b.size
-      }.toSeq
-      val stats = batchStats(fdQ, fed)
-      val pairs = spark.table(name).count()
-      fdQ.stop()
-      (stats, pairs)
-    }
-    val (fdStatsSmall, fdPairsSmall) = fdRun(s"$base/frame_index_small",
-      "sb_framededup_small")
-    val (fdStats, fdPairs) = fdRun(s"$base/frame_index", "sb_framededup")
-
-    // ---- 5b. the r14 media ingest LOOP (mediaStreamIncremental):
-    // cross-batch dedup + per-batch segment append + compaction + GC —
-    // the full production loop the static-index probe above is only the
-    // read half of
-    val msIn = MemoryStream[graft.streaming.StreamingOps.DocRow]
-    val msQ = graft.streaming.StreamingOps.mediaStreamIncremental(
-      msIn.toDF(), Seq(s"$base/frame_index"),
-      s"$base/media_segments", s"$base/media_out", s"$base/ckpt_ms",
-      compactTrigger = 8, gcSuperseded = true)
-    val msFed = evens.grouped(chunk).map { b =>
-      msIn.addData(b); msQ.processAllAvailable(); b.size
-    }.toSeq
-    val msStats = batchStats(msQ, msFed)
-    msQ.stop()
-    val msArts = Option(new java.io.File(s"$base/media_segments").listFiles)
-      .map(_.count(f => f.getName.startsWith("seg_") ||
-        f.getName.startsWith("cmp_"))).getOrElse(0)
-    val msSurvivors = spark.read.parquet(s"$base/media_out")
-      .count()
+    // ---- 5/5b. the media streaming sections (frame-probe A/B at two
+    // index sizes + the full mediaStreamIncremental ingest loop) — one
+    // shared runner serves this battery and MediaStreamScale's
+    // decade-up runs, so the two tools' rows are the same experiment by
+    // construction.
+    val mediaJson = mediaSections(spark, docs, evens, chunk, base, "sb")
 
     println("{" +
       fmt("curate_stream_incremental", curStats,
@@ -285,12 +311,7 @@ object StreamBench {
         s""","state_rows":$stateRows,"rocksdb_mem_bytes":$rocksMem""") + "," +
       fmt("kmv_sketch_stream", kmvStats,
         s""","state_rows":$kmvStateRows""") + "," +
-      fmt("frame_dedup_stream_small_index", fdStatsSmall,
-        s""","pairs_emitted":$fdPairsSmall,"index_bytes":${du(s"$base/frame_index_small")}""") + "," +
-      fmt("frame_dedup_stream", fdStats,
-        s""","pairs_emitted":$fdPairs,"index_bytes":${du(s"$base/frame_index")}""") + "," +
-      fmt("media_stream_incremental", msStats,
-        s""","survivors":$msSurvivors,"artifacts_final":$msArts,"segments_bytes":${du(s"$base/media_segments")}""") + "," +
+      mediaJson + "," +
       acSweep.map { case (tag, trig, (stats, paths, arts)) =>
         fmt(s"curate_stream_autocompact_$tag", stats,
           s""","trigger":${if (trig == Int.MaxValue) -1 else trig}""" +

@@ -96,7 +96,11 @@ class PlanAuditSpec extends SparkSpec {
     // below must carry no ResolvedHint at all — any hint that survives
     // a zero budget is by construction hard-coded, the exact disease
     // this audit exists to catch.
+    // try/finally (VerifyRegimeSpec's withBudget discipline): a failing
+    // assertion below must not leave the zero budget set and silently
+    // push every later test in the shared session onto the SMJ regime
     spark.conf.set("graft.verify.broadcastBudget", "0")
+    try {
     // (y3_tfidf_topk and x28_weighted_jaccard are excluded: their one
     // hint each broadcasts a single-row global-count aggregate — bounded
     // by construction, not O(corpus); x28's is the corpus-N scalar that
@@ -124,8 +128,10 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!x28.contains("ResolvedHint"),
       s"x28 hard-codes a join-strategy hint:\n$x28")
-    spark.conf.unset("graft.verify.broadcastBudget")
-    spark.catalog.clearCache()
+    } finally {
+      spark.conf.unset("graft.verify.broadcastBudget")
+      spark.catalog.clearCache()
+    }
   }
 
   test("x4/x20 prefix-candidate engines: equi joins only, cached shingle/index frames serve the re-reads") {

@@ -113,6 +113,11 @@ class MediaStreamSpec extends SparkSpec {
     val plain = runStream(plainBase, docs, Seq(seedBase),
       trigger = Int.MaxValue, gc = false)
     val managed = runStream(gcBase, docs, Seq(seedBase), trigger = 2, gc = true)
+    // equality holds on this fixture because no frame hash crosses the
+    // df cap only ACROSS segments; when one does, compaction's re-cap
+    // evicts it BY DESIGN (the merge policy that keeps artifacts
+    // bounded — pinned in the eviction test below), and post-compaction
+    // probes may legally lose that hash's candidates
     assert(managed == plain,
       "compaction/GC changed the curation output — a reachable artifact was folded or reclaimed wrongly")
     assert(!managed.contains(twinB), "cross-batch dedup must survive compaction")
@@ -164,6 +169,71 @@ class MediaStreamSpec extends SparkSpec {
     // invent a pairing
     assert(viaCmp.subsetOf(viaSegs),
       "compaction invented postings that no input segment carried")
+    spark.catalog.clearCache()
+  }
+
+  test("a single-batch burst of >cap exact copies collapses to one survivor whose hashes enter the index") {
+    // the r14 review find: pre-collapse, 65+ copies of ONE media in one
+    // micro-batch pushed their own frame hashes over the df cap — both
+    // dedup joins went blind AND the written segment carried none of
+    // the hashes later copies would need to match. The collapse-first
+    // stage turns the burst into one representative BEFORE the cap, so
+    // df counts distinct content and the loop keeps learning.
+    val burst = (0 until (Multimodal.FRAME_DF_CAP + 6)).map(i =>
+      StreamingOps.DocRow(900001000L + i, "web", longText("burst")))
+    // seed lengths deliberately differ from "burst"'s (5): same-length
+    // seeds give phase-aligned 64-byte frames whose seed-free windows
+    // COLLIDE across different contents (measured: "alpha" shares 3 of
+    // 5 sampled frames with "burst" text) — a fixture artifact, not a
+    // dedup property under test
+    val distinctDocs = Seq(
+      StreamingOps.DocRow(900002001L, "web", longText("alphaseed77")),
+      StreamingOps.DocRow(900002002L, "web", longText("beta")))
+    val base = tmpDir("media_burst")
+    val seg1 = s"$base/seg_0"
+    val survivors1 = Multimodal.curateMediaIncremental(
+      (burst ++ distinctDocs).toDF("doc_id", "source", "text"),
+      Seq.empty, seg1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(survivors1 == Set(900001000L, 900002001L, 900002002L),
+      s"burst must collapse to its min id + the distinct docs, got $survivors1")
+    // the survivor's hashes are IN the segment (post-collapse df = 1):
+    // a later copy in the next batch is deduped against it
+    val survivors2 = Multimodal.curateMediaIncremental(
+      Seq(StreamingOps.DocRow(900003000L, "web", longText("burst")))
+        .toDF("doc_id", "source", "text"),
+      Seq(seg1), s"$base/seg_1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(survivors2.isEmpty,
+      "a later copy of the burst content must match the survivor's segment postings")
+  }
+
+  test("compaction evicts a hash that crosses the df cap only across segments — the bounded merge policy, pinned") {
+    // two segments each hold the same content under the per-segment cap
+    // (40 + 30 media share every frame hash); their union crosses it.
+    // The compactor re-derives the cap over the union: the hash class
+    // is evicted, every posting list in the artifact stays ≤ cap, and
+    // eviction is the only direction (the subset pin in the test above).
+    val base = tmpDir("media_evict")
+    def seg(path: String, n: Int, idBase: Long): Unit =
+      Multimodal.writeFrameIndex(spark,
+        (0 until n).map(i => (idBase + i, "web", longText("hot")))
+          .toDF("doc_id", "source", "text")
+          .withColumn("n_chars", length($"text").cast("long")), path)
+    seg(s"$base/seg_a", 40, 910000000L)
+    seg(s"$base/seg_b", 30, 920000000L)
+    val aPost = Multimodal.readFrameIndexPostings(spark, Seq(s"$base/seg_a"))
+    val bPost = Multimodal.readFrameIndexPostings(spark, Seq(s"$base/seg_b"))
+    assert(aPost.count() > 0 && bPost.count() > 0,
+      "each segment must carry the hot hashes under its own cap")
+    val cmp = s"$base/cmp"
+    Multimodal.compactFrameSegments(spark, Seq(s"$base/seg_a", s"$base/seg_b"), cmp)
+    val cmpPost = Multimodal.readFrameIndexPostings(spark, Seq(cmp))
+    assert(cmpPost.count() == 0,
+      s"a 70-media hash class must be evicted by the union re-cap, " +
+        s"got ${cmpPost.count()} postings")
     spark.catalog.clearCache()
   }
 }

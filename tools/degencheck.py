@@ -68,6 +68,12 @@ def build(work):
     some_order = con.execute(
         f"SELECT o_orderkey FROM '{SRC}/orders.parquet' ORDER BY 1 LIMIT 1"
     ).fetchone()[0]
+    # the zero-lineitem order must hang off a SHIPPED customer: giving it
+    # o_custkey = B+1 would hand the 'customer with zero orders' exactly
+    # one order and quietly un-degenerate that corner (r14 review find)
+    some_cust = con.execute(
+        f"SELECT c_custkey FROM '{SRC}/customer.parquet' ORDER BY 1 LIMIT 1"
+    ).fetchone()[0]
     con.execute(f"""
       COPY (
         SELECT * FROM '{SRC}/customer.parquet'
@@ -81,7 +87,7 @@ def build(work):
         SELECT * FROM '{SRC}/orders.parquet'
         UNION ALL
         SELECT * FROM (VALUES
-          ({B + 1}, {B + 1}, 'O', 0.0, TIMESTAMP '1995-06-15 00:00:00',
+          ({B + 1}, {some_cust}, 'O', 0.0, TIMESTAMP '1995-06-15 00:00:00',
            '3-MEDIUM'))
           v(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
             o_orderpriority)
