@@ -339,8 +339,11 @@ object Bench {
     // quiet-min = min restricted to WARM samples (rep 1 excluded, as in
     // the spread max) whose pass started below the load gate AND whose
     // own entry-start loadavg sat below the entry gate; −1 when no such
-    // sample exists (the entry is then in `all_hot_entries` and its
-    // quiet-min falls back to the overall min in `quiet_total`).
+    // sample exists — such an entry is listed in `spread_unfiltered`
+    // (it lands in `all_hot_entries` only in the narrower case that
+    // every PASS started hot; per-entry-gate-only misses don't qualify
+    // for the all-hot re-run), and its quiet-min falls back to the
+    // overall min in `quiet_total`.
     val results: Seq[(String, (Double, Double, Double))] = entries.map { case (name, _) =>
       val ts = acc(name)
       name -> (if (failedEntries(name) || ts.isEmpty) (-1.0, -1.0, -1.0)

@@ -474,14 +474,33 @@ object Multimodal {
   }
 
   /** fold a frame-segment read set into one compacted artifact — the
-    * media analog of [[graft.corpus.Corpus.compactSegments]]: a pure
-    * union of the postings, re-written through the shared layout writer
-    * (so the sets table and the df cap are RE-DERIVED over the union —
-    * compaction also evicts hashes that crossed the cap only ACROSS
-    * segments, restoring the single-artifact evidence bound). Same
-    * fresh-path + stage-then-atomic-rename publish discipline as the
-    * text compactor (a crash between the postings and sets writes can
-    * never leave a torn artifact at the published path).
+    * media analog of [[graft.corpus.Corpus.compactSegments]], with one
+    * deliberate difference: the union is re-written through the shared
+    * layout writer, so the sets table AND the df cap are RE-DERIVED
+    * over it — compaction EVICTS hashes that crossed the cap only
+    * ACROSS segments, restoring the single-artifact evidence bound.
+    * That makes this compactor content-SHRINKING, not a pure union (a
+    * pure union's posting lists would grow without bound over an
+    * infinite stream; the re-cap is the LSM merge policy that keeps
+    * every published artifact ≤ cap forever — eviction is monotone and
+    * pinned shrink-only in MediaStreamSpec).
+    *
+    * Replay discipline (r14 self-review find): the segment triad's
+    * replay transparency ([[graft.streaming.StreamingOps
+    * .segmentReadSet]]) assumes a content-preserving compactor. This
+    * one is safe IN-LOOP (a replaying batch's read set excludes cmp
+    * ids ≥ its own id, so a replay never probes a cmp that didn't
+    * exist on the first attempt) — but an OUT-OF-BAND compaction over
+    * cmp-eligible segments BELOW an uncommitted batch's horizon,
+    * between a crash and its restart, would hand the replayed batch a
+    * shrunken candidate set and silently change its survivors. Run
+    * out-of-band media compaction only against a QUIESCED stream (no
+    * uncommitted batch in the checkpoint); it is deliberately not
+    * exposed as a CLI subcommand for this reason.
+    *
+    * Same fresh-path + stage-then-atomic-rename publish discipline as
+    * the text compactor (a crash between the postings and sets writes
+    * can never leave a torn artifact at the published path).
     */
   def compactFrameSegments(spark: SparkSession, paths: Seq[String],
       outPath: String): Unit = {

@@ -398,10 +398,17 @@ object StreamingOps {
     * `beforeId`: the newest compacted artifact `cmp_C` with C < beforeId
     * (covering every segment id ≤ C) plus the uncompacted segments
     * `seg_n` with C < n < beforeId. Content-equal to reading all
-    * `seg_n` with n < beforeId (compaction is a pure union —
-    * [[graft.corpus.Corpus.compactSegments]]), so a batch's output is
-    * identical whether or not a compaction landed between runs — the
-    * property that keeps the foreachBatch replay contract intact.
+    * `seg_n` with n < beforeId WHEN the plugged-in compactor is
+    * content-preserving ([[graft.corpus.Corpus.compactSegments]] is a
+    * pure union), so a batch's output is identical whether or not a
+    * compaction landed between runs — the property that keeps the
+    * foreachBatch replay contract intact. The MEDIA compactor
+    * ([[graft.multimodal.Multimodal.compactFrameSegments]]) is
+    * content-SHRINKING (its union re-cap evicts cross-segment-hot
+    * hashes — the bounded merge policy); its in-loop use is still
+    * replay-safe because a replaying batch's read set excludes cmp ids
+    * ≥ its own id, but OUT-OF-BAND media compaction must only run
+    * against a quiesced stream — see that method's scaladoc.
     *
     * Loud failure below the GC watermark: once [[gcSegments]] has
     * reclaimed the artifacts covered by `cmp_W`, a read set for
@@ -509,8 +516,19 @@ object StreamingOps {
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.WRITE)
           try {
-            val lock = ch.tryLock()
-            if (lock == null) Seq.empty // another process is sweeping
+            // tryLock returns null for a lock held by ANOTHER process but
+            // THROWS OverlappingFileLockException for one held by this
+            // JVM — reachable despite the monitor when two spellings of
+            // one directory (a symlinked data root vs its real path)
+            // normalize to different monitor keys. Both mean the same
+            // thing here: someone is already sweeping, so skip — the
+            // stated contract — instead of killing the stream.
+            val lock =
+              try ch.tryLock()
+              catch {
+                case _: java.nio.channels.OverlappingFileLockException => null
+              }
+            if (lock == null) Seq.empty // another sweep holds the lock
             else try {
               // marker check-then-advance is safe HERE because both the
               // read and the rename happen inside the mutex

@@ -160,4 +160,30 @@ class SegmentGcSpec extends SparkSpec {
     } finally holder.destroyForcibly()
     spark.catalog.clearCache()
   }
+
+  test("a sweep skips (not crashes) when THIS JVM already holds the GC lock through another path") {
+    // the r14 self-review find: tryLock returns null only for a lock
+    // held by another process — a lock held by this JVM (reachable when
+    // two spellings of one directory, e.g. a symlinked data root vs its
+    // real path, normalize to different monitor keys) THROWS
+    // OverlappingFileLockException instead. The stated contract is
+    // skip-and-retry-next-batch either way; a stream must never die to
+    // a lock-shaped exception.
+    val segBase = tmpDir("gc_selflock") + "/segments"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(segBase))
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(segBase, "._GC_LOCK"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      // a cmp at id 0 makes the sweep body reachable (watermark branch)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(segBase, "cmp_0"))
+      assert(StreamingOps.gcSegments(segBase, 5L).isEmpty,
+        "sweep must skip while this JVM holds the lock")
+      assert(StreamingOps.gcWatermark(segBase).isEmpty,
+        "a skipped sweep must not advance the watermark")
+    } finally { lock.release(); ch.close() }
+  }
 }
