@@ -172,6 +172,82 @@ class MediaStreamSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("in-batch curation equals an independent driver-side twin on seeded random block corpora") {
+    // property-style pin of the WHOLE in-batch chain (exact-set
+    // collapse → df cap → pairwise minShared → min-id keeper): texts
+    // are built from 64-char blocks (the 32×2 frame geometry chunks
+    // payloads at 64-byte boundaries, so a doc's frame-hash set is
+    // exactly its sampled blocks' hashes — shared blocks collide by
+    // construction), the measured per-media hash sets come from ONE
+    // frameHashes pass, and the dedup decision is then re-derived in
+    // plain Scala collections and compared to the engine's survivors
+    // exactly. Three seeds; the generator mixes singleton docs, exact
+    // twins (shuffled ids, so the min-id keeper is exercised), and
+    // block-overlapping near-dups.
+    // blocks need BYTE VARIANCE: fhash48 is an average hash over the
+    // 8×6-resized frame, so a near-constant 64-char block (e.g. one
+    // repeated letter) degenerates to the same hash for every block and
+    // the whole fixture collapses to one hot hash. Pseudo-random
+    // printable bytes per block give 12 distinct, well-spread hashes.
+    val blocks = (0 until 12).map { i =>
+      val br = new scala.util.Random(1000 + i)
+      (0 until 64).map(_ => (33 + br.nextInt(94)).toChar).mkString
+    }
+    for (seed <- Seq(7, 23, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val nDocs = 80
+      val texts = (0 until nDocs).map { _ =>
+        val n = 8 + rnd.nextInt(9)
+        (0 until n).map(_ => blocks(rnd.nextInt(blocks.size))).mkString
+      }
+      // ~1 in 4 docs is made an exact copy of an earlier doc
+      val withTwins = texts.zipWithIndex.map { case (t, i) =>
+        if (i > 0 && rnd.nextInt(4) == 0) texts(rnd.nextInt(i)) else t
+      }
+      val ids = rnd.shuffle((0 until nDocs).map(i => 950000000L + i).toList)
+      val docs = ids.zip(withTwins).map { case (id, t) =>
+        StreamingOps.DocRow(id, "web", t) }
+      val base = tmpDir(s"media_prop_$seed")
+      val got = Multimodal.curateMediaIncremental(
+        docs.toDF("doc_id", "source", "text"), Seq.empty, s"$base/seg")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache()
+      // measured per-media hash sets, one codec pass
+      val sets: Map[Long, Set[Long]] = Multimodal.frameHashes(
+          Multimodal.mediaFromDocuments(spark,
+            docs.toDF("doc_id", "source", "text")
+              .withColumn("n_chars", length($"text").cast("long")),
+            width = 32, height = 2),
+          everyN = Multimodal.FRAME_EVERY_N)
+        .select("media_id", "fhash48").distinct()
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      spark.catalog.clearCache()
+      val minShared = 2
+      // twin, in driver-side collections: collapse → cap → pairs
+      val exactLosers = sets.toSeq.filter(_._2.size >= minShared)
+        .groupBy(_._2).values.flatMap { grp =>
+          val keep = grp.map(_._1).min; grp.map(_._1).filterNot(_ == keep)
+        }.toSet
+      val pop = sets.keySet -- exactLosers
+      val df = pop.toSeq.flatMap(id => sets(id)).groupBy(identity)
+        .map { case (h, xs) => h -> xs.size }
+      val hot = df.filter(_._2 > Multimodal.FRAME_DF_CAP).keySet
+      val capped = pop.map(id => id -> (sets(id) -- hot)).toMap
+      val batchLosers = (for {
+        b <- pop.toSeq; a <- pop.toSeq
+        if a < b && (capped(a) & capped(b)).size >= minShared
+      } yield b).toSet
+      val expected = sets.keySet -- exactLosers -- batchLosers
+      assert(got == expected,
+        s"seed $seed: engine diverged from the driver-side twin: " +
+          s"only-engine=${(got -- expected).toSeq.sorted.take(5)} " +
+          s"only-twin=${(expected -- got).toSeq.sorted.take(5)}")
+      assert(exactLosers.nonEmpty && batchLosers.nonEmpty,
+        s"seed $seed: fixture vacuous (no exact twins or no near-dup pairs)")
+    }
+  }
+
   test("a single-batch burst of >cap exact copies collapses to one survivor whose hashes enter the index") {
     // the r14 review find: pre-collapse, 65+ copies of ONE media in one
     // micro-batch pushed their own frame hashes over the df cap — both
