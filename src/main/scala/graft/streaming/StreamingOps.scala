@@ -502,8 +502,16 @@ object StreamingOps {
 
   def gcSegments(segmentBasePath: String,
       lastCommittedBatchId: Long): Seq[String] = {
-    val baseKey = java.nio.file.Paths.get(segmentBasePath)
-      .toAbsolutePath.normalize.toString
+    // the monitor key resolves SYMLINKS (toRealPath), not just dots —
+    // two spellings of one directory (a symlinked data root vs its real
+    // path) must map to ONE monitor, or both threads sail past the
+    // intra-process half of the mutex into the file-lock layer (r14
+    // self-review). Fallback to lexical normalization only when the
+    // path does not exist yet (day-0: nothing to sweep anyway).
+    val basePath = java.nio.file.Paths.get(segmentBasePath)
+    val baseKey = (try basePath.toRealPath()
+      catch { case _: java.io.IOException =>
+        basePath.toAbsolutePath.normalize }).toString
     val monitor = gcMonitors.computeIfAbsent(baseKey, _ => new Object)
     monitor.synchronized {
       val cmps = numberedVersions(segmentBasePath, "cmp_")
@@ -515,21 +523,27 @@ object StreamingOps {
             base.resolve("._GC_LOCK"),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.WRITE)
-          try {
-            // tryLock returns null for a lock held by ANOTHER process but
-            // THROWS OverlappingFileLockException for one held by this
-            // JVM — reachable despite the monitor when two spellings of
-            // one directory (a symlinked data root vs its real path)
-            // normalize to different monitor keys. Both mean the same
-            // thing here: someone is already sweeping, so skip — the
-            // stated contract — instead of killing the stream.
-            val lock =
-              try ch.tryLock()
-              catch {
-                case _: java.nio.channels.OverlappingFileLockException => null
-              }
-            if (lock == null) Seq.empty // another sweep holds the lock
-            else try {
+          // tryLock returns null for a lock held by ANOTHER process but
+          // THROWS OverlappingFileLockException for one held by this
+          // JVM. With the real-path monitor key above, gcSegments can no
+          // longer race itself here — an overlap means some OTHER
+          // component of this process holds the file. Skip either way
+          // (the stated contract), but on the overlap path the channel
+          // is deliberately NOT closed: POSIX fcntl drops ALL of a
+          // process's locks on a file when ANY fd to it closes, so
+          // closing here would silently strip the other holder's
+          // inter-process lock mid-sweep — one leaked fd per anomalous
+          // skip is the correct trade.
+          val lockOpt =
+            try Some(Option(ch.tryLock()))
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException => None
+              case e: Throwable => ch.close(); throw e
+            }
+          lockOpt match {
+            case None => Seq.empty // same-process holder; ch leaked, see above
+            case Some(None) => ch.close(); Seq.empty // other process sweeps
+            case Some(Some(lock)) => try {
               // marker check-then-advance is safe HERE because both the
               // read and the rename happen inside the mutex
               if (gcWatermark(segmentBasePath).forall(_ < w)) {
@@ -555,8 +569,8 @@ object StreamingOps {
               doomed.foreach(d =>
                 graft.core.Scratch.deleteTree(base.resolve(d)))
               doomed.map(d => s"$segmentBasePath/$d")
-            } finally lock.release()
-          } finally ch.close()
+            } finally { lock.release(); ch.close() }
+          }
       }
     }
   }

@@ -195,10 +195,20 @@ class MediaStreamSpec extends SparkSpec {
     }
     for (seed <- Seq(7, 23, 61)) {
       val rnd = new scala.util.Random(seed)
-      val nDocs = 80
+      val nDocs = 120  // post-collapse population must EXCEED the
+      // cap of 64 for the hot blocks to evict (~25% twin rate leaves ~90)
+      // every doc carries the same two "boilerplate" blocks at SAMPLED
+      // chunk positions (0 and 2 — everyN = 2 samples even chunks), so
+      // their post-collapse df (~90 distinct contents) CROSSES the cap
+      // of 64 and the eviction stage is load-bearing: without it every
+      // pair would share ≥ minShared hashes and the expected survivor
+      // set would collapse to almost nothing. hot.nonEmpty below guards
+      // this stage against going vacuous again (r14 review find: the
+      // first fixture's 12-block vocabulary topped out at df ≈ 33).
       val texts = (0 until nDocs).map { _ =>
         val n = 8 + rnd.nextInt(9)
-        (0 until n).map(_ => blocks(rnd.nextInt(blocks.size))).mkString
+        blocks(0) + blocks(rnd.nextInt(blocks.size)) + blocks(1) +
+          (0 until n).map(_ => blocks(2 + rnd.nextInt(blocks.size - 2))).mkString
       }
       // ~1 in 4 docs is made an exact copy of an earlier doc
       val withTwins = texts.zipWithIndex.map { case (t, i) =>
@@ -243,8 +253,10 @@ class MediaStreamSpec extends SparkSpec {
         s"seed $seed: engine diverged from the driver-side twin: " +
           s"only-engine=${(got -- expected).toSeq.sorted.take(5)} " +
           s"only-twin=${(expected -- got).toSeq.sorted.take(5)}")
-      assert(exactLosers.nonEmpty && batchLosers.nonEmpty,
-        s"seed $seed: fixture vacuous (no exact twins or no near-dup pairs)")
+      assert(exactLosers.nonEmpty && batchLosers.nonEmpty && hot.nonEmpty,
+        s"seed $seed: fixture vacuous (exact=${exactLosers.size} " +
+          s"pairs=${batchLosers.size} hot=${hot.size} — every stage of " +
+          "the chain must be exercised)")
     }
   }
 

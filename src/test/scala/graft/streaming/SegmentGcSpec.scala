@@ -184,6 +184,13 @@ class SegmentGcSpec extends SparkSpec {
         "sweep must skip while this JVM holds the lock")
       assert(StreamingOps.gcWatermark(segBase).isEmpty,
         "a skipped sweep must not advance the watermark")
+      // the skip must not CLOSE its channel either: POSIX fcntl drops
+      // every lock this process holds on a file when any fd to it
+      // closes, so a closing skip would silently strip THIS lock and
+      // let an external process sweep concurrently (r14 self-review)
+      assert(lock.isValid,
+        "the skipped sweep released the holder's lock — close() on the " +
+          "skip path drops all of this process's POSIX locks on the file")
     } finally { lock.release(); ch.close() }
   }
 }
