@@ -169,13 +169,14 @@ object EventQueries {
              |  SELECT user_id, event_id,
              |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
              |m AS (
-             |  SELECT user_id, ts_us,
+             |  SELECT user_id, ts_us, event_id,
              |    CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
              |         THEN 1 ELSE 0 END AS new_sess
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
              |sess AS (
              |  SELECT user_id, ts_us,
-             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             |    sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts_us, event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
              |  FROM m),
              |agg AS (

@@ -170,7 +170,13 @@ object WindowGroupingQueries {
         // active_7d = 0, which contribution rows alone can never emit;
         // the grid also drops the warm-up ramp (trailing window reaching
         // before the data starts) and the explode's past-the-end tail
+        // the span guard is a cross-engine contract, not an optimization:
+        // Spark's sequence() with an explicit positive step THROWS when
+        // start > stop (a corpus spanning < 7 days), while the oracle's
+        // generate_series returns empty — filter first so both engines
+        // emit zero fully-covered days (r14 review find)
         val grid = perDay.agg(min("day").as("min_day"), max("day").as("max_day"))
+          .filter(col("max_day") >= date_add(col("min_day"), 6))
           .select(explode(expr(
             "sequence(date_add(min_day, 6), max_day, interval 1 day)")).as("window_day"))
         grid.join(counts, Seq("window_day"), "left")
@@ -250,11 +256,15 @@ object WindowGroupingQueries {
         // value — the standard relational idiom, one pass over the
         // fact (Spark expands sets with a single Expand node, keeping
         // the aggregation partial+final).
+        // the Tables loader owns the '$dir/<name>.parquet' layout (and
+        // any read options) — register a view instead of re-encoding the
+        // path contract in SQL text (r14 review find)
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_a19")
         s.sql(
           s"""SELECT l_returnflag, l_linestatus,
              |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
              |  sum(l_quantity) AS sum_qty, count(*) AS n
-             |FROM parquet.`$dir/lineitem.parquet`
+             |FROM lineitem_a19
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
              |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
       },

@@ -103,4 +103,51 @@ class DegenerateContractSpec extends SparkSpec {
         "ranking) leaked into the KNN graph")
     spark.catalog.clearCache()
   }
+
+  private lazy val shortSpanEventsDir: String = {
+    val dir = tmpDir("degen_events_short")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    val rows = Seq(
+      Row(1L, t("2024-06-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      Row(2L, t("2024-06-03 10:00:00"), 8L, "click", 2.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("w8: a corpus spanning under 7 days yields ZERO fully-covered days, not a sequence() crash") {
+    // Spark's sequence() with an explicit positive step throws when
+    // start > stop; the DuckDB twin's generate_series returns empty —
+    // the span guard makes both engines emit no rows (r14 review find)
+    val got = graft.SparkEntry.queries("w8_rolling_distinct_users")(
+      spark, shortSpanEventsDir).collect()
+    assert(got.isEmpty,
+      s"a 3-day corpus has no fully-covered trailing-7d window, got ${got.length} rows")
+  }
+
+  test("e15: same-user same-timestamp events land in ONE session (the tie the oracle must agree on)") {
+    val dir = tmpDir("degen_events_tie")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def t(d: String) = java.sql.Timestamp.valueOf(d)
+    val rows = Seq(
+      Row(1L, t("2024-06-01 12:00:00"), 7L, "click", 1.0, "{}"),
+      Row(2L, t("2024-06-01 12:00:00"), 7L, "click", 2.0, "{}"),
+      Row(3L, t("2024-06-01 14:00:00"), 7L, "click", 3.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("e15_session_window")(spark, dir)
+      .collect().map(r => (r.getLong(r.fieldIndex("n_events"))))
+    // two tied events (gap 0) form one session; the 14:00 event (gap
+    // 2 h ≥ 30 min) starts another — degencheck's tied pair pins the
+    // ORACLE side of the same contract
+    assert(got.sorted.toSeq == Seq(1L, 2L),
+      s"expected sessions of 2 (tied pair) and 1, got ${got.toSeq}")
+  }
 }

@@ -30,6 +30,7 @@ can't collide):
     a singleton label, two identical vectors (distance ties), a vector
     with negative components only.
   events: a singleton event type with ONE day (n=1 moment guards), a
+    same-user same-timestamp tie (e15 session determinism), a
     type whose every event is the same instant, a zero/negative value,
     an 11-month silence gap inside one type (r14 — interarrival/anomaly
     windows spanning a dead period).
@@ -177,6 +178,12 @@ def build(work):
         # max-gap and day-window stats spanning a silence
         f"({B + 5}, TIMESTAMP '2024-01-15 00:00:00', {B + 5}, 'degen_gap', 1.0, '{{\"k\": 5}}')",
         f"({B + 6}, TIMESTAMP '2024-12-15 00:00:00', {B + 6}, 'degen_gap', 2.0, '{{\"k\": 6}}')",
+        # r14 review find: SAME-user SAME-timestamp ties — e15's oracle
+        # session assignment was nondeterministic without the event_id
+        # tiebreaker in its running-sum ORDER BY (both rows must land in
+        # ONE session, matching Spark's session_window gap semantics)
+        f"({B + 7}, TIMESTAMP '2024-06-01 12:00:00', {B + 7}, 'degen_tie', 1.0, '{{\"k\": 7}}')",
+        f"({B + 8}, TIMESTAMP '2024-06-01 12:00:00', {B + 7}, 'degen_tie', 2.0, '{{\"k\": 8}}')",
     ])
     con.execute(f"""
       COPY (
