@@ -207,10 +207,14 @@ object SamplingQueries {
         // acceptance rate = min(1, budget/tokens), and a doc is kept by
         // the same content-addressed md5 gate as y1/y2 (first 6 hex
         // digits vs floor(rate·16^6) — integer compare, reproducible,
-        // join-free per doc). Cross-engine float contract: the
-        // Σ sqrt sum and the rate are rounded at 6 dp (sum order
-        // differs between engines; everything after is identical
-        // scalar IEEE ops). Plan shape at scale: one source-key partial
+        // join-free per doc). Cross-engine float contract (r14 review
+        // find): each sqrt term is fixed to the 6-dp grid as an exact
+        // BIGINT micro-unit and SUMMED as integers — order-insensitive,
+        // the y11 log-ratio discipline — because rounding an
+        // order-sensitive double sum at 6 dp still flakes when the true
+        // sum sits within accumulated ulp error of a rounding boundary.
+        // Everything after the integer sum is identical scalar IEEE
+        // ops. Plan shape at scale: one source-key partial
         // agg for the totals, a source-sized rate table the planner
         // broadcasts, one narrow gate pass over the corpus — no
         // shuffle of the big side.
@@ -220,11 +224,13 @@ object SamplingQueries {
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
         val tot = d.groupBy("source").agg(sum("n_tokens").as("t"))
         val sc = tot.agg(
-          roundAt(sum(sqrt(col("t").cast("double"))), 6).as("ss"),
+          sum(floor(sqrt(col("t").cast("double")) * 1e6 + 0.5).cast("long"))
+            .as("ss_micro"),
           sum("t").as("tt"))
         val rates = tot.crossJoin(broadcast(sc)) // single-row scalar
           .withColumn("rate", roundAt(least(lit(1.0),
-            sqrt(col("t").cast("double")) / col("ss")
+            sqrt(col("t").cast("double"))
+              / (col("ss_micro").cast("double") / 1e6)
               * (lit(0.5) * col("tt")) / col("t")), 6))
           .select("source", "rate")
         d.join(rates, Seq("source"))
@@ -241,11 +247,11 @@ object SamplingQueries {
               |  FROM documents WHERE text IS NOT NULL),
               |tot AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1),
               |sc AS (
-              |  SELECT ${roundAtSql("sum(sqrt(CAST(t AS DOUBLE)))", 6)} AS ss,
+              |  SELECT sum(CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS ss_micro,
               |    sum(t) AS tt FROM tot),
               |rates AS (
               |  SELECT source,
-              |    ${roundAtSql("least(1.0, sqrt(CAST(t AS DOUBLE)) / ss * (0.5 * tt) / t)", 6)} AS rate
+              |    ${roundAtSql("least(1.0, sqrt(CAST(t AS DOUBLE)) / (CAST(ss_micro AS DOUBLE) / 1000000) * (0.5 * tt) / t)", 6)} AS rate
               |  FROM tot CROSS JOIN sc)
               |SELECT source, doc_id, n_tokens, rate
               |FROM d JOIN rates USING (source)
@@ -264,8 +270,15 @@ object SamplingQueries {
         // scale this is one narrow key map + a per-shard window — the
         // sort is shard-local, never global.
         val epoch = 3
+        // t1's NULL-text contract (r14 review find): unfiltered, a NULL
+        // text contributes n_tokens = -1 (size(split(NULL)) under ansi
+        // off) to the Spark prefix sum while the oracle's NULL is
+        // ignored by the window SUM — shard assignments diverge once a
+        // boundary is crossed. The filter also restores the comment's
+        // claim that shard assignment IS y4's (y4 filters NULL text).
         val packed = graft.corpus.Corpus.packShards(
-            Tables.documents(s, dir), "source", 2000L)
+            Tables.documents(s, dir).filter(col("text").isNotNull),
+            "source", 2000L)
           .withColumn("okey",
             md5(concat(lit(s"$epoch:"), col("doc_id").cast("string"))))
         val w = Window.partitionBy("source", "shard_id")
@@ -287,7 +300,7 @@ object SamplingQueries {
              |      coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
              |    FROM (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-             |          FROM documents)))
+             |          FROM documents WHERE text IS NOT NULL)))
              |ORDER BY doc_id""".stripMargin)),
 
     Q("y7_curriculum_buckets",

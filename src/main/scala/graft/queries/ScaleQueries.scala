@@ -118,21 +118,22 @@ object ScaleQueries {
     * operator sizes the filter for a 100 TB key cardinality before
     * running anything.
     */
-  private[queries] def bloomFpMeasured(s: org.apache.spark.sql.SparkSession,
-      dir: String, mBits: Int): (Long, Long, Double) = {
-    val urgentKeys = Tables.orders(s, dir)
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"))
-    val bloom = bloomPositions(urgentKeys
-        .withColumn("k", col("o_orderkey").cast("string")), mBits)
-      .select(explode(array(col("p1"), col("p2"))).as("p"))
-      .select(expr("p div 32").as("w"),
-        expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
-      .groupBy("w").agg(expr("bit_or(m)").as("word"))
-    val nonMembers = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
-      .join(urgentKeys, col("l_orderkey") === col("o_orderkey"), "left_anti")
-    val probed = bloomPositions(nonMembers
-        .withColumn("k", col("l_orderkey").cast("string")), mBits)
+  /** fold a (p1, p2)-positioned key frame into the 32-bit-word bloom
+    * table (w, word) — ONE owner of the word/bit layout ("words stay
+    * below the BIGINT sign bit"), shared by z6 and [[bloomFpMeasured]]
+    * so the two can never desynchronize (r14 review find).
+    */
+  private def bloomWords(positioned: DataFrame): DataFrame = positioned
+    .select(explode(array(col("p1"), col("p2"))).as("p"))
+    .select(expr("p div 32").as("w"),
+      expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
+    .groupBy("w").agg(expr("bit_or(m)").as("word"))
+
+  /** probe a positioned key frame against a broadcast bloom word table:
+    * adds `bloom_pass` (both bits set; missing word = 0 = reject).
+    */
+  private def bloomProbe(positioned: DataFrame, bloom: DataFrame): DataFrame =
+    positioned
       .withColumn("w1", expr("p1 div 32"))
       .withColumn("m1", expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))"))
       .withColumn("w2", expr("p2 div 32"))
@@ -141,11 +142,23 @@ object ScaleQueries {
         .withColumnRenamed("word", "word1")), Seq("w1"), "left")
       .join(broadcast(bloom.withColumnRenamed("w", "w2")
         .withColumnRenamed("word", "word2")), Seq("w2"), "left")
-      .withColumn("fp",
+      .withColumn("bloom_pass",
         coalesce(col("word1"), lit(0L)).bitwiseAND(col("m1")) =!= 0 &&
           coalesce(col("word2"), lit(0L)).bitwiseAND(col("m2")) =!= 0)
+
+  private[queries] def bloomFpMeasured(s: org.apache.spark.sql.SparkSession,
+      dir: String, mBits: Int): (Long, Long, Double) = {
+    val urgentKeys = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = bloomWords(bloomPositions(urgentKeys
+        .withColumn("k", col("o_orderkey").cast("string")), mBits))
+    val nonMembers = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      .join(urgentKeys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val probed = bloomProbe(bloomPositions(nonMembers
+        .withColumn("k", col("l_orderkey").cast("string")), mBits), bloom)
       .agg(count(lit(1)).as("n_probe"),
-        sum(when(col("fp"), 1L).otherwise(0L)).as("n_fp"))
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_fp"))
       .first()
     val n = urgentKeys.count()
     (n, probed.getLong(0), probed.getLong(1).toDouble / probed.getLong(0))
@@ -357,27 +370,11 @@ object ScaleQueries {
         val urgentKeys = Tables.orders(s, dir)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_orderkey"))
-        val bloom = positions(urgentKeys
-            .withColumn("k", col("o_orderkey").cast("string")))
-          .select(explode(array(col("p1"), col("p2"))).as("p"))
-          .select(expr("p div 32").as("w"),
-            expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").as("m"))
-          .groupBy("w").agg(expr("bit_or(m)").as("word"))
-        val li = positions(Tables.lineitem(s, dir)
+        val bloom = bloomWords(positions(urgentKeys
+            .withColumn("k", col("o_orderkey").cast("string"))))
+        val passed = bloomProbe(positions(Tables.lineitem(s, dir)
             .select(col("l_orderkey"))
-            .withColumn("k", col("l_orderkey").cast("string")))
-          .withColumn("w1", expr("p1 div 32"))
-          .withColumn("m1", expr("shiftleft(cast(1 as bigint), cast(p1 % 32 as int))"))
-          .withColumn("w2", expr("p2 div 32"))
-          .withColumn("m2", expr("shiftleft(cast(1 as bigint), cast(p2 % 32 as int))"))
-        val passed = li
-          .join(broadcast(bloom.withColumnRenamed("w", "w1")
-            .withColumnRenamed("word", "word1")), Seq("w1"), "left")
-          .join(broadcast(bloom.withColumnRenamed("w", "w2")
-            .withColumnRenamed("word", "word2")), Seq("w2"), "left")
-          .withColumn("bloom_pass",
-            coalesce(col("word1"), lit(0L)).bitwiseAND(col("m1")) =!= 0 &&
-              coalesce(col("word2"), lit(0L)).bitwiseAND(col("m2")) =!= 0)
+            .withColumn("k", col("l_orderkey").cast("string"))), bloom)
         val exact = Tables.lineitem(s, dir).select("l_orderkey")
           .join(urgentKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
         passed.agg(count(lit(1)).as("n_lineitem"),
@@ -541,7 +538,7 @@ object ScaleQueries {
       (s, dir) => {
         // KMV (K-minimum-values) distinct-count sketch (Bar-Yossef et al.
         // 2002; Beyer et al. 2007 "On Synopses for Distinct-Value
-        // Estimation") over per-source trigram-shingle vocabularies —
+        // Estimation") over per-source bigram-shingle vocabularies —
         // the "distinct n-grams per source" diversity profile a corpus
         // report wants. Unlike z3/z5/z8 (HLL/GK internal state → the
         // oracle pins a bound VERDICT, not the estimate), KMV over md5
