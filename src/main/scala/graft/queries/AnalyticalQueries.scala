@@ -795,8 +795,12 @@ object AnalyticalQueries {
         // P(p1,p2) / (P(p1)·P(p2)) computed in one expression with the
         // multiplication-then-division order pinned for cross-engine
         // float identity.
+        // cached: the distinct (order, part) frame feeds FOUR consumers
+        // (both self-join sides, the item counts, the order total) —
+        // uncached, each re-pays the lineitem scan + distinct shuffle
+        // (x27's basket-cache precedent; released by clearCache)
         val items = Tables.lineitem(s, dir)
-          .select("l_orderkey", "l_partkey").distinct()
+          .select("l_orderkey", "l_partkey").distinct().cache()
         val nOrders = items.select(countDistinct("l_orderkey").as("n_orders"))
         val itemCnt = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
         items.as("a").join(items.as("b"),
@@ -926,18 +930,36 @@ object AnalyticalQueries {
             col("sxxd").cast("double").as("sxx"),
             col("sxyd").cast("double").as("sxy"),
             col("syyd").cast("double").as("syy"))
-        val mx = col("nn") * col("sxx") - col("sx") * col("sx")
-        val my = col("nn") * col("syy") - col("sy") * col("sy")
+        // greatest(·, 0): a zero-variance group (single row, constant
+        // column) lands the moment a few ulps NEGATIVE in double
+        // arithmetic — Spark's sqrt returns NaN but DuckDB's ABORTS the
+        // whole oracle query, a crash-vs-value divergence in exactly the
+        // degenerate-population class the gate hunts (r14 review find;
+        // the clamp is mirrored in the SQL twin below)
+        val mx = greatest(
+          col("nn") * col("sxx") - col("sx") * col("sx"), lit(0.0))
+        val my = greatest(
+          col("nn") * col("syy") - col("sy") * col("sy"), lit(0.0))
         val mxy = col("nn") * col("sxy") - col("sx") * col("sy")
+        // zero-variance/singleton totality: n = 1 makes the Bessel
+        // denominator 0 (0/0 = NaN in Spark, engine-divergent), and a
+        // constant column makes corr's denominator 0 — both are
+        // UNDEFINED statistics, emitted as NULL on both engines rather
+        // than as whatever each engine's 0/0 renders to
         sums.select(col("l_returnflag"), col("n0").as("n"),
-            roundAt(sqrt(mx / (col("nn") * (col("nn") - lit(1.0)))), 4).as("sd_price"),
-            roundAt(mxy / (col("nn") * (col("nn") - lit(1.0))), 4).as("cov_pq"),
-            roundAt(mxy / (sqrt(mx) * sqrt(my)), 6).as("corr_pq"))
+            when(col("nn") > 1.0,
+              roundAt(sqrt(mx / (col("nn") * (col("nn") - lit(1.0)))), 4))
+              .as("sd_price"),
+            when(col("nn") > 1.0,
+              roundAt(mxy / (col("nn") * (col("nn") - lit(1.0))), 4))
+              .as("cov_pq"),
+            when(mx > 0.0 && my > 0.0,
+              roundAt(mxy / (sqrt(mx) * sqrt(my)), 6)).as("corr_pq"))
           .orderBy("l_returnflag")
       },
       Some {
-        val mx = "(nn * sxx - sx * sx)"
-        val my = "(nn * syy - sy * sy)"
+        val mx = "greatest(nn * sxx - sx * sx, 0.0)"
+        val my = "greatest(nn * syy - sy * sy, 0.0)"
         val mxy = "(nn * sxy - sx * sy)"
         s"""WITH st AS (
            |  SELECT l_returnflag, count(*) AS n0,
@@ -949,9 +971,12 @@ object AnalyticalQueries {
            |    CAST(sum(${dec2Sql("l_quantity")} * ${dec2Sql("l_quantity")}) AS DOUBLE) AS syy
            |  FROM lineitem GROUP BY 1)
            |SELECT l_returnflag, n0 AS n,
-           |  ${roundAtSql(s"sqrt($mx / (nn * (nn - 1.0)))", 4)} AS sd_price,
-           |  ${roundAtSql(s"$mxy / (nn * (nn - 1.0))", 4)} AS cov_pq,
-           |  ${roundAtSql(s"$mxy / (sqrt($mx) * sqrt($my))", 6)} AS corr_pq
+           |  CASE WHEN nn > 1.0
+           |       THEN ${roundAtSql(s"sqrt($mx / (nn * (nn - 1.0)))", 4)} END AS sd_price,
+           |  CASE WHEN nn > 1.0
+           |       THEN ${roundAtSql(s"$mxy / (nn * (nn - 1.0))", 4)} END AS cov_pq,
+           |  CASE WHEN $mx > 0.0 AND $my > 0.0
+           |       THEN ${roundAtSql(s"$mxy / (sqrt($mx) * sqrt($my))", 6)} END AS corr_pq
            |FROM st ORDER BY 1""".stripMargin
       }),
 
@@ -1077,10 +1102,14 @@ object AnalyticalQueries {
           pairs.map { case (a, b) =>
             sum(dec2(col(a)) * dec2(col(b))).cast("double").as(s"sp_${a}__$b") }
         def corrExpr(a: String, b: String) = {
-          def m(c: String) =
-            col("nn") * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")
-          roundAt((col("nn") * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b"))
-            / (sqrt(m(a)) * sqrt(m(b))), 6)
+          // greatest(·, 0) + NULL-when-degenerate: a18's zero-variance
+          // contract — a constant column's corr is UNDEFINED, emitted
+          // NULL on both engines (never an engine-specific 0/0)
+          def m(c: String) = greatest(
+            col("nn") * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c"), lit(0.0))
+          when(m(a) > 0.0 && m(b) > 0.0,
+            roundAt((col("nn") * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b"))
+              / (sqrt(m(a)) * sqrt(m(b))), 6))
         }
         val stackArgs = pairs.map { case (a, b) =>
           s"'$a', '$b', ${a}__$b"
@@ -1102,10 +1131,12 @@ object AnalyticalQueries {
           cols.map(c => s"CAST(sum(${dec2Sql(c)} * ${dec2Sql(c)}) AS DOUBLE) AS ss_$c") ++
           pairs.map { case (a, b) =>
             s"CAST(sum(${dec2Sql(a)} * ${dec2Sql(b)}) AS DOUBLE) AS sp_${a}__$b" }
-        def m(c: String) = s"(nn * ss_$c - s_$c * s_$c)"
+        def m(c: String) = s"greatest(nn * ss_$c - s_$c * s_$c, 0.0)"
         val rows = pairs.map { case (a, b) =>
           s"""SELECT '$a' AS col_a, '$b' AS col_b,
-             |    ${roundAtSql(s"(nn * sp_${a}__$b - s_$a * s_$b) / (sqrt(${m(a)}) * sqrt(${m(b)}))", 6)} AS corr
+             |    CASE WHEN ${m(a)} > 0.0 AND ${m(b)} > 0.0
+             |         THEN ${roundAtSql(s"(nn * sp_${a}__$b - s_$a * s_$b) / (sqrt(${m(a)}) * sqrt(${m(b)}))", 6)}
+             |    END AS corr
              |  FROM st""".stripMargin
         }.mkString("\n  UNION ALL ")
         s"""WITH st AS (SELECT ${stats.mkString(",\n  ")} FROM lineitem)
@@ -1148,8 +1179,8 @@ object AnalyticalQueries {
         // rendering uses only engine-stable forms (ints, strings, dates,
         // money as cents) — the float-repr rule every oracled query here
         // follows; the hash is the first 10 md5 hex digits folded to a
-        // long (40 bits: a full sf1000 table in ONE bucket stays far
-        // under int64 in the sum).
+        // long; the bucket sums accumulate as DECIMAL(38,0) and render
+        // as strings (40-bit terms overflow int64 from ~sf100).
         val canon = concat_ws("|",
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
@@ -1159,7 +1190,20 @@ object AnalyticalQueries {
           .select(pmod(col("l_orderkey"), lit(32L)).as("bucket"),
             conv(substring(md5(canon), 1, 10), 16, 10).cast("long").as("h"))
           .groupBy("bucket")
-          .agg(count(lit(1)).as("n_rows"), sum("h").as("fp_sum"),
+          // DECIMAL(38,0) sum: 40-bit hashes over an sf100+ bucket
+          // (~2e7 rows x avg 5.5e11) exceed int64 — Spark's non-ANSI
+          // long sum would wrap silently while the oracle's INT128
+          // errors on the BIGINT cast (r14 review find); 1e38 headroom
+          // covers any conceivable table
+          .agg(count(lit(1)).as("n_rows"),
+            // DECIMAL(38,0) accumulator rendered as STRING: 40-bit
+            // hashes over an sf100+ bucket exceed int64 (Spark's
+            // non-ANSI long sum would wrap silently; the oracle's
+            // INT128 errors on a BIGINT cast), and a decimal column
+            // round-trips engine-dependently (Decimal vs float repr) —
+            // a fingerprint is an opaque token, so its canonical form
+            // is the digit string (r14 review find)
+            sum(col("h").cast("decimal(38,0)")).cast("string").as("fp_sum"),
             expr("bit_xor(h)").as("fp_xor"))
           .orderBy("bucket")
       },
@@ -1177,7 +1221,7 @@ object AnalyticalQueries {
              |    list_reduce([CAST(strpos('0123456789abcdef', substr(h10, i, 1)) - 1 AS BIGINT)
              |                 for i in range(1, 11)], (b, c) -> b * 16 + c) AS h
              |  FROM c)
-             |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS fp_sum,
+             |SELECT bucket, count(*) AS n_rows, CAST(CAST(sum(h) AS HUGEINT) AS VARCHAR) AS fp_sum,
              |  bit_xor(h) AS fp_xor
              |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -66,8 +66,7 @@ object TextQueries {
       Some {
         val langs = markers.map(_._1)
         val scoreSql = markers.map { case (lang, ws) =>
-          val pred = ws.map(w => s"x = '$w'").mkString(" OR ")
-          lang -> s"(CAST(len(list_filter(w, x -> $pred)) AS DOUBLE) / len(w))"
+          lang -> s"(CAST(len(list_filter(w, x -> ${markerPred(ws)})) AS DOUBLE) / len(w))"
         }.toMap
         val caseSql = langs.init.zipWithIndex.map { case (l, i) =>
           val rest = langs.drop(i + 1).map(r => s"${scoreSql(l)} >= ${scoreSql(r)}")

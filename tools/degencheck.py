@@ -99,7 +99,9 @@ def build(work):
         UNION ALL
         SELECT * FROM (VALUES
           ({some_order}, 1, 1, 99, 0.0, 0.0, 0.0, 0.0, 'N', 'O',
-           TIMESTAMP '1995-07-01 00:00:00'))
+           TIMESTAMP '1995-07-01 00:00:00'),
+          ({some_order}, 1, 1, 98, 7.0, 123.45, 0.05, 0.02, 'Z', 'F',
+           TIMESTAMP '1995-07-02 00:00:00'))
           v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
             l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
             l_shipdate)
