@@ -500,6 +500,22 @@ object StreamingOps {
   private val gcMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** one lock-file channel per normalized segment directory, opened
+    * lazily and kept open for the JVM's lifetime (bounded: one fd per
+    * distinct segment dir). Memoizing the CHANNEL is what bounds the
+    * overlap-skip path's fd cost (r14 ADVICE): the skip must not close
+    * its channel — POSIX fcntl drops every lock this process holds on a
+    * file when ANY fd to it closes — so a fresh channel per call would
+    * leak one fd per skipped sweep, unbounded when another component
+    * holds the lock for the stream's lifetime. With one shared channel
+    * there is nothing to leak: every sweep, skipped or not, locks and
+    * unlocks through the same fd. Accessed only under the per-key
+    * monitor, so the open/replace sequence below never races itself.
+    */
+  private[streaming] val gcChannels =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.nio.channels.FileChannel]()
+
   def gcSegments(segmentBasePath: String,
       lastCommittedBatchId: Long): Seq[String] = {
     // the monitor key resolves SYMLINKS (toRealPath), not just dots —
@@ -519,30 +535,45 @@ object StreamingOps {
         case None => Seq.empty
         case Some(w) =>
           val base = java.nio.file.Paths.get(segmentBasePath)
-          val ch = java.nio.channels.FileChannel.open(
+          def openLockChannel() = java.nio.channels.FileChannel.open(
             base.resolve("._GC_LOCK"),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.WRITE)
+          // the memoized per-directory channel (see [[gcChannels]]) —
+          // replaced only if a prior error path left it closed
+          val ch = {
+            val c0 = gcChannels.computeIfAbsent(baseKey, _ => openLockChannel())
+            if (c0.isOpen) c0
+            else {
+              gcChannels.remove(baseKey, c0)
+              gcChannels.computeIfAbsent(baseKey, _ => openLockChannel())
+            }
+          }
           // tryLock returns null for a lock held by ANOTHER process but
           // THROWS OverlappingFileLockException for one held by this
           // JVM. With the real-path monitor key above, gcSegments can no
           // longer race itself here — an overlap means some OTHER
           // component of this process holds the file. Skip either way
-          // (the stated contract), but on the overlap path the channel
-          // is deliberately NOT closed: POSIX fcntl drops ALL of a
-          // process's locks on a file when ANY fd to it closes, so
-          // closing here would silently strip the other holder's
-          // inter-process lock mid-sweep — one leaked fd per anomalous
-          // skip is the correct trade.
+          // (the stated contract). No close on ANY path (success, skip,
+          // other-process): closing would strip every POSIX lock this
+          // process holds on the file, and the shared channel is reused
+          // by the next sweep — the r14 one-fd-per-skip leak is gone
+          // because no per-call fd exists anymore.
           val lockOpt =
             try Some(Option(ch.tryLock()))
             catch {
               case _: java.nio.channels.OverlappingFileLockException => None
-              case e: Throwable => ch.close(); throw e
+              case e: Throwable =>
+                // unexpected failure: drop the memoized channel so the
+                // next sweep reopens cleanly; closing here carries the
+                // same (pre-existing) strip-a-concurrent-holder hazard
+                // as the old error path, on a path that implies the
+                // channel is already unusable
+                gcChannels.remove(baseKey, ch); ch.close(); throw e
             }
           lockOpt match {
-            case None => Seq.empty // same-process holder; ch leaked, see above
-            case Some(None) => ch.close(); Seq.empty // other process sweeps
+            case None => Seq.empty // same-process holder; ch stays open, reused
+            case Some(None) => Seq.empty // other process sweeps; ch reused
             case Some(Some(lock)) => try {
               // marker check-then-advance is safe HERE because both the
               // read and the rename happen inside the mutex
@@ -569,7 +600,7 @@ object StreamingOps {
               doomed.foreach(d =>
                 graft.core.Scratch.deleteTree(base.resolve(d)))
               doomed.map(d => s"$segmentBasePath/$d")
-            } finally { lock.release(); ch.close() }
+            } finally lock.release() // channel stays open for reuse
           }
       }
     }

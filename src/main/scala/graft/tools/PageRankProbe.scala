@@ -50,8 +50,14 @@ object PageRankProbe {
       }
       rec("rounds3", tRounds)
       val (_, tSort) = timed {
+        // execute the PHYSICAL plan's RDD, not .count(): a count over an
+        // orderBy is an Aggregate over a Sort, and Catalyst's
+        // EliminateSorts removes the Sort there — the timed number would
+        // be a cached-scan count, silently excluding the phase this
+        // block exists to measure (r14 ADVICE).
         ranked.select(col("id").as("part"), col("rank"))
-          .orderBy(col("rank").desc, col("part")).count()
+          .orderBy(col("rank").desc, col("part"))
+          .queryExecution.executedPlan.execute().count()
       }
       rec("sort", tSort)
       items.unpersist(); edges.unpersist(); ranked.unpersist()

@@ -191,6 +191,20 @@ class SegmentGcSpec extends SparkSpec {
       assert(lock.isValid,
         "the skipped sweep released the holder's lock — close() on the " +
           "skip path drops all of this process's POSIX locks on the file")
+      // ... and repeated skips must reuse ONE memoized channel, not
+      // open (and strand) a new fd per call — the r14 ADVICE leak: a
+      // component holding the lock for the stream's lifetime would
+      // otherwise cost one fd per micro-batch, unbounded
+      val baseKey = java.nio.file.Paths.get(segBase).toRealPath().toString
+      val chAfterFirst = StreamingOps.gcChannels.get(baseKey)
+      assert(chAfterFirst != null && chAfterFirst.isOpen,
+        "the skipped sweep must leave its memoized channel open for reuse")
+      assert(StreamingOps.gcSegments(segBase, 5L).isEmpty)
+      assert(StreamingOps.gcSegments(segBase, 5L).isEmpty)
+      assert(StreamingOps.gcChannels.get(baseKey) eq chAfterFirst,
+        "a repeated skip opened a fresh channel instead of reusing the " +
+          "memoized one — the per-batch fd leak is back")
+      assert(lock.isValid, "repeated skips stripped the holder's lock")
     } finally { lock.release(); ch.close() }
   }
 }
