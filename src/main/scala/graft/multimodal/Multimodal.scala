@@ -493,17 +493,20 @@ object Multimodal {
     * exist on the first attempt) — but an OUT-OF-BAND compaction over
     * cmp-eligible segments BELOW an uncommitted batch's horizon,
     * between a crash and its restart, would hand the replayed batch a
-    * shrunken candidate set and silently change its survivors. Run
-    * out-of-band media compaction only against a QUIESCED stream (no
-    * uncommitted batch in the checkpoint); it is deliberately not
-    * exposed as a CLI subcommand for this reason.
+    * shrunken candidate set and silently change its survivors. That
+    * precondition is now MECHANICAL, not documentary (r15): this raw
+    * fold is `private[graft]` — in-loop use only — and the sole public
+    * out-of-band entry, [[graft.streaming.StreamingOps
+    * .compactMediaSegmentsOutOfBand]], refuses while the stream's
+    * checkpoint shows a started-but-uncommitted batch (MediaStreamSpec
+    * pins the refusal).
     *
     * Same fresh-path + stage-then-atomic-rename publish discipline as
     * the text compactor (a crash between the postings and sets writes
     * can never leave a torn artifact at the published path).
     */
-  def compactFrameSegments(spark: SparkSession, paths: Seq[String],
-      outPath: String): Unit = {
+  private[graft] def compactFrameSegments(spark: SparkSession,
+      paths: Seq[String], outPath: String): Unit = {
     require(paths.nonEmpty, "compactFrameSegments needs at least one segment")
     paths.foreach(requireFrameIndexLayout)
     val outAbs = java.nio.file.Paths.get(outPath).toAbsolutePath.normalize

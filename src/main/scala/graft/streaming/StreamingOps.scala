@@ -407,8 +407,9 @@ object StreamingOps {
     * content-SHRINKING (its union re-cap evicts cross-segment-hot
     * hashes — the bounded merge policy); its in-loop use is still
     * replay-safe because a replaying batch's read set excludes cmp ids
-    * ≥ its own id, but OUT-OF-BAND media compaction must only run
-    * against a quiesced stream — see that method's scaladoc.
+    * ≥ its own id; OUT-OF-BAND media compaction goes through
+    * [[compactMediaSegmentsOutOfBand]], which refuses while the
+    * checkpoint holds an uncommitted batch.
     *
     * Loud failure below the GC watermark: once [[gcSegments]] has
     * reclaimed the artifacts covered by `cmp_W`, a read set for
@@ -603,6 +604,89 @@ object StreamingOps {
             } finally lock.release() // channel stays open for reuse
           }
       }
+    }
+  }
+
+  /** numeric batch-id listing of one Structured Streaming checkpoint
+    * metadata log (`offsets/` or `commits/` — HDFSMetadataLog files are
+    * named by batch id). Missing directory = empty (pre-start
+    * checkpoint); temp/CRC names are skipped by the digit filter.
+    */
+  private def checkpointBatchIds(checkpointPath: String,
+      log: String): Seq[Long] = {
+    val d = java.nio.file.Paths.get(checkpointPath, log)
+    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(d)
+      try ls.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.matches("[0-9]{1,18}")).map(_.toLong).sorted
+      finally ls.close()
+    }
+  }
+
+  /** the newest batch id the checkpoint has COMMITTED — the provably
+    * safe horizon for out-of-band maintenance ([[gcSegments]]'
+    * scaladoc says "read the checkpoint's offset log"; this is that
+    * reader). None before the first commit.
+    */
+  def lastCommittedBatchId(checkpointPath: String): Option[Long] =
+    checkpointBatchIds(checkpointPath, "commits").lastOption
+
+  /** the batch id the checkpoint shows as STARTED but not COMMITTED —
+    * the crash/replay window: on restart the engine re-fires exactly
+    * this batch. None when the stream is quiesced (every started batch
+    * committed, or nothing ever started).
+    */
+  def uncommittedBatchId(checkpointPath: String): Option[Long] = {
+    val committed = checkpointBatchIds(checkpointPath, "commits").lastOption
+    checkpointBatchIds(checkpointPath, "offsets").lastOption
+      .filter(b => committed.forall(_ < b))
+  }
+
+  /** Out-of-band media-segment compaction, with the quiesce
+    * precondition ENFORCED rather than documented (r14 verdict item 5 /
+    * ADVICE): [[graft.multimodal.Multimodal.compactFrameSegments]] is
+    * content-SHRINKING (its union re-cap evicts cross-segment-hot
+    * hashes), so folding segments below an UNCOMMITTED batch's read
+    * horizon between a crash and its restart would hand the replayed
+    * batch a shrunken candidate set and silently change its survivors.
+    * The raw compactor is therefore `private[graft]` (in-loop use only,
+    * where replay safety holds by construction — a replaying batch
+    * never reads a cmp at or above its own id); THIS is the public
+    * out-of-band entry, and it refuses — loudly, before touching
+    * anything — while the checkpoint shows a started-but-uncommitted
+    * batch. It also derives the fold set and target id itself
+    * (read set at the committed horizon → `cmp_<lastCommitted>`), so an
+    * operator cannot hand-pick a wrong range. No-op (returns empty)
+    * when the read set is already a single artifact; otherwise returns
+    * the folded paths. Run it against the same base/checkpoint pair the
+    * stream uses; a wrong/never-started checkpoint path fails the
+    * no-committed-batch check rather than silently passing the guard.
+    */
+  def compactMediaSegmentsOutOfBand(
+      spark: org.apache.spark.sql.SparkSession,
+      segmentBasePath: String, checkpointPath: String): Seq[String] = {
+    uncommittedBatchId(checkpointPath).foreach { b =>
+      throw new IllegalStateException(
+        s"out-of-band media compaction refused: checkpoint $checkpointPath " +
+          s"holds an uncommitted batch $b — its restart would replay " +
+          "against a content-shrunken read set and silently change the " +
+          "batch's survivors. Let the stream finish (or restart and " +
+          "quiesce it), then retry.")
+    }
+    val last = lastCommittedBatchId(checkpointPath).getOrElse(
+      throw new IllegalStateException(
+        s"out-of-band media compaction refused: checkpoint $checkpointPath " +
+          "records no committed batch — either the stream never ran or " +
+          "this is not its checkpoint directory; compacting on a wrong " +
+          "checkpoint would bypass the quiesce guard."))
+    val rs = segmentReadSet(segmentBasePath, last + 1)
+    if (rs.size <= 1) Seq.empty
+    else {
+      graft.multimodal.Multimodal.compactFrameSegments(
+        spark, rs, s"$segmentBasePath/cmp_$last")
+      rs
     }
   }
 
