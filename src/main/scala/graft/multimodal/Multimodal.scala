@@ -262,6 +262,21 @@ object Multimodal {
     */
   val FRAME_DF_CAP: Int = 64
 
+  /** m5's ground-truth bound (r15, r14 verdict item 1): the df above
+    * which a frame hash is boilerplate under ANY reasonable evidence
+    * rule — 64× the production cap. The recall report measures what the
+    * production cap costs BETWEEN the two bounds: a pair whose shared
+    * evidence sits in (FRAME_DF_CAP, FRAME_TRUTH_DF_CAP] is a real
+    * duplicate the capped path misses (replica-shared frames of popular
+    * content — the population the r14 sf3 measurement caught growing
+    * with index size), while a hash beyond the truth bound (black
+    * frames, intro cards at corpus scale) is non-evidence to both
+    * sides. The bound also keeps the ground-truth pair join computable:
+    * per-hash fan-out ≤ cap² instead of df² on corpus boilerplate —
+    * the same reason the production cap exists, one scale louder.
+    */
+  val FRAME_TRUTH_DF_CAP: Int = 4096
+
   /** sidecar file name + content marking a frame-index artifact as
     * written under the current layout. [[graft.streaming.StreamingOps
     * .frameDedupStream]] REQUIRES it: an index written before the cap

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +19,127 @@ import graft.functions.MoneyFunctions._
   */
 object EventQueries {
   import RelationalQueries.{Q, QFn}
+
+  /** the m3 frame→aHash-48 arithmetic as DuckDB CTEs (docs0 → fr →
+    * grid → px → tot → hsh): frame k (sampled ordinal) = payload bytes
+    * [2k·64, 2k·64+64) under the 32×2 geometry, each frame decoded,
+    * 8×6-resized and aHashed with the exact integer compare 48·u > Σu.
+    * Shared by the m3 and m5 oracles so the two can never drift on the
+    * hash arithmetic; `hsh` is per (media_id, frame_no), so consumers
+    * needing the distinct hash SET add their own dedup layer.
+    */
+  private val frameHashCtesSql: String =
+    """docs0 AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS len
+      |  FROM documents WHERE text IS NOT NULL),
+      |fr AS (
+      |  SELECT media_id, CAST(k AS BIGINT) AS frame_no,
+      |    substr(text, CAST(k * 128 + 1 AS INT), 64) AS ftext
+      |  FROM (SELECT media_id, text,
+      |          unnest([i for i in range(0, (len + 127) // 128)]) AS k
+      |        FROM docs0)),
+      |grid AS (
+      |  SELECT media_id, frame_no, ftext, length(ftext) AS flen,
+      |    (length(ftext) + 31) // 32 AS nrows, y, x
+      |  FROM fr, unnest(range(0, 6)) ty(y), unnest(range(0, 8)) tx(x)),
+      |px AS (
+      |  SELECT media_id, frame_no, y, x,
+      |    ascii(substr(ftext,
+      |      CAST(r * 32 + least((x * least(32, flen - r * 32)) // 8,
+      |                          least(32, flen - r * 32) - 1) + 1 AS INT), 1)) AS u
+      |  FROM (SELECT *, least((y * nrows) // 6, nrows - 1) AS r FROM grid)),
+      |tot AS (SELECT media_id, frame_no, sum(u) AS su FROM px GROUP BY 1, 2),
+      |hsh AS (
+      |  SELECT px.media_id, px.frame_no,
+      |    CAST(sum(CASE WHEN 48 * u > su
+      |      THEN (CAST(1 AS BIGINT) << (47 - (y * 8 + x))) ELSE 0 END) AS BIGINT) AS fhash
+      |  FROM px JOIN tot USING (media_id, frame_no) GROUP BY 1, 2)""".stripMargin
+
+  /** m5's ground-truth sample gate (the x32 discipline applied to the
+    * frame path): the exact PAIR computation is the only intrinsically
+    * super-linear piece, so it runs over a deterministic md5
+    * content-addressed 40% of the media — but the df statistic stays
+    * CORPUS-scope (one linear pass), because the production cap is
+    * applied at corpus/index scope and a sample-scope df would
+    * understate exactly the evictions the report exists to measure.
+    * Recall over a content-hash sample is an unbiased estimate of
+    * corpus recall (the gate is independent of the payload bytes, and
+    * both the truth and the capped side see the same media set). At
+    * 100 TB the gate tightens further; it is never removed.
+    */
+  private[graft] val m5SamplePct = 40
+
+  /** the m5 report body, parameterized by the sample gate (100 =
+    * unsampled — the FrameRecallSpec pin). Measures what the
+    * production df cap COSTS, continuously (r14 verdict item 1: the
+    * cap's recall price was proven real at sf3 — a full index finding
+    * 2.5× fewer pairs than a 5% index — but invisible): ground truth =
+    * pairs sharing ≥ 2 frame hashes under [[graft.multimodal
+    * .Multimodal.FRAME_TRUTH_DF_CAP]] (the boilerplate bound), capped =
+    * the same pairing under the production [[graft.multimodal
+    * .Multimodal.FRAME_DF_CAP]] — i.e. exactly m3's evidence rule.
+    * ev(64) ⊆ ev(4096) makes capped ⊆ truth structurally, so
+    * recall = n_capped / n_exact and n_missed is the pair count the cap
+    * discards (replica-shared frames of popular content — the
+    * population that GROWS with index size). n_evicted_hashes (corpus
+    * hashes strictly between the two caps) and max_df locate the
+    * corpus on the multiplicity axis. One row, exact longs + one
+    * division; vacuously 1.0 on a pair-free sample.
+    */
+  private[graft] def frameRecallReport(s: SparkSession, dir: String,
+      samplePct: Int): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir),
+      width = 32, height = 2)
+    // cached: the distinct hash frame feeds the df pass AND both pair
+    // joins; released by the caller's clearCache contract
+    val fh = Multimodal.frameHashes(media, everyN = Multimodal.FRAME_EVERY_N)
+      .select("media_id", "fhash48").distinct().cache()
+    // fh is distinct (media_id, fhash48), so count = distinct media
+    val dfm = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm")).cache()
+    val sampled =
+      if (samplePct >= 100) fh
+      else fh.filter(
+        graft.functions.Md5Fold(col("media_id").cast("string"), 1, 8)
+          % 100 < samplePct)
+    def pairsUnder(cap: Int): DataFrame = {
+      val ev = sampled
+        .join(dfm.filter(col("dfm") <= cap).select("fhash48"), Seq("fhash48"))
+      ev.as("a").join(ev.as("b"),
+          col("a.fhash48") === col("b.fhash48") &&
+            col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select("doc_a", "doc_b")
+    }
+    val truth = pairsUnder(Multimodal.FRAME_TRUTH_DF_CAP)
+    val capped = pairsUnder(Multimodal.FRAME_DF_CAP)
+    val dfStats = dfm.agg(
+      coalesce(sum(when(col("dfm") > Multimodal.FRAME_DF_CAP &&
+          col("dfm") <= Multimodal.FRAME_TRUTH_DF_CAP, 1L)
+        .otherwise(0L)), lit(0L)).as("n_evicted_hashes"),
+      coalesce(max(col("dfm")), lit(0L)).as("max_df"))
+    truth.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_capped"))))
+      .crossJoin(broadcast(dfStats))
+      .withColumn("n_missed", col("n_exact") - col("n_capped"))
+      .withColumn("recall",
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_capped").cast("double") / col("n_exact")))
+      .select("n_exact", "n_capped", "n_missed", "recall",
+        "n_evicted_hashes", "max_df")
+  }
+
+  /** the DuckDB md5-bucket gate over `media_id` — the same fold as
+    * [[graft.corpus.Corpus.withBucket]]'s native kernel (parity pinned
+    * in Md5FoldParitySpec), inlined the way x32's sampled oracle does
+    * it for `doc_id`.
+    */
+  private def m5BucketGateSql(pct: Int): String =
+    s"""list_reduce([CAST(strpos('0123456789abcdef',
+       |    substr(substr(md5(CAST(media_id AS VARCHAR)), 1, 8), i, 1)) - 1 AS BIGINT)
+       |  for i in range(1, 9)], (b, c) -> b * 16 + c) % 100 < $pct""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -721,31 +843,7 @@ object EventQueries {
       // frame k (sampled ordinal) = payload bytes [2k*64, 2k*64+64);
       // per frame the decode/resize/hash arithmetic is x34's, with the
       // frame's OWN length and row count
-      Some("""WITH docs0 AS (
-             |  SELECT doc_id AS media_id, text, length(text) AS len
-             |  FROM documents WHERE text IS NOT NULL),
-             |fr AS (
-             |  SELECT media_id, CAST(k AS BIGINT) AS frame_no,
-             |    substr(text, CAST(k * 128 + 1 AS INT), 64) AS ftext
-             |  FROM (SELECT media_id, text,
-             |          unnest([i for i in range(0, (len + 127) // 128)]) AS k
-             |        FROM docs0)),
-             |grid AS (
-             |  SELECT media_id, frame_no, ftext, length(ftext) AS flen,
-             |    (length(ftext) + 31) // 32 AS nrows, y, x
-             |  FROM fr, unnest(range(0, 6)) ty(y), unnest(range(0, 8)) tx(x)),
-             |px AS (
-             |  SELECT media_id, frame_no, y, x,
-             |    ascii(substr(ftext,
-             |      CAST(r * 32 + least((x * least(32, flen - r * 32)) // 8,
-             |                          least(32, flen - r * 32) - 1) + 1 AS INT), 1)) AS u
-             |  FROM (SELECT *, least((y * nrows) // 6, nrows - 1) AS r FROM grid)),
-             |tot AS (SELECT media_id, frame_no, sum(u) AS su FROM px GROUP BY 1, 2),
-             |hsh AS (
-             |  SELECT px.media_id, px.frame_no,
-             |    CAST(sum(CASE WHEN 48 * u > su
-             |      THEN (CAST(1 AS BIGINT) << (47 - (y * 8 + x))) ELSE 0 END) AS BIGINT) AS fhash
-             |  FROM px JOIN tot USING (media_id, frame_no) GROUP BY 1, 2),
+      Some(s"""WITH $frameHashCtesSql,
              |dfm AS (SELECT fhash, count(DISTINCT media_id) AS d FROM hsh GROUP BY 1),
              |ev AS (
              |  SELECT DISTINCT media_id, fhash FROM hsh JOIN dfm USING (fhash)
@@ -834,6 +932,45 @@ object EventQueries {
              |  SELECT media_id, count(*) AS n_near, min(nbr) AS min_nbr
              |  FROM p GROUP BY 1) nb USING (media_id)
              |ORDER BY media_id""".stripMargin)),
+
+    Q("m5_frame_recall_report",
+      (s, dir) => frameRecallReport(s, dir, m5SamplePct),
+      // x32's twin for the frame-hash path (see frameRecallReport's
+      // scaladoc): both pair pipelines and the df pass are recomputed
+      // arithmetically from the payload bytes here, so the recall
+      // number itself is cross-engine-verified every correctness run
+      Some(s"""WITH $frameHashCtesSql,
+              |hset AS (SELECT DISTINCT media_id, fhash FROM hsh),
+              |dfm AS (SELECT fhash, count(*) AS d FROM hset GROUP BY 1),
+              |samp AS (
+              |  SELECT media_id, fhash FROM hset
+              |  WHERE ${m5BucketGateSql(m5SamplePct)}),
+              |truth AS (
+              |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+              |  FROM (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
+              |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}) a
+              |  JOIN (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
+              |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}) b
+              |    ON a.fhash = b.fhash AND a.media_id < b.media_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |cappd AS (
+              |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+              |  FROM (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
+              |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_DF_CAP}) a
+              |  JOIN (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
+              |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_DF_CAP}) b
+              |    ON a.fhash = b.fhash AND a.media_id < b.media_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT (SELECT count(*) FROM truth) AS n_exact,
+              |  (SELECT count(*) FROM cappd) AS n_capped,
+              |  (SELECT count(*) FROM truth) - (SELECT count(*) FROM cappd)
+              |    AS n_missed,
+              |  coalesce(CAST((SELECT count(*) FROM cappd) AS DOUBLE)
+              |    / nullif((SELECT count(*) FROM truth), 0), 1.0) AS recall,
+              |  (SELECT CAST(coalesce(sum(CASE WHEN d > ${graft.multimodal.Multimodal.FRAME_DF_CAP}
+              |      AND d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}
+              |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dfm) AS n_evicted_hashes,
+              |  (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM dfm) AS max_df""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** m5_frame_recall_report — the frame-hash path's recall telemetry
+  * (x32's twin, r14 verdict item 1). Two pins:
+  *
+  *  1. the WHOLE report (both pair pipelines, the corpus-scope df pass,
+  *     the md5 sample gate, every output column) equals an independent
+  *     driver-side twin computed with plain Scala collections — sampled
+  *     at sf0.01 and unsampled at sf0.001, so both gate readings are
+  *     covered and the truth side is proven ≡ uncapped where no hash
+  *     approaches the truth bound;
+  *  2. the cap's recall cost is MEASURABLE, not hypothetical: a
+  *     replica-shared population one past the production cap drives the
+  *     report's recall to exactly 0 while the truth bound keeps every
+  *     pair — the number the r14 sf3 run showed growing with index
+  *     size, now impossible to lose silently.
+  */
+class FrameRecallSpec extends SparkSpec {
+
+  /** driver-side twin of [[EventQueries.frameRecallReport]]: frame-hash
+    * sets via the same per-row kernel ([[Multimodal.frameHashSeq]]),
+    * corpus df from a plain groupBy, the md5 bucket from
+    * MessageDigest — nothing shared with the Spark plan past the hash
+    * kernel itself.
+    */
+  private def twin(dir: String, samplePct: Int): (Long, Long, Long, Double, Long, Long) = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    spark.catalog.clearCache()
+    val sets: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      id -> Multimodal.frameHashSeq(
+        Multimodal.MediaRow(id, text.getBytes("UTF-8"),
+          Multimodal.MediaMeta("application/x-fake", 32, 2, 0L)),
+        everyN = Multimodal.FRAME_EVERY_N).toSet
+    }.toMap
+    val df: Map[Long, Int] = sets.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.size }
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      (hex.foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16)) % 100).toInt
+    }
+    val ids = sets.keys.toSeq.filter(id => samplePct >= 100 || bucket(id) < samplePct).sorted
+    def pairsUnder(cap: Int): Long = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.size).iterator
+      a = ids(i); b = ids(j)
+      shared = sets(a).intersect(sets(b)).count(h => df(h) <= cap)
+      if shared >= 2
+    } yield 1L).sum
+    val nExact = pairsUnder(Multimodal.FRAME_TRUTH_DF_CAP)
+    val nCapped = pairsUnder(Multimodal.FRAME_DF_CAP)
+    val nEvicted = df.values.count(d =>
+      d > Multimodal.FRAME_DF_CAP && d <= Multimodal.FRAME_TRUTH_DF_CAP).toLong
+    val maxDf = if (df.isEmpty) 0L else df.values.max.toLong
+    val recall = if (nExact == 0) 1.0 else nCapped.toDouble / nExact
+    (nExact, nCapped, nExact - nCapped, recall, nEvicted, maxDf)
+  }
+
+  private def report(dir: String, pct: Int): (Long, Long, Long, Double, Long, Long) = {
+    val r = EventQueries.frameRecallReport(spark, dir, pct).collect().head
+    spark.catalog.clearCache()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  test("m5 equals an independent driver-side twin, sampled and unsampled") {
+    val sampled = report("/root/testdata/sf0.01", EventQueries.m5SamplePct)
+    assert(sampled == twin("/root/testdata/sf0.01", EventQueries.m5SamplePct),
+      s"sampled report diverged from the driver twin: $sampled")
+    assert(sampled._1 > 0,
+      "no truth pairs in the sampled fixture — the gate pin is vacuous")
+    // unsampled at the smaller sf: pct=100 must read every doc, and with
+    // max_df far under the truth bound the truth side IS the uncapped
+    // pair set (the twin applies no cap that can fire)
+    val full = report("/root/testdata/sf0.001", 100)
+    assert(full == twin("/root/testdata/sf0.001", 100),
+      s"unsampled report diverged from the driver twin: $full")
+    assert(full._6 < Multimodal.FRAME_TRUTH_DF_CAP,
+      "fixture outgrew the truth bound — the truth≡uncapped reading no longer holds")
+  }
+
+  test("a population one past the production cap zeroes recall while truth keeps every pair") {
+    // 70 distinct media sharing two 64-byte blocks at sampled frame
+    // offsets (chunks 0 and 2 under the 32×2 every-2nd geometry), each
+    // with a unique sampled chunk 4. The shared hashes carry df=70 —
+    // past FRAME_DF_CAP, under FRAME_TRUTH_DF_CAP — so every pair is a
+    // truth pair and NO pair survives the capped side: two docs share
+    // at most one df≤cap hash (their unique chunks, and only on an
+    // aHash collision), below the ≥2 evidence rule.
+    val n = Multimodal.FRAME_DF_CAP + 6
+    val blockA = "A" * 64
+    val blockB = ("b0" * 16) + ("c1" * 16)
+    def unique(i: Int) = f"doc$i%03d-" + ("z" + f"$i%02d") * 19 // 64 chars
+    val rows = (0 until n).map { i =>
+      (900000L + i, blockA + ("x" * 64) + blockB + ("y" * 64) + unique(i).take(64),
+        "en", "synthetic", 320L)
+    }
+    val dir = tmpDir("m5_evict")
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (nExact, nCapped, nMissed, recall, nEvicted, maxDf) = report(dir, 100)
+    val expectPairs = n.toLong * (n - 1) / 2
+    assert(nExact == expectPairs,
+      s"every replica pair must be a truth pair: got $nExact of $expectPairs")
+    assert(nCapped == 0 && nMissed == expectPairs,
+      s"the capped side must lose the whole population: capped=$nCapped")
+    assert(recall == 0.0, s"recall must read 0, got $recall")
+    assert(nEvicted >= 2, s"both shared hashes sit between the caps: $nEvicted")
+    assert(maxDf == n.toLong,
+      s"max_df must be the replica multiplicity $n, got $maxDf")
+  }
+}
