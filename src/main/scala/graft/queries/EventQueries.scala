@@ -87,7 +87,7 @@ object EventQueries {
     * division; vacuously 1.0 on a pair-free sample.
     */
   private[graft] def frameRecallReport(s: SparkSession, dir: String,
-      samplePct: Int): DataFrame = {
+      samplePct: Int, boundedRule: Boolean = false): DataFrame = {
     import graft.multimodal.Multimodal
     val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir),
       width = 32, height = 2)
@@ -113,8 +113,25 @@ object EventQueries {
         .filter(col("shared") >= 2)
         .select("doc_a", "doc_b")
     }
+    // m7's candidate side: m6's representative-bounded pairing,
+    // endpoint-restricted to the sample AFTER the corpus-scope rep
+    // selection (production reps are corpus-scope; gating them first
+    // would overstate the rule's recall)
+    def boundedPairs(): DataFrame = {
+      val sampIds = sampled.select("media_id").distinct()
+      val (rep, ev) = repEvidence(fh, dfm)
+      rep.join(sampIds, Seq("media_id"), "left_semi").as("a")
+        .join(ev.join(sampIds, Seq("media_id"), "left_semi").as("b"),
+          col("a.fhash48") === col("b.fhash48") &&
+            col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select("doc_a", "doc_b")
+    }
     val truth = pairsUnder(Multimodal.FRAME_TRUTH_DF_CAP)
-    val capped = pairsUnder(Multimodal.FRAME_DF_CAP)
+    val capped =
+      if (boundedRule) boundedPairs() else pairsUnder(Multimodal.FRAME_DF_CAP)
     val dfStats = dfm.agg(
       coalesce(sum(when(col("dfm") > Multimodal.FRAME_DF_CAP &&
           col("dfm") <= Multimodal.FRAME_TRUTH_DF_CAP, 1L)
@@ -131,6 +148,40 @@ object EventQueries {
         "n_evicted_hashes", "max_df")
   }
 
+  /** m6's evidence split — the r15 remedy for the decay m5 measured
+    * (recall 0.955 → 0.567 → 0.075 across sf0.1 → sf1 → sf3: write-time
+    * eviction discards exactly the replica-shared frames of POPULAR
+    * content, and the loss grows with index size). Instead of evicting
+    * a hash once df crosses the cap, keep its [[graft.multimodal
+    * .Multimodal.FRAME_DF_CAP]] LOWEST media ids as representatives and
+    * pair representatives against ALL holders: per-hash join fan-out
+    * drops from df² (the reason the strict cap exists) to cap·df —
+    * LINEAR in df, Σ over the corpus ≤ cap·|postings| — while a
+    * popular-content cluster stays connected through its lowest-id
+    * members, which are exactly the ids the min-id keeper rule elects.
+    * So every evicted-under-m3 media still pairs with its cluster's
+    * keeper and `keep_id` matches the unbounded answer whenever the
+    * global minimum of the cluster is a representative of a shared
+    * hash (it is, by construction, for any hash it holds). The only
+    * hashes dropped entirely are the true boilerplate past
+    * [[graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP]] (black frames,
+    * intro cards), where no pairing is evidence of anything. Returns
+    * (representatives, full evidence) on a DISTINCT (media_id,
+    * fhash48) frame + its df table.
+    */
+  private def repEvidence(fh: DataFrame,
+      dfm: DataFrame): (DataFrame, DataFrame) = {
+    val ev = fh.join(
+      dfm.filter(col("dfm") <=
+        graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP).select("fhash48"),
+      Seq("fhash48"))
+    val rep = ev.withColumn("rk", row_number().over(
+        Window.partitionBy("fhash48").orderBy("media_id")))
+      .filter(col("rk") <= graft.multimodal.Multimodal.FRAME_DF_CAP)
+      .select("media_id", "fhash48")
+    (rep, ev)
+  }
+
   /** the DuckDB md5-bucket gate over `media_id` — the same fold as
     * [[graft.corpus.Corpus.withBucket]]'s native kernel (parity pinned
     * in Md5FoldParitySpec), inlined the way x32's sampled oracle does
@@ -140,6 +191,56 @@ object EventQueries {
     s"""list_reduce([CAST(strpos('0123456789abcdef',
        |    substr(substr(md5(CAST(media_id AS VARCHAR)), 1, 8), i, 1)) - 1 AS BIGINT)
        |  for i in range(1, 9)], (b, c) -> b * 16 + c) % 100 < $pct""".stripMargin
+
+  /** distinct hash sets + corpus-scope df, on top of [[frameHashCtesSql]]
+    * — shared by the m5/m6/m7 oracles.
+    */
+  private val frameSetDfCtesSql: String =
+    """hset AS (SELECT DISTINCT media_id, fhash FROM hsh),
+      |dfm AS (SELECT fhash, count(*) AS d FROM hset GROUP BY 1)""".stripMargin
+
+  /** [[repEvidence]]'s DuckDB twin (ev under the boilerplate bound, rep
+    * = the cap lowest ids per hash), on top of [[frameSetDfCtesSql]].
+    */
+  private val repEvidenceCtesSql: String =
+    s"""ev AS (
+       |  SELECT h.media_id, h.fhash FROM hset h JOIN dfm USING (fhash)
+       |  WHERE d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}),
+       |rep AS (
+       |  SELECT media_id, fhash FROM (
+       |    SELECT media_id, fhash,
+       |      ROW_NUMBER() OVER (PARTITION BY fhash ORDER BY media_id) AS rk
+       |    FROM ev) WHERE rk <= ${graft.multimodal.Multimodal.FRAME_DF_CAP})"""
+      .stripMargin
+
+  /** the sampled ground-truth CTE (pairs sharing ≥ 2 hashes under the
+    * boilerplate bound, both endpoints in `samp`) — shared by m5/m7.
+    */
+  private val frameTruthCteSql: String =
+    s"""truth AS (
+       |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+       |  FROM (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
+       |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}) a
+       |  JOIN (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
+       |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}) b
+       |    ON a.fhash = b.fhash AND a.media_id < b.media_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** the one-row report tail over `truth`/`cappd`/`dfm` — shared by the
+    * m5/m7 oracles so the two reports can never drift on a column.
+    */
+  private val frameReportTailSql: String =
+    s"""SELECT (SELECT count(*) FROM truth) AS n_exact,
+       |  (SELECT count(*) FROM cappd) AS n_capped,
+       |  (SELECT count(*) FROM truth) - (SELECT count(*) FROM cappd)
+       |    AS n_missed,
+       |  coalesce(CAST((SELECT count(*) FROM cappd) AS DOUBLE)
+       |    / nullif((SELECT count(*) FROM truth), 0), 1.0) AS recall,
+       |  (SELECT CAST(coalesce(sum(CASE WHEN d > ${graft.multimodal.Multimodal.FRAME_DF_CAP}
+       |      AND d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dfm) AS n_evicted_hashes,
+       |  (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM dfm) AS max_df"""
+      .stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -940,19 +1041,11 @@ object EventQueries {
       // arithmetically from the payload bytes here, so the recall
       // number itself is cross-engine-verified every correctness run
       Some(s"""WITH $frameHashCtesSql,
-              |hset AS (SELECT DISTINCT media_id, fhash FROM hsh),
-              |dfm AS (SELECT fhash, count(*) AS d FROM hset GROUP BY 1),
+              |$frameSetDfCtesSql,
               |samp AS (
               |  SELECT media_id, fhash FROM hset
               |  WHERE ${m5BucketGateSql(m5SamplePct)}),
-              |truth AS (
-              |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
-              |  FROM (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
-              |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}) a
-              |  JOIN (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
-              |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}) b
-              |    ON a.fhash = b.fhash AND a.media_id < b.media_id
-              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |$frameTruthCteSql,
               |cappd AS (
               |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
               |  FROM (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
@@ -961,16 +1054,99 @@ object EventQueries {
               |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_DF_CAP}) b
               |    ON a.fhash = b.fhash AND a.media_id < b.media_id
               |  GROUP BY 1, 2 HAVING count(*) >= 2)
-              |SELECT (SELECT count(*) FROM truth) AS n_exact,
-              |  (SELECT count(*) FROM cappd) AS n_capped,
-              |  (SELECT count(*) FROM truth) - (SELECT count(*) FROM cappd)
-              |    AS n_missed,
-              |  coalesce(CAST((SELECT count(*) FROM cappd) AS DOUBLE)
-              |    / nullif((SELECT count(*) FROM truth), 0), 1.0) AS recall,
-              |  (SELECT CAST(coalesce(sum(CASE WHEN d > ${graft.multimodal.Multimodal.FRAME_DF_CAP}
-              |      AND d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}
-              |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dfm) AS n_evicted_hashes,
-              |  (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM dfm) AS max_df""".stripMargin)),
+              |$frameReportTailSql""".stripMargin)),
+
+    Q("m6_frame_dedup_bounded",
+      (s, dir) => {
+        // m3's dedup under the REPRESENTATIVE-BOUNDED evidence rule (see
+        // repEvidence — the r15 remedy for the cap's measured recall
+        // decay): reps = the cap lowest ids per hash pair against ALL
+        // holders, so per-hash work is cap·df (linear, Σ ≤ cap·|postings|)
+        // instead of df², popular-content clusters stay connected
+        // through their min-id members, and only true boilerplate past
+        // the 64×-cap bound is dropped entirely. Output shape is m3's
+        // (n_frames, n_partners, keep_id); n_partners is BOUNDED by
+        // construction (that is the point), keep_id matches the
+        // unbounded keeper wherever the cluster minimum shares a hash.
+        import graft.multimodal.Multimodal
+        val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir),
+          width = 32, height = 2)
+        // cached raw: feeds the distinct evidence frame AND the
+        // per-media frame count; released by the clearCache contract
+        val fh0 = Multimodal.frameHashes(media,
+          everyN = Multimodal.FRAME_EVERY_N).cache()
+        val fh = fh0.select("media_id", "fhash48").distinct()
+        val dfm = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
+        val (rep, ev) = repEvidence(fh, dfm)
+        val pairs = rep.as("a").join(ev.as("b"),
+            col("a.fhash48") === col("b.fhash48") &&
+              col("a.media_id") < col("b.media_id"))
+          .groupBy(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+          .select("ma", "mb")
+        val agg = pairs.select(col("ma").as("media_id"), col("mb").as("nbr"))
+          .union(pairs.select(col("mb").as("media_id"), col("ma").as("nbr")))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_partners"), min("nbr").as("min_nbr"))
+        val nf = fh0.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        media.toDF().select("media_id")
+          .join(nf, Seq("media_id"), "left")
+          .join(agg, Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+            coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+            coalesce(least(col("media_id"), col("min_nbr")), col("media_id"))
+              .as("keep_id"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH $frameHashCtesSql,
+              |$frameSetDfCtesSql,
+              |$repEvidenceCtesSql,
+              |p AS (
+              |  SELECT a.media_id AS ma, b.media_id AS mb
+              |  FROM rep a JOIN ev b
+              |    ON a.fhash = b.fhash AND a.media_id < b.media_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |d2 AS (SELECT ma AS media_id, mb AS nbr FROM p
+              |       UNION ALL SELECT mb, ma FROM p),
+              |agg AS (
+              |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_partners,
+              |    min(nbr) AS min_nbr FROM d2 GROUP BY 1),
+              |nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames
+              |       FROM hsh GROUP BY 1)
+              |SELECT d.media_id,
+              |  coalesce(nf.n_frames, 0) AS n_frames,
+              |  coalesce(agg.n_partners, 0) AS n_partners,
+              |  CAST(coalesce(least(d.media_id, agg.min_nbr), d.media_id) AS BIGINT) AS keep_id
+              |FROM docs0 d
+              |LEFT JOIN nf USING (media_id)
+              |LEFT JOIN agg USING (media_id)
+              |ORDER BY media_id""".stripMargin)),
+
+    Q("m7_bounded_recall_report",
+      (s, dir) => frameRecallReport(s, dir, m5SamplePct, boundedRule = true),
+      // m5's report with m6's rule on the candidate side: same truth,
+      // same sample gate, same columns — so recall(m7) − recall(m5) IS
+      // the remedy's measured gain, cross-engine-verified. Reps stay
+      // corpus-scope before the endpoint restriction (as in production);
+      // a sampled pair whose reps fall outside the sample is counted as
+      // missed, so the sampled number never overstates the rule.
+      Some(s"""WITH $frameHashCtesSql,
+              |$frameSetDfCtesSql,
+              |$repEvidenceCtesSql,
+              |samp AS (
+              |  SELECT media_id, fhash FROM hset
+              |  WHERE ${m5BucketGateSql(m5SamplePct)}),
+              |sampids AS (SELECT DISTINCT media_id FROM samp),
+              |$frameTruthCteSql,
+              |cappd AS (
+              |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+              |  FROM (SELECT r.* FROM rep r JOIN sampids USING (media_id)) a
+              |  JOIN (SELECT e.* FROM ev e JOIN sampids USING (media_id)) b
+              |    ON a.fhash = b.fhash AND a.media_id < b.media_id
+              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |$frameReportTailSql""".stripMargin)),
   )
 
   val queries: Map[String, QFn] = all.map(q => q.name -> q.fn).toMap

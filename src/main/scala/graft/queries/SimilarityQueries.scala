@@ -421,6 +421,47 @@ object SimilarityQueries {
         (-col("best.negid")).as("centroid_id"))
   }
 
+  /** MEASURED in-memory byte estimate of an assigned-vector frame
+    * (cand_id, centroid_id, norm, v: array<double>) — the
+    * [[graft.corpus.Corpus.setFrameBytes]] discipline for the ANN
+    * family: one column-pruned aggregate over the CACHED frame, because
+    * Spark's static `autoBroadcastJoinThreshold` never sees an accurate
+    * size for a derived/cached relation (the r13/r14 failure mode).
+    * Per-row arithmetic from the UnsafeRow layout: 8-byte null bitset +
+    * 4 fixed 8-byte slots (two longs, one double, the array
+    * offset-and-size word) + the array region (8-byte numElements
+    * header + 8-byte element null bits + 8 bytes per double) —
+    * 8·len(v) + 96 per row, rounded up in the constants.
+    */
+  private[queries] def assignedFrameBytes(assigned: DataFrame): Long = {
+    val r = assigned.agg(coalesce(
+      sum(size(col("v")).cast("long") * 8L + 96L), lit(0L)).as("b")).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Measured regime dispatch for the centroid-blocked pair SELF-joins
+    * (x18/x25/x26) — the r14 verdict's remaining `weak`: the self-join
+    * of the cached `assigned` frame sat on Spark's static broadcast
+    * threshold exactly where the x4/x20 verify joins sat one decade
+    * before their sf10 death (the r14 sf3 bracketing already showed the
+    * static flip costing a 24.5× one-time shuffle-bytes step). Same
+    * discipline as [[graft.corpus.Corpus.dispatchVerifySets]], same
+    * budget knob (`graft.verify.broadcastBudget`, heap-derived default)
+    * — so PlanAuditSpec's zero-budget no-hint audit and the
+    * regime-equality pins govern this family with no second knob: one
+    * side of the self-join is hinted while the measured frame fits the
+    * budget; over budget the natural plan stands (AQE shuffle join on
+    * centroid_id — the cluster-scale regime, where per-executor memory
+    * is the lever). The hint may change the PLAN, never the ANSWER
+    * (VerifyRegimeSpec's contract, pinned for this family in
+    * AnnRegimeSpec).
+    */
+  private[queries] def dispatchAssigned(assigned: DataFrame): DataFrame =
+    if (assignedFrameBytes(assigned) <
+        graft.corpus.Corpus.verifyBroadcastBudget(assigned.sparkSession))
+      broadcast(assigned)
+    else assigned
+
   /** oracle twin of [[assignNearest]] over [[lloydCtesSql]]'s final
     * centroids — shared by the x8 and x18 oracles.
     */
@@ -989,7 +1030,7 @@ object SimilarityQueries {
         // cached: the self-join's two branches would otherwise each
         // re-run training + assignment. Released by clearCache().
         val assigned = assignNearest(e, sharedCentroids(s, dir)).cache()
-        assigned.as("a").join(assigned.as("b"),
+        assigned.as("a").join(dispatchAssigned(assigned).as("b"),
             col("a.centroid_id") === col("b.centroid_id") &&
               col("a.cand_id") < col("b.cand_id"))
           .withColumn("cosine", roundAt(expr("cosine_similarity(a.v, b.v)"), 6))
@@ -1032,7 +1073,7 @@ object SimilarityQueries {
         // identical pair set.
         val e = vecs(s, dir)
         val assigned = assignNearest(e, sharedCentroids(s, dir)).cache()
-        val pairs = assigned.as("a").join(assigned.as("b"),
+        val pairs = assigned.as("a").join(dispatchAssigned(assigned).as("b"),
             col("a.centroid_id") === col("b.centroid_id") &&
               col("a.cand_id") < col("b.cand_id"))
           .filter(roundAt(expr("cosine_similarity(a.v, b.v)"), 6) >= 0.35)
@@ -1091,7 +1132,7 @@ object SimilarityQueries {
         val assigned = assignNearest(e, sharedCentroids(s, dir)).cache()
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))
-        assigned.as("a").join(assigned.as("b"),
+        assigned.as("a").join(dispatchAssigned(assigned).as("b"),
             col("a.centroid_id") === col("b.centroid_id") &&
               col("a.cand_id") =!= col("b.cand_id"))
           .select(col("a.cand_id").as("vec_id"), col("b.cand_id").as("neighbor_id"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkEntry, SparkSpec}
 import graft.core.Tables
 import graft.multimodal.Multimodal
 
@@ -119,5 +119,58 @@ class FrameRecallSpec extends SparkSpec {
     assert(nEvicted >= 2, s"both shared hashes sit between the caps: $nEvicted")
     assert(maxDf == n.toLong,
       s"max_df must be the replica multiplicity $n, got $maxDf")
+
+    // the r15 remedy on the SAME fixture: representative-bounded
+    // pairing keeps every pair with a representative endpoint — all but
+    // the C(n-cap, 2) pairs among the non-representative tail — and
+    // every media's keeper is still the global minimum id, because the
+    // minimum is a representative of every hash it holds
+    val tail = n - Multimodal.FRAME_DF_CAP
+    val expectBounded = expectPairs - tail.toLong * (tail - 1) / 2
+    val (bExact, bCapped, _, bRecall, _, _) = {
+      val r = EventQueries.frameRecallReport(spark, dir, 100,
+        boundedRule = true).collect().head
+      spark.catalog.clearCache()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))
+    }
+    assert(bExact == expectPairs, "truth must not depend on the rule")
+    assert(bCapped == expectBounded,
+      s"bounded rule must keep all rep-endpoint pairs: got $bCapped of $expectBounded")
+    assert(bRecall > 0.99, s"bounded recall must be near 1, got $bRecall")
+    val m6 = SparkEntry.queries("m6_frame_dedup_bounded")(spark, dir)
+      .select("media_id", "n_partners", "keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    val minId = rows.map(_._1).min
+    assert(m6.forall(_._3 == minId),
+      "every replica's keeper must be the global minimum id")
+    assert(m6.forall(_._2 > 0), "every replica must have found a partner")
+  }
+
+  test("under the cap the bounded and strict rules coincide exactly") {
+    // m6 pairs ⊇ m3 pairs by construction (a df≤cap hash keeps every
+    // holder as a representative, so the full self-join survives), and
+    // on a corpus whose max df sits under the cap the two rules are the
+    // SAME operator — the backward-compatibility half of the remedy.
+    // The divergence half (strict cap drops a population the bounded
+    // rule keeps) is pinned on the replica fixture above.
+    val dir = "/root/testdata/sf0.01"
+    def byMedia(q: String): Map[Long, (Long, Long)] = {
+      val out = SparkEntry.queries(q)(spark, dir)
+        .select("media_id", "n_partners", "keep_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      spark.catalog.clearCache()
+      out
+    }
+    val m3 = byMedia("m3_video_frame_dedup")
+    val m6 = byMedia("m6_frame_dedup_bounded")
+    val (_, _, _, _, _, maxDf) = report(dir, 100)
+    assert(maxDf <= Multimodal.FRAME_DF_CAP,
+      "fixture outgrew the cap — the equality pin no longer applies; " +
+        "split it into the ⊇ form")
+    assert(m3 == m6,
+      "bounded and strict rules diverged on an under-cap corpus")
+    assert(m3.values.exists(_._1 > 0), "no partners anywhere — vacuous")
   }
 }

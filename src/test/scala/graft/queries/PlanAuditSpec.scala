@@ -107,13 +107,18 @@ class PlanAuditSpec extends SparkSpec {
     // replaced a separate driver-side count() job.
     // x12_embedding_centroids is excluded: its one hint broadcasts the
     // per-label centroid-array table — |labels| rows by construction)
+    // x18/x25/x26 joined the audit in r15: their centroid-blocked pair
+    // self-join now hints one side through the measured dispatch
+    // (SimilarityQueries.dispatchAssigned, same budget knob), so a hint
+    // surviving zero budget would be hard-coded there too
     Seq("x2_dedup_minhash_lsh", "x4_dedup_ngram_jaccard", "x5_dedup_cosine",
         "x9_minhash_sketch_agg", "x10_dedup_incremental_lsh",
         "x13_embedding_quantization",
         "x16_sketch_source_overlap", "y5_contamination_check",
         "t7_unigram_logprob", "x21_curate_incremental",
         "x22_cluster_size_profile", "t9_boilerplate_ngrams",
-        "t14_substring_dedup",
+        "t14_substring_dedup", "x18_semantic_dedup", "x25_knn_graph",
+        "x26_semantic_clusters",
         "x29_dedup_clusters_update").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
