@@ -137,15 +137,41 @@ object EventQueries {
           col("dfm") <= Multimodal.FRAME_TRUTH_DF_CAP, 1L)
         .otherwise(0L)), lit(0L)).as("n_evicted_hashes"),
       coalesce(max(col("dfm")), lit(0L)).as("max_df"))
+    // keeper agreement — the metric the BOUNDED rule is designed to
+    // hold at every scale (pair-list recall is structurally < 1 for it:
+    // non-representative pairs route through representatives): for each
+    // sampled frame-carrying media, does the candidate rule elect the
+    // SAME min-id keeper as the truth rule? Pair recall prices the
+    // evidence lost; keeper agreement prices the DEDUP DECISIONS lost.
+    def keeperOf(pairs: DataFrame): DataFrame =
+      pairs.select(col("doc_a").as("media_id"), col("doc_b").as("nbr"))
+        .union(pairs.select(col("doc_b").as("media_id"), col("doc_a").as("nbr")))
+        .groupBy("media_id").agg(min("nbr").as("min_nbr"))
+    val sampIdsAll = sampled.select("media_id").distinct()
+    def keepers(pairs: DataFrame, out: String): DataFrame =
+      sampIdsAll.join(keeperOf(pairs), Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(least(col("media_id"), col("min_nbr")), col("media_id"))
+            .as(out))
+    val keeperStats = keepers(truth, "keep_t")
+      .join(keepers(capped, "keep_c"), Seq("media_id"))
+      .agg(count(lit(1)).as("n_media"),
+        coalesce(sum(when(col("keep_t") === col("keep_c"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_keeper_match"))
     truth.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_capped"))))
       .crossJoin(broadcast(dfStats))
+      .crossJoin(broadcast(keeperStats))
       .withColumn("n_missed", col("n_exact") - col("n_capped"))
       .withColumn("recall",
         when(col("n_exact") === 0, lit(1.0))
           .otherwise(col("n_capped").cast("double") / col("n_exact")))
+      .withColumn("keeper_agreement",
+        when(col("n_media") === 0, lit(1.0))
+          .otherwise(col("n_keeper_match").cast("double") / col("n_media")))
       .select("n_exact", "n_capped", "n_missed", "recall",
-        "n_evicted_hashes", "max_df")
+        "n_evicted_hashes", "max_df", "n_media", "n_keeper_match",
+        "keeper_agreement")
   }
 
   /** m6's evidence split — the r15 remedy for the decay m5 measured
@@ -226,11 +252,33 @@ object EventQueries {
        |    ON a.fhash = b.fhash AND a.media_id < b.media_id
        |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
-  /** the one-row report tail over `truth`/`cappd`/`dfm` — shared by the
-    * m5/m7 oracles so the two reports can never drift on a column.
+  /** the one-row report tail over `truth`/`cappd`/`dfm`/`sampids` —
+    * shared by the m5/m7 oracles so the two reports can never drift on
+    * a column. The keeper CTEs mirror [[frameRecallReport]]'s
+    * keeper-agreement block: per sampled frame-carrying media, the
+    * truth rule's min-id keeper vs the candidate rule's.
     */
   private val frameReportTailSql: String =
-    s"""SELECT (SELECT count(*) FROM truth) AS n_exact,
+    s"""tk AS (
+       |  SELECT s.media_id,
+       |    least(s.media_id, coalesce(min(n.nbr), s.media_id)) AS keep_t
+       |  FROM sampids s LEFT JOIN
+       |    (SELECT doc_a AS media_id, doc_b AS nbr FROM truth
+       |     UNION ALL SELECT doc_b, doc_a FROM truth) n USING (media_id)
+       |  GROUP BY s.media_id),
+       |ck AS (
+       |  SELECT s.media_id,
+       |    least(s.media_id, coalesce(min(n.nbr), s.media_id)) AS keep_c
+       |  FROM sampids s LEFT JOIN
+       |    (SELECT doc_a AS media_id, doc_b AS nbr FROM cappd
+       |     UNION ALL SELECT doc_b, doc_a FROM cappd) n USING (media_id)
+       |  GROUP BY s.media_id),
+       |km AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_media,
+       |    CAST(coalesce(sum(CASE WHEN tk.keep_t = ck.keep_c
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keeper_match
+       |  FROM tk JOIN ck USING (media_id))
+       |SELECT (SELECT count(*) FROM truth) AS n_exact,
        |  (SELECT count(*) FROM cappd) AS n_capped,
        |  (SELECT count(*) FROM truth) - (SELECT count(*) FROM cappd)
        |    AS n_missed,
@@ -239,7 +287,11 @@ object EventQueries {
        |  (SELECT CAST(coalesce(sum(CASE WHEN d > ${graft.multimodal.Multimodal.FRAME_DF_CAP}
        |      AND d <= ${graft.multimodal.Multimodal.FRAME_TRUTH_DF_CAP}
        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM dfm) AS n_evicted_hashes,
-       |  (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM dfm) AS max_df"""
+       |  (SELECT CAST(coalesce(max(d), 0) AS BIGINT) FROM dfm) AS max_df,
+       |  (SELECT n_media FROM km) AS n_media,
+       |  (SELECT n_keeper_match FROM km) AS n_keeper_match,
+       |  coalesce(CAST((SELECT n_keeper_match FROM km) AS DOUBLE)
+       |    / nullif((SELECT n_media FROM km), 0), 1.0) AS keeper_agreement"""
       .stripMargin
 
   val all: Seq[Q] = Seq(
@@ -1045,6 +1097,7 @@ object EventQueries {
               |samp AS (
               |  SELECT media_id, fhash FROM hset
               |  WHERE ${m5BucketGateSql(m5SamplePct)}),
+              |sampids AS (SELECT DISTINCT media_id FROM samp),
               |$frameTruthCteSql,
               |cappd AS (
               |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
@@ -1053,7 +1106,7 @@ object EventQueries {
               |  JOIN (SELECT s2.* FROM samp s2 JOIN dfm USING (fhash)
               |        WHERE d <= ${graft.multimodal.Multimodal.FRAME_DF_CAP}) b
               |    ON a.fhash = b.fhash AND a.media_id < b.media_id
-              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
               |$frameReportTailSql""".stripMargin)),
 
     Q("m6_frame_dedup_bounded",
@@ -1145,7 +1198,7 @@ object EventQueries {
               |  FROM (SELECT r.* FROM rep r JOIN sampids USING (media_id)) a
               |  JOIN (SELECT e.* FROM ev e JOIN sampids USING (media_id)) b
               |    ON a.fhash = b.fhash AND a.media_id < b.media_id
-              |  GROUP BY 1, 2 HAVING count(*) >= 2)
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
               |$frameReportTailSql""".stripMargin)),
   )
 

@@ -29,7 +29,7 @@ class FrameRecallSpec extends SparkSpec {
     * MessageDigest — nothing shared with the Spark plan past the hash
     * kernel itself.
     */
-  private def twin(dir: String, samplePct: Int): (Long, Long, Long, Double, Long, Long) = {
+  private def twin(dir: String, samplePct: Int): Report = {
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select("doc_id", "text").collect()
@@ -49,28 +49,51 @@ class FrameRecallSpec extends SparkSpec {
         .map(b => f"$b%02x").mkString.take(8)
       (hex.foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16)) % 100).toInt
     }
-    val ids = sets.keys.toSeq.filter(id => samplePct >= 100 || bucket(id) < samplePct).sorted
-    def pairsUnder(cap: Int): Long = (for {
+    // frame-CARRYING media only: the report's keeper universe comes from
+    // the (media_id, fhash48) frame, so a zero-frame doc (empty text)
+    // never enters it
+    val ids = sets.keys.toSeq
+      .filter(id => sets(id).nonEmpty &&
+        (samplePct >= 100 || bucket(id) < samplePct)).sorted
+    def pairSetUnder(cap: Int): Set[(Long, Long)] = (for {
       i <- ids.indices.iterator
       j <- (i + 1 until ids.size).iterator
       a = ids(i); b = ids(j)
       shared = sets(a).intersect(sets(b)).count(h => df(h) <= cap)
       if shared >= 2
-    } yield 1L).sum
-    val nExact = pairsUnder(Multimodal.FRAME_TRUTH_DF_CAP)
-    val nCapped = pairsUnder(Multimodal.FRAME_DF_CAP)
+    } yield (a, b)).toSet
+    val exact = pairSetUnder(Multimodal.FRAME_TRUTH_DF_CAP)
+    val capped = pairSetUnder(Multimodal.FRAME_DF_CAP)
+    def keeper(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val nbrs = (pairs.toSeq.map(p => p._1 -> p._2) ++
+        pairs.toSeq.map(p => p._2 -> p._1)).groupBy(_._1)
+        .map { case (id, xs) => id -> xs.map(_._2).min }
+      ids.map(id => id ->
+        math.min(id, nbrs.getOrElse(id, id))).toMap
+    }
+    val (tk, ck) = (keeper(exact), keeper(capped))
+    val nMedia = ids.size.toLong
+    val nMatch = ids.count(id => tk(id) == ck(id)).toLong
+    val nExact = exact.size.toLong
+    val nCapped = capped.size.toLong
     val nEvicted = df.values.count(d =>
       d > Multimodal.FRAME_DF_CAP && d <= Multimodal.FRAME_TRUTH_DF_CAP).toLong
     val maxDf = if (df.isEmpty) 0L else df.values.max.toLong
     val recall = if (nExact == 0) 1.0 else nCapped.toDouble / nExact
-    (nExact, nCapped, nExact - nCapped, recall, nEvicted, maxDf)
+    val agree = if (nMedia == 0) 1.0 else nMatch.toDouble / nMedia
+    (nExact, nCapped, nExact - nCapped, recall, nEvicted, maxDf,
+      nMedia, nMatch, agree)
   }
 
-  private def report(dir: String, pct: Int): (Long, Long, Long, Double, Long, Long) = {
-    val r = EventQueries.frameRecallReport(spark, dir, pct).collect().head
+  private type Report = (Long, Long, Long, Double, Long, Long, Long, Long, Double)
+
+  private def report(dir: String, pct: Int,
+      bounded: Boolean = false): Report = {
+    val r = EventQueries.frameRecallReport(spark, dir, pct, bounded)
+      .collect().head
     spark.catalog.clearCache()
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-      r.getLong(4), r.getLong(5))
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8))
   }
 
   test("m5 equals an independent driver-side twin, sampled and unsampled") {
@@ -109,7 +132,8 @@ class FrameRecallSpec extends SparkSpec {
     import spark.implicits._
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val (nExact, nCapped, nMissed, recall, nEvicted, maxDf) = report(dir, 100)
+    val (nExact, nCapped, nMissed, recall, nEvicted, maxDf,
+      nMedia, nMatch, agree) = report(dir, 100)
     val expectPairs = n.toLong * (n - 1) / 2
     assert(nExact == expectPairs,
       s"every replica pair must be a truth pair: got $nExact of $expectPairs")
@@ -119,6 +143,11 @@ class FrameRecallSpec extends SparkSpec {
     assert(nEvicted >= 2, s"both shared hashes sit between the caps: $nEvicted")
     assert(maxDf == n.toLong,
       s"max_df must be the replica multiplicity $n, got $maxDf")
+    // keeper agreement under the strict cap: only the global minimum
+    // itself still elects the right keeper (itself) — 1 of n media
+    assert(nMedia == n.toLong && nMatch == 1L,
+      s"strict-cap keeper agreement must be 1/$n, got $nMatch/$nMedia")
+    assert(agree == 1.0 / n)
 
     // the r15 remedy on the SAME fixture: representative-bounded
     // pairing keeps every pair with a representative endpoint — all but
@@ -127,17 +156,16 @@ class FrameRecallSpec extends SparkSpec {
     // minimum is a representative of every hash it holds
     val tail = n - Multimodal.FRAME_DF_CAP
     val expectBounded = expectPairs - tail.toLong * (tail - 1) / 2
-    val (bExact, bCapped, _, bRecall, _, _) = {
-      val r = EventQueries.frameRecallReport(spark, dir, 100,
-        boundedRule = true).collect().head
-      spark.catalog.clearCache()
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getLong(4), r.getLong(5))
-    }
+    val (bExact, bCapped, _, bRecall, _, _, bMedia, bMatch, bAgree) =
+      report(dir, 100, bounded = true)
     assert(bExact == expectPairs, "truth must not depend on the rule")
     assert(bCapped == expectBounded,
       s"bounded rule must keep all rep-endpoint pairs: got $bCapped of $expectBounded")
     assert(bRecall > 0.99, s"bounded recall must be near 1, got $bRecall")
+    // ... and the metric the rule is DESIGNED to hold: every media
+    // still elects the global-minimum keeper
+    assert(bMedia == n.toLong && bMatch == n.toLong && bAgree == 1.0,
+      s"bounded keeper agreement must be exact: $bMatch/$bMedia")
     val m6 = SparkEntry.queries("m6_frame_dedup_bounded")(spark, dir)
       .select("media_id", "n_partners", "keep_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -165,7 +193,7 @@ class FrameRecallSpec extends SparkSpec {
     }
     val m3 = byMedia("m3_video_frame_dedup")
     val m6 = byMedia("m6_frame_dedup_bounded")
-    val (_, _, _, _, _, maxDf) = report(dir, 100)
+    val (_, _, _, _, _, maxDf, _, _, _) = report(dir, 100)
     assert(maxDf <= Multimodal.FRAME_DF_CAP,
       "fixture outgrew the cap — the equality pin no longer applies; " +
         "split it into the ⊇ form")
