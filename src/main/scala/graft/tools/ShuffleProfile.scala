@@ -51,6 +51,12 @@ object ShuffleProfile {
     // joins flipping broadcast → SMJ between sf1 and sf3)
     sys.env.get("SPARK_GRAFT_ABJT")
       .foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    // generic diagnostic confs: SPARK_GRAFT_CONF="k=v;k=v" (r15 — the
+    // per-experiment knobs like graft.candidate.shuffleHash)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     val names = if (args.nonEmpty) args.toSeq
       else sys.env.get("SPARK_GRAFT_PROFILE_ONLY")
         .map(_.split(",").toSeq).getOrElse(defaults)
