@@ -515,7 +515,7 @@ object StreamingOps {
     */
   private[streaming] val gcChannels =
     new java.util.concurrent.ConcurrentHashMap[
-      String, java.nio.channels.FileChannel]()
+      String, (java.nio.channels.FileChannel, AnyRef)]()
 
   def gcSegments(segmentBasePath: String,
       lastCommittedBatchId: Long): Seq[String] = {
@@ -536,18 +536,37 @@ object StreamingOps {
         case None => Seq.empty
         case Some(w) =>
           val base = java.nio.file.Paths.get(segmentBasePath)
-          def openLockChannel() = java.nio.channels.FileChannel.open(
-            base.resolve("._GC_LOCK"),
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE)
+          val lockPath = base.resolve("._GC_LOCK")
+          // a channel is identified by the lock FILE's identity (inode
+          // fileKey) at open time: an open fd survives unlink, so after
+          // a delete-and-recreate of the segment directory a memoized
+          // channel would happily "lock" the dead inode while another
+          // process locks the new file — mutual exclusion silently void
+          // (r15 self-review). Open, then stat the path it resolved to.
+          def openLockChannel(): (java.nio.channels.FileChannel, AnyRef) = {
+            val c = java.nio.channels.FileChannel.open(lockPath,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.WRITE)
+            val key = java.nio.file.Files.readAttributes(lockPath,
+              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+            (c, key)
+          }
+          def currentFileKey(): Option[AnyRef] =
+            try Some(java.nio.file.Files.readAttributes(lockPath,
+              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey)
+            catch { case _: java.io.IOException => None }
           // the memoized per-directory channel (see [[gcChannels]]) —
-          // replaced only if a prior error path left it closed
+          // replaced if a prior error path left it closed OR the lock
+          // file on disk is no longer the one this channel opened
+          // (stale channel closed: its inode is unlinked, so the only
+          // locks a close could strip are on that same dead inode)
           val ch = {
-            val c0 = gcChannels.computeIfAbsent(baseKey, _ => openLockChannel())
-            if (c0.isOpen) c0
+            val e0 = gcChannels.computeIfAbsent(baseKey, _ => openLockChannel())
+            if (e0._1.isOpen && currentFileKey().contains(e0._2)) e0._1
             else {
-              gcChannels.remove(baseKey, c0)
-              gcChannels.computeIfAbsent(baseKey, _ => openLockChannel())
+              gcChannels.remove(baseKey, e0)
+              if (e0._1.isOpen) e0._1.close()
+              gcChannels.computeIfAbsent(baseKey, _ => openLockChannel())._1
             }
           }
           // tryLock returns null for a lock held by ANOTHER process but
@@ -570,7 +589,7 @@ object StreamingOps {
                 // same (pre-existing) strip-a-concurrent-holder hazard
                 // as the old error path, on a path that implies the
                 // channel is already unusable
-                gcChannels.remove(baseKey, ch); ch.close(); throw e
+                gcChannels.remove(baseKey); ch.close(); throw e
             }
           lockOpt match {
             case None => Seq.empty // same-process holder; ch stays open, reused
@@ -656,7 +675,14 @@ object StreamingOps {
     * never reads a cmp at or above its own id); THIS is the public
     * out-of-band entry, and it refuses — loudly, before touching
     * anything — while the checkpoint shows a started-but-uncommitted
-    * batch. It also derives the fold set and target id itself
+    * batch. The quiesce condition is enforced at BOTH ends of the fold
+    * (r15 self-review: one up-front check would be check-then-act over
+    * a minutes-long fold): the fold lands in a dot-named stage no
+    * stream read set can see, quiesce is re-checked at the last
+    * instant, and only then does one atomic rename publish it; a batch
+    * starting inside the residual stat→rename window is DETECTED after
+    * publish and surfaces as a loud error carrying the recovery rule,
+    * never silence. It also derives the fold set and target id itself
     * (read set at the committed horizon → `cmp_<lastCommitted>`), so an
     * operator cannot hand-pick a wrong range. No-op (returns empty)
     * when the read set is already a single artifact; otherwise returns
@@ -684,8 +710,47 @@ object StreamingOps {
     val rs = segmentReadSet(segmentBasePath, last + 1)
     if (rs.size <= 1) Seq.empty
     else {
-      graft.multimodal.Multimodal.compactFrameSegments(
-        spark, rs, s"$segmentBasePath/cmp_$last")
+      // the up-front check alone is check-then-act: the fold below can
+      // take minutes, and a batch STARTING inside that window reads the
+      // pre-fold segment set — publishing the shrunken cmp under it
+      // re-creates the replay hazard (r15 self-review). So: fold into a
+      // dot-named stage (invisible to numberedVersions, hence to every
+      // stream read set), RE-CHECK quiesce at the last instant, then one
+      // atomic rename. The remaining window is check→rename — one stat
+      // plus one rename — and even a batch landing inside it is
+      // DETECTED below rather than silent.
+      val base = java.nio.file.Paths.get(segmentBasePath)
+      val stage = base.resolve(s".oob_cmp_$last")
+      graft.core.Scratch.deleteTree(stage)
+      graft.multimodal.Multimodal.compactFrameSegments(spark, rs,
+        stage.toString)
+      def refuse(why: String): Nothing = {
+        graft.core.Scratch.deleteTree(stage)
+        throw new IllegalStateException(
+          s"out-of-band media compaction aborted before publish: $why " +
+            "(the staged fold was discarded; nothing visible changed — " +
+            "quiesce the stream and retry).")
+      }
+      uncommittedBatchId(checkpointPath)
+        .foreach(b => refuse(s"batch $b started during the fold"))
+      if (!lastCommittedBatchId(checkpointPath).contains(last))
+        refuse("the committed horizon moved during the fold")
+      java.nio.file.Files.move(stage, base.resolve(s"cmp_$last"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // post-publish detection for the residual window: a batch whose
+      // offsets entry landed between the recheck and the rename may
+      // have read EITHER segment set. It cannot be rolled back (the
+      // reverse edit has the mirror-image replay hazard), so fail LOUD
+      // with the recovery rule instead of returning success.
+      uncommittedBatchId(checkpointPath).foreach { b =>
+        throw new IllegalStateException(
+          s"out-of-band media compaction published cmp_$last but batch $b " +
+            "started concurrently (inside the recheck→rename window). If " +
+            s"batch $b commits normally, no action is needed; if it " +
+            s"crashes before committing, DELETE cmp_$last before " +
+            "restarting the stream, or its replay may see a shrunken " +
+            "candidate set and elect different survivors.")
+      }
       rs
     }
   }

@@ -52,10 +52,16 @@ object ShuffleProfile {
     sys.env.get("SPARK_GRAFT_ABJT")
       .foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     // generic diagnostic confs: SPARK_GRAFT_CONF="k=v;k=v" (r15 — the
-    // per-experiment knobs like graft.candidate.shuffleHash)
+    // per-experiment knobs like graft.candidate.shuffleHash). A
+    // malformed segment fails LOUDLY before any query runs — a silent
+    // skip would invalidate the whole (expensive) profiling run's
+    // premise, and a bare MatchError names nothing.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      if (kv.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_CONF segment '$kv' is not k=v; nothing was profiled")
+      }
     })
     val names = if (args.nonEmpty) args.toSeq
       else sys.env.get("SPARK_GRAFT_PROFILE_ONLY")

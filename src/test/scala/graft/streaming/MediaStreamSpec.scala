@@ -369,6 +369,16 @@ class MediaStreamSpec extends SparkSpec {
       StreamingOps.compactMediaSegmentsOutOfBand(spark, segBase,
         tmpDir("media_oob_notackpt"))
     }
+    // the staged fold's dot-name must be INVISIBLE to every stream read
+    // set — that invisibility is what makes the fold-then-recheck
+    // publish safe (a batch starting mid-fold can never read a
+    // half-built cmp)
+    val stray = java.nio.file.Paths.get(segBase, ".oob_cmp_99")
+    java.nio.file.Files.createDirectories(stray)
+    try assert(!StreamingOps.segmentReadSet(segBase, 1000L)
+        .exists(_.contains("oob_cmp")),
+      "a staged out-of-band fold leaked into a stream read set")
+    finally graft.core.Scratch.deleteTree(stray)
     spark.catalog.clearCache()
   }
 

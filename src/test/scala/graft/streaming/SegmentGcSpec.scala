@@ -197,14 +197,40 @@ class SegmentGcSpec extends SparkSpec {
       // otherwise cost one fd per micro-batch, unbounded
       val baseKey = java.nio.file.Paths.get(segBase).toRealPath().toString
       val chAfterFirst = StreamingOps.gcChannels.get(baseKey)
-      assert(chAfterFirst != null && chAfterFirst.isOpen,
+      assert(chAfterFirst != null && chAfterFirst._1.isOpen,
         "the skipped sweep must leave its memoized channel open for reuse")
       assert(StreamingOps.gcSegments(segBase, 5L).isEmpty)
       assert(StreamingOps.gcSegments(segBase, 5L).isEmpty)
-      assert(StreamingOps.gcChannels.get(baseKey) eq chAfterFirst,
+      assert(StreamingOps.gcChannels.get(baseKey)._1 eq chAfterFirst._1,
         "a repeated skip opened a fresh channel instead of reusing the " +
           "memoized one — the per-batch fd leak is back")
       assert(lock.isValid, "repeated skips stripped the holder's lock")
     } finally { lock.release(); ch.close() }
+  }
+
+  test("a recreated segment directory gets a fresh lock channel, not the dead inode") {
+    // an open fd survives unlink, so after a wipe-and-reseed of the
+    // data root a memoized channel would "lock" the dead inode while a
+    // second process locks the NEW file — mutual exclusion silently
+    // void (r15 self-review). The memo entry carries the lock file's
+    // fileKey and is replaced when the file on disk changes identity.
+    val segBase = tmpDir("gc_recreate") + "/segments"
+    val p = java.nio.file.Paths.get(segBase)
+    java.nio.file.Files.createDirectories(p.resolve("cmp_0"))
+    StreamingOps.gcSegments(segBase, 5L)
+    val baseKey = p.toRealPath().toString
+    val first = StreamingOps.gcChannels.get(baseKey)
+    assert(first != null && first._1.isOpen)
+    // operator wipes and re-seeds the directory at the same path
+    graft.core.Scratch.deleteTree(p)
+    java.nio.file.Files.createDirectories(p.resolve("cmp_0"))
+    StreamingOps.gcSegments(segBase, 5L)
+    val second = StreamingOps.gcChannels.get(baseKey)
+    assert(second._1 ne first._1,
+      "a stale channel was reused across a directory recreation")
+    assert(!first._1.isOpen,
+      "the dead-inode channel must be closed (nothing live can hold a " +
+        "lock through an unlinked inode this process doesn't also own)")
+    assert(second._1.isOpen)
   }
 }
