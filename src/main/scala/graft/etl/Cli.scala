@@ -44,12 +44,12 @@ import graft.core.Sessions
   *       # reclaim managed index artifacts (seg_/cmp_) unreachable by
   *       # any replay of batches > N (the checkpoint-committed horizon)
   *   frame-index --documents D --out D
-  *       # persist the multimodal frame-hash index (capped postings +
-  *       # per-media hash sets — Multimodal.writeFrameIndex layout)
+  *       # persist the multimodal frame-hash index (rep postings +
+  *       # per-media evidence sets — Multimodal.writeFrameIndex layout)
   *   curate-media-inc --documents D --index seg0[,seg1,…]
   *       --append-segment D --out D [--min-shared 2]
   *       # incremental media dedup against persisted frame segments;
-  *       # survivors' capped postings+sets land as a new segment
+  *       # survivors' reps+sets evidence lands as a new segment
   *   version
   */
 object Cli {

@@ -255,25 +255,34 @@ object Multimodal {
     */
   val FRAME_EVERY_N: Int = 2
 
-  /** m3's evidence rule: a frame hash carried by more media than this
-    * is non-discriminative (black frames, intro cards) and is dropped
-    * before any pairing — it also bounds every posting list, so the
-    * pair join is ≤ cap² rows per hash, never df².
+  /** the evidence-bounding cap. Two roles, one number:
+    *
+    *   - m3/x34 (the strict batch rule): a frame hash carried by more
+    *     media than this is dropped before any pairing — bounding the
+    *     pair join at ≤ cap² rows per hash, never df².
+    *   - the index layout + ingest loop (the BOUNDED rule, r15 — m6
+    *     promoted after m5/m7 measured the strict rule's recall decaying
+    *     0.955 → 0.075 across the sf ladder): instead of evicting a hash
+    *     past the cap, keep its cap LOWEST media ids as REPRESENTATIVES
+    *     and pair representatives against all holders. Every posting
+    *     list stays ≤ cap (the same r10 fan-out bound), per-hash pair
+    *     work is cap·df — linear in df, Σ ≤ cap·|postings| — and a
+    *     popular-content cluster stays connected through exactly the
+    *     ids the min-id keeper rule elects.
     */
   val FRAME_DF_CAP: Int = 64
 
-  /** m5's ground-truth bound (r15, r14 verdict item 1): the df above
-    * which a frame hash is boilerplate under ANY reasonable evidence
-    * rule — 64× the production cap. The recall report measures what the
-    * production cap costs BETWEEN the two bounds: a pair whose shared
-    * evidence sits in (FRAME_DF_CAP, FRAME_TRUTH_DF_CAP] is a real
-    * duplicate the capped path misses (replica-shared frames of popular
-    * content — the population the r14 sf3 measurement caught growing
-    * with index size), while a hash beyond the truth bound (black
-    * frames, intro cards at corpus scale) is non-evidence to both
-    * sides. The bound also keeps the ground-truth pair join computable:
-    * per-hash fan-out ≤ cap² instead of df² on corpus boilerplate —
-    * the same reason the production cap exists, one scale louder.
+  /** the boilerplate bound (r15, r14 verdict item 1): the df above
+    * which a frame hash is non-evidence under ANY reasonable rule —
+    * 64× the representative cap (black frames, intro cards at corpus
+    * scale). Three consumers: m5/m7's ground truth (pairs sharing ≥ 2
+    * hashes under THIS bound — a pair whose evidence sits between the
+    * two caps is a real duplicate the strict rule misses), the m6
+    * bounded rule's evidence set, and — since the r15 promotion — the
+    * index layout's `sets` table and the ingest loop's verify stage.
+    * The bound keeps every evidence pass computable: per-hash fan-out
+    * ≤ cap·TRUTH instead of unbounded df² on corpus boilerplate, and
+    * the rep-ranking window never sees more than TRUTH rows per key.
     */
   val FRAME_TRUTH_DF_CAP: Int = 4096
 
@@ -283,29 +292,43 @@ object Multimodal {
     * moved to write time (r11) still carries unbounded posting lists,
     * and nothing else would detect the stale layout — the probe would
     * quietly re-inherit the r10 hot-hash fan-out (r11 ADVICE). The
-    * content records the cap AND the layout version, so both a cap
-    * change and the r14 postings+sets restructuring are detected
-    * rather than assumed (a v1 artifact has postings at the root and
-    * no sets table — a v2 reader would find nothing to probe).
+    * content records both caps AND the layout version, so a cap change,
+    * the r14 postings+sets restructuring and the r15 reps+sets switch
+    * are all detected rather than assumed (a v2 artifact's postings are
+    * strict-capped evidence and its sets drop every hash past the old
+    * cap — a v3 reader probing it would silently lose exactly the
+    * popular-content candidates the bounded rule exists to keep).
     */
   val FRAME_INDEX_LAYOUT_FILE: String = "_graft_frame_index_layout"
-  def frameIndexLayoutMarker: String = s"dfcap=$FRAME_DF_CAP\npostings+sets v2\n"
+  def frameIndexLayoutMarker: String =
+    frameIndexLayoutMarkerFor(FRAME_DF_CAP, FRAME_TRUTH_DF_CAP)
+  private def frameIndexLayoutMarkerFor(repCap: Int, truthCap: Int): String =
+    s"repcap=$repCap truthcap=$truthCap\nreps+sets v3\n"
 
   /** persist a corpus's frame-hash index at m3's geometry — the static
-    * side of the streaming frame dedup. Two tables (r14, r13 verdict
-    * item 2 — mirroring the text index's `$p/shingles` sidecar):
+    * side of the streaming frame dedup. Two tables (r14 postings+sets;
+    * r15 switched the evidence rule from strict-cap to the bounded m6
+    * rule after m5/m7 measured the strict rule's recall decaying with
+    * index size):
     *
-    *   `$path/postings` — (media_id, fhash48), the candidate join side.
-    *     Non-discriminative hashes (carried by > [[FRAME_DF_CAP]] media —
-    *     m3's evidence rule) are dropped at WRITE time, so every posting
-    *     list is bounded and a hot frame hash can never fan a probe row
-    *     out df-wide (the r10 verdict's uncapped-index finding).
+    *   `$path/postings` — (media_id, fhash48) REPRESENTATIVES: per hash
+    *     the [[FRAME_DF_CAP]] lowest media ids among its evidence
+    *     holders. Every posting list stays ≤ cap, so a hot frame hash
+    *     can never fan a probe row out df-wide (the r10 verdict's
+    *     uncapped-index finding — the bound the strict cap bought,
+    *     kept), but a popular hash is no longer EVICTED: its cluster
+    *     stays reachable through the lowest-id members, which are
+    *     exactly the ids the min-id keeper rule elects.
     *   `$path/sets` — (media_id, fhs: array<long>), each indexed media's
-    *     whole capped hash set, precomputed ONCE here. Before r14 the
-    *     streaming probe rebuilt this table with a full-index
-    *     groupBy(collect_set) EVERY micro-batch — per-batch cost riding
-    *     index size instead of batch size, the exact disease the text
-    *     path's persisted shingle table killed.
+    *     whole evidence hash set under [[FRAME_TRUTH_DF_CAP]] (only true
+    *     boilerplate — black frames, intro cards — is dropped entirely).
+    *     The verify stage intersects these, so shared evidence through
+    *     NON-representative hashes still counts once a candidate is
+    *     found. Precomputed ONCE here: before r14 the streaming probe
+    *     rebuilt this table with a full-index groupBy(collect_set)
+    *     EVERY micro-batch — per-batch cost riding index size instead
+    *     of batch size, the disease the text path's persisted shingle
+    *     table killed.
     */
   def writeFrameIndex(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val fh = frameHashes(mediaFromDocuments(spark, docs, width = 32, height = 2),
@@ -314,28 +337,42 @@ object Multimodal {
     writeFrameArtifacts(fh, path)
   }
 
-  /** the ONE writer of the capped postings+sets layout (shared by
-    * [[writeFrameIndex]] and the incremental segment append in
-    * [[curateMediaIncremental]], so the two can never diverge).
-    * `fh` must be a DISTINCT (media_id, fhash48) frame; the df cap is
-    * applied here, then both tables derive from the same capped frame.
+  /** the ONE writer of the reps+sets layout (shared by
+    * [[writeFrameIndex]], the incremental segment append in
+    * [[curateMediaIncremental]] and the compactor, so they can never
+    * diverge). `fh0` must be a DISTINCT (media_id, fhash48) frame; both
+    * caps are applied here at the frame's own scope — boilerplate past
+    * `truthCap` is dropped from everything, then per hash the `repCap`
+    * lowest ids become postings while sets keep the full evidence. The
+    * rep-ranking window runs AFTER the truth-cap filter, so its per-key
+    * row count is bounded at `truthCap` — a corpus-scale black-frame
+    * hash never concentrates millions of rows on one partition's sort.
+    * Non-default caps are a TEST lever (the truth-cap eviction pin needs
+    * a reachable bound); the marker records the actual caps, so a
+    * custom-cap artifact can never pass the production layout gate.
     */
-  private[graft] def writeFrameArtifacts(fh0: DataFrame, path: String): Unit = {
+  private[graft] def writeFrameArtifacts(fh0: DataFrame, path: String,
+      repCap: Int = FRAME_DF_CAP, truthCap: Int = FRAME_TRUTH_DF_CAP): Unit = {
     val fh = fh0.cache()
     val keep = fh.groupBy("fhash48")
       .agg(count(lit(1)).as("dfm"))
-      .filter(col("dfm") <= FRAME_DF_CAP)
+      .filter(col("dfm") <= truthCap)
       .select("fhash48")
-    val capped = fh.join(keep, Seq("fhash48"))
+    val ev = fh.join(keep, Seq("fhash48"))
       .select("media_id", "fhash48").cache()
-    capped.write.mode("overwrite").parquet(s"$path/postings")
-    capped.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
+    ev.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("fhash48").orderBy("media_id")))
+      .filter(col("rk") <= repCap)
+      .select("media_id", "fhash48")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    ev.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
       .write.mode("overwrite").parquet(s"$path/sets")
-    capped.unpersist()
+    ev.unpersist()
     fh.unpersist()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, FRAME_INDEX_LAYOUT_FILE),
-      frameIndexLayoutMarker)
+      frameIndexLayoutMarkerFor(repCap, truthCap))
   }
 
   /** readers for [[writeFrameArtifacts]]' layout — multi-path (an index
@@ -381,30 +418,41 @@ object Multimodal {
         new String(java.nio.file.Files.readAllBytes(markerPath)) ==
           frameIndexLayoutMarker,
       s"frame index at $path lacks the current layout marker " +
-        s"($FRAME_INDEX_LAYOUT_FILE, dfcap=$FRAME_DF_CAP, postings+sets " +
-        "v2): rewrite it with Multimodal.writeFrameIndex before probing")
+        s"($FRAME_INDEX_LAYOUT_FILE, repcap=$FRAME_DF_CAP, " +
+        s"truthcap=$FRAME_TRUTH_DF_CAP, reps+sets v3): rewrite it with " +
+        "Multimodal.writeFrameIndex before probing")
   }
 
   /** Incremental media curation — the frame-hash twin of
     * [[graft.corpus.Corpus.curateIncremental]] (r13 verdict item 3: the
     * text path had the full production loop, media had only a
-    * static-index probe that never learned). Pipeline: frame-hash the
-    * batch (one codec pass) → collapse exact frame-set duplicates to
-    * their min id (uncapped sets, gated at set size ≥ `minShared` —
-    * so a >cap burst of copies in ONE batch collapses instead of
-    * pushing its own hashes over the df cap and evading dedup) → drop
-    * media sharing ≥ `minShared` capped frame hashes with the
-    * persisted index segments (batch×index candidates only — the
+    * static-index probe that never learned). Evidence rule: the BOUNDED
+    * (representative) rule — m6 — since r15; the strict df cap it
+    * replaced permanently evicted replica-shared frames of popular
+    * content, and m5 measured that under-dedup growing with index size
+    * (pair recall 0.955 → 0.075 across the sf ladder) while m7 measured
+    * the bounded rule holding 0.89/0.98 at sf1.
+    *
+    * Pipeline: frame-hash the batch (one codec pass) → collapse exact
+    * frame-set duplicates to their min id (uncapped sets, gated at set
+    * size ≥ `minShared`) → build the batch's evidence under the
+    * boilerplate bound ([[FRAME_TRUTH_DF_CAP]], post-collapse so df
+    * counts distinct content) and its per-hash representatives (the
+    * [[FRAME_DF_CAP]] lowest ids) → drop media whose truth-capped set
+    * intersects an indexed media's set in ≥ `minShared` hashes, where
+    * candidates come from batch evidence × index REP postings
+    * (per-hash fan-out ≤ cap on the index side — batch×index only, the
     * indexed corpus's payloads are never re-decoded) → drop in-batch
-    * losers (the higher id of any qualifying pair, the x18 keeper
-    * rule) → write the SURVIVORS'
-    * capped postings+sets as a new immutable segment under
-    * `appendSegmentPath`, so the next batch's `indexPaths` is this one
-    * plus that path. The df cap is per-segment (each artifact bounds
-    * its own posting lists); a hash hot across MANY segments still
-    * fans out at most cap × segments before compaction folds the
-    * segments and re-caps — the same bounded-degradation argument as
-    * the text index's per-segment band keys.
+    * losers the same way (candidates from batch reps × batch evidence,
+    * ≤ cap·df per hash instead of df²; loser = the higher id, the x18
+    * keeper rule) → write the SURVIVORS' evidence as a new immutable
+    * reps+sets segment under `appendSegmentPath`, so the next batch's
+    * `indexPaths` is this one plus that path. Caps are per-segment
+    * (each artifact bounds its own posting lists); a hash hot across
+    * MANY segments still fans out at most cap × segments before
+    * compaction folds the segments and re-ranks — the same
+    * bounded-degradation argument as the text index's per-segment band
+    * keys.
     *
     * Returns the surviving batch rows (lazy, on cached batch frames —
     * release with `spark.catalog.clearCache()` between ingests); the
@@ -422,19 +470,16 @@ object Multimodal {
         everyN = FRAME_EVERY_N)
       .select("media_id", "fhash48").distinct().cache()
     // collapse-first (r14 review find): media with IDENTICAL uncapped
-    // frame-hash sets collapse to their min id BEFORE the df cap is
-    // derived — the x31/x34/m4 pigeonhole discipline at set granularity.
-    // Without it, a single-batch burst of >cap exact copies pushes its
-    // own hashes over the cap, evades both dedup joins AND leaves the
-    // written segment empty of exactly the hashes later copies would
-    // match — high in-batch df from ONE piece of content is duplicate
-    // evidence, not boilerplate. Post-collapse, df counts distinct
-    // CONTENT (the thing the boilerplate rule means), so the burst
-    // collapses to one survivor whose hashes enter the index. The
-    // collapse is gated at size ≥ minShared so a singleton-set pair
-    // (one-frame video twins) keeps the pairwise path's minShared
-    // contract; grouping is by the exact sorted set (array equality),
-    // never a lossy hash of it. One batch-sized shuffle.
+    // frame-hash sets collapse to their min id BEFORE any df statistic
+    // is derived — the x31/x34/m4 pigeonhole discipline at set
+    // granularity. Post-collapse, df counts distinct CONTENT (the thing
+    // the boilerplate rule means), so a single-batch burst of exact
+    // copies collapses to one survivor whose hashes enter the index
+    // instead of inflating its own hashes' df. The collapse is gated at
+    // size ≥ minShared so a singleton-set pair (one-frame video twins)
+    // keeps the pairwise path's minShared contract; grouping is by the
+    // exact sorted set (array equality), never a lossy hash of it. One
+    // batch-sized shuffle.
     val exactLosers = fh0.groupBy("media_id")
       .agg(sort_array(collect_set(col("fhash48"))).as("fhs_all"))
       .filter(size(col("fhs_all")) >= minShared)
@@ -443,16 +488,29 @@ object Multimodal {
       .filter(col("media_id") =!= col("keep_id"))
       .select("media_id")
     val fh = fh0.join(exactLosers, Seq("media_id"), "left_anti").cache()
-    // in-batch evidence: the batch's own df cap (m3's rule at batch
-    // scope, post-collapse so it measures distinct content)
-    val keep = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
-      .filter(col("dfm") <= FRAME_DF_CAP).select("fhash48")
-    val capped = fh.join(keep, Seq("fhash48")).cache()
-    val sets = capped.groupBy("media_id")
+    // batch-scope evidence under the boilerplate bound (post-collapse
+    // df, so only hashes shared by > truth-cap distinct CONTENTS are
+    // non-evidence) + the batch's per-hash representatives. The
+    // rep-ranking window runs after the truth filter, so per-key rows
+    // are bounded at the truth cap.
+    val dfm = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
+      .filter(col("dfm") <= FRAME_TRUTH_DF_CAP).select("fhash48")
+    val ev = fh.join(dfm, Seq("fhash48")).cache()
+    val rep = ev.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("fhash48").orderBy("media_id")))
+      .filter(col("rk") <= FRAME_DF_CAP)
+      .select("media_id", "fhash48")
+    val sets = ev.groupBy("media_id")
       .agg(collect_set("fhash48").as("fhs")).cache()
-    // vs the index: posting-equality candidates, exact set-intersect
-    // verify from the PERSISTED sets table (never a per-batch rebuild)
-    val idxMatches = capped.select(col("media_id").as("new_id"), col("fhash48"))
+    // vs the index: batch evidence × index REPRESENTATIVE postings
+    // (≤ cap rows per hash on the index side — a popular hash pairs a
+    // new arrival with its cluster's lowest-id members, exactly the
+    // keeper candidates), then exact set-intersect verify from the
+    // PERSISTED sets table (never a per-batch rebuild). Shared evidence
+    // through non-rep hashes still counts: the verify intersects FULL
+    // truth-capped sets.
+    val idxMatches = ev.select(col("media_id").as("new_id"), col("fhash48"))
       .join(readFrameIndexPostings(spark, indexPaths)
         .select(col("media_id").as("index_id"), col("fhash48")), Seq("fhash48"))
       .select("new_id", "index_id").dropDuplicates("new_id", "index_id")
@@ -463,14 +521,20 @@ object Multimodal {
         Seq("index_id"))
       .filter(size(array_intersect(col("fha"), col("fhb"))) >= minShared)
       .select(col("new_id").as("media_id")).distinct()
-    // within the batch: capped is distinct (media_id, fhash48), so the
-    // per-pair match-row count IS the shared distinct-hash count
-    val batchLosers = capped.as("a").join(capped.as("b"),
+    // within the batch: rep×evidence candidates (≤ cap·df rows per
+    // hash, never df² — the m6 fan-out argument), verified by the same
+    // full-set intersect as the index path so the two stages share one
+    // evidence contract. Loser = the higher id of a verified pair.
+    val batchLosers = rep.as("a").join(ev.as("b"),
         col("a.fhash48") === col("b.fhash48") &&
           col("a.media_id") < col("b.media_id"))
-      .groupBy(col("a.media_id").as("keep_id"), col("b.media_id").as("loser"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+      .select(col("a.media_id").as("keep_id"), col("b.media_id").as("loser"))
+      .dropDuplicates("keep_id", "loser")
+      .join(sets.select(col("media_id").as("keep_id"), col("fhs").as("fha")),
+        Seq("keep_id"))
+      .join(sets.select(col("media_id").as("loser"), col("fhs").as("fhb")),
+        Seq("loser"))
+      .filter(size(array_intersect(col("fha"), col("fhb"))) >= minShared)
       .select(col("loser").as("media_id")).distinct()
     // cached: the two-column drop set is consumed twice — by the segment
     // write below and by the caller's survivors write — and WITHOUT the
@@ -481,8 +545,12 @@ object Multimodal {
     val dropIds = exactLosers.union(idxMatches).union(batchLosers).distinct()
       .withColumnRenamed("media_id", "doc_id").cache()
     val survivors = newDocs.join(dropIds, Seq("doc_id"), "left_anti")
+    // the segment carries the survivors' EVIDENCE (batch-truth-capped:
+    // boilerplate the batch already measured stays evicted even if the
+    // survivor subset alone would sit under the bound); the writer
+    // re-derives reps + sets at segment scope.
     writeFrameArtifacts(
-      capped.join(survivors.select(col("doc_id").as("media_id")),
+      ev.join(survivors.select(col("doc_id").as("media_id")),
         Seq("media_id")).select("media_id", "fhash48"),
       appendSegmentPath)
     survivors
@@ -491,14 +559,20 @@ object Multimodal {
   /** fold a frame-segment read set into one compacted artifact — the
     * media analog of [[graft.corpus.Corpus.compactSegments]], with one
     * deliberate difference: the union is re-written through the shared
-    * layout writer, so the sets table AND the df cap are RE-DERIVED
-    * over it — compaction EVICTS hashes that crossed the cap only
-    * ACROSS segments, restoring the single-artifact evidence bound.
-    * That makes this compactor content-SHRINKING, not a pure union (a
-    * pure union's posting lists would grow without bound over an
-    * infinite stream; the re-cap is the LSM merge policy that keeps
-    * every published artifact ≤ cap forever — eviction is monotone and
-    * pinned shrink-only in MediaStreamSpec).
+    * layout writer, so reps, sets AND both caps are RE-DERIVED over it.
+    * The input is the union of the segments' FULL evidence (the sets
+    * tables, exploded — folding the rep postings alone would silently
+    * drop every non-representative holder's evidence). Compaction
+    * EVICTS hashes that cross the boilerplate bound only ACROSS
+    * segments and RE-RANKS representatives globally (per-segment
+    * 64-lowest → union 64-lowest), restoring the single-artifact
+    * bounds. That makes this compactor content-SHRINKING, not a pure
+    * union (a pure union's posting lists would grow without bound over
+    * an infinite stream; the re-derivation is the LSM merge policy that
+    * keeps every published artifact's posting lists ≤ cap forever —
+    * both directions are monotone shrink-only: a global rep was a rep
+    * in its own segment, and union df only grows, both pinned in
+    * MediaStreamSpec).
     *
     * Replay discipline (r14 self-review find): the segment triad's
     * replay transparency ([[graft.streaming.StreamingOps
@@ -533,7 +607,10 @@ object Multimodal {
     val staging = outAbs.resolveSibling("." + outAbs.getFileName + ".staging")
     graft.core.Scratch.deleteTree(staging)
     writeFrameArtifacts(
-      readFrameIndexPostings(spark, paths).distinct(), staging.toString)
+      readFrameIndexSets(spark, paths)
+        .select(col("media_id"), explode(col("fhs")).as("fhash48"))
+        .distinct(),
+      staging.toString)
     graft.core.Scratch.deleteTree(outAbs)
     java.nio.file.Files.move(staging, outAbs,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

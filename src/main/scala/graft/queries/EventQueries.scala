@@ -952,11 +952,13 @@ object EventQueries {
         // under the hash; a whole-payload hash washes the overlap out).
         // Non-discriminative frames -- hashes carried by > 64 media,
         // the black-frame / intro-card population -- are dropped from
-        // the EVIDENCE set before pairing, the production practice that
-        // also bounds every posting list at 64, so the pair join is
-        // <= 64^2 rows per hash, never df^2 on a boilerplate frame (the
-        // general salted-index machinery exists in the x4 family if a
-        // bigger cap is ever wanted). Plan shape: one shuffle keyed by
+        // the EVIDENCE set before pairing (the STRICT rule), so the
+        // pair join is <= 64^2 rows per hash, never df^2 on a
+        // boilerplate frame. Since r15 the ingest loop and index layout
+        // use the BOUNDED rule instead (m6 -- m5 measured this strict
+        // rule's recall decaying with corpus size); m3 stays the strict
+        // rule's batch definition, m5/m7 price the two continuously.
+        // Plan shape: one shuffle keyed by
         // frame hash + map-side-combinable aggs; output is media-sized
         // (partner count + min-id keeper). The DuckDB twin recomputes
         // frame slicing / decode / resize / hash arithmetically from

@@ -264,13 +264,16 @@ object StreamingOps {
     * shared = |carried ∩ index set| from the carried array and the
     * static per-index-media hash sets, so the emitted count is exact
     * per pair even when several shared frames land in different
-    * micro-batches of the SAME row's candidates. The df cap lives at
-    * INDEX-WRITE time ([[graft.multimodal.Multimodal.writeFrameIndex]]
-    * drops hashes carried by > FRAME_DF_CAP media — m3's evidence
-    * rule), so every posting list this probe joins is bounded by
-    * construction and a hot frame hash can never fan one batch row out
-    * df-wide (r10 verdict). The spec pins stream ≡ the batch
-    * composition on the same (capped) index.
+    * micro-batches of the SAME row's candidates. The fan-out bound
+    * lives at INDEX-WRITE time ([[graft.multimodal.Multimodal
+    * .writeFrameIndex]] — since r15 the BOUNDED evidence rule: postings
+    * are each hash's FRAME_DF_CAP lowest-id representatives, sets are
+    * full truth-capped evidence), so every posting list this probe
+    * joins is ≤ cap by construction and a hot frame hash can never fan
+    * one batch row out df-wide (r10 verdict) — while a popular hash
+    * still pairs an arriving copy with its cluster's keeper ids instead
+    * of being evicted (the strict cap's measured blind spot, m5). The
+    * spec pins stream ≡ the batch composition on the same index.
     */
   def frameDedupStream(newDocs: DataFrame, indexPath: String,
       minShared: Int = 2): DataFrame = {
@@ -855,14 +858,16 @@ object StreamingOps {
     * index plus every prior batch's segment
     * ([[graft.multimodal.Multimodal.curateMediaIncremental]] inside
     * foreachBatch — cross-batch duplicate pairs ARE found), its
-    * survivors land under `outputPath/batch_id=N`, and its capped
-    * postings+sets become segment `seg_N` for the NEXT batch. The
-    * replay/exactly-once argument, the compaction trigger and the GC
-    * hook are literally the text loop's — the segment triad
+    * survivors land under `outputPath/batch_id=N`, and its reps+sets
+    * evidence becomes segment `seg_N` for the NEXT batch (the BOUNDED
+    * rule since r15 — see `curateMediaIncremental`'s scaladoc for why
+    * the strict cap was replaced). The replay/exactly-once argument,
+    * the compaction trigger and the GC hook are literally the text
+    * loop's — the segment triad
     * ([[segmentReadSet]]/[[maybeCompactSegmentsWith]]/[[gcSegments]])
     * is layout-agnostic, only the compactor body differs
     * ([[graft.multimodal.Multimodal.compactFrameSegments]], which also
-    * re-caps hashes that crossed the df cap only across segments).
+    * re-derives reps and the boilerplate bound globally over the fold).
     */
   def mediaStreamIncremental(newDocs: DataFrame, seedIndexPaths: Seq[String],
       segmentBasePath: String, outputPath: String, checkpointPath: String,

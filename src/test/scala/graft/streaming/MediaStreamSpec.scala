@@ -113,11 +113,14 @@ class MediaStreamSpec extends SparkSpec {
     val plain = runStream(plainBase, docs, Seq(seedBase),
       trigger = Int.MaxValue, gc = false)
     val managed = runStream(gcBase, docs, Seq(seedBase), trigger = 2, gc = true)
-    // equality holds on this fixture because no frame hash crosses the
-    // df cap only ACROSS segments; when one does, compaction's re-cap
-    // evicts it BY DESIGN (the merge policy that keeps artifacts
-    // bounded — pinned in the eviction test below), and post-compaction
-    // probes may legally lose that hash's candidates
+    // equality holds on this fixture because neither of compaction's
+    // shrink surfaces fires: no hash crosses the boilerplate bound only
+    // ACROSS segments, and no candidate pair relies on an index holder
+    // that is a per-segment rep but not a union rep. When either does,
+    // the re-derivation shrinks the candidate set BY DESIGN (the merge
+    // policy that keeps posting lists bounded — pinned in the
+    // re-derivation test below), and post-compaction probes may legally
+    // lose those candidates
     assert(managed == plain,
       "compaction/GC changed the curation output — a reachable artifact was folded or reclaimed wrongly")
     assert(!managed.contains(twinB), "cross-batch dedup must survive compaction")
@@ -132,9 +135,11 @@ class MediaStreamSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("compactFrameSegments re-caps across segments and preserves probe results") {
-    // compaction is a pure union re-written through the shared layout
-    // writer: probing (seed + cmp) must equal probing (seed + all segs)
+  test("compactFrameSegments re-ranks across segments and never invents a pairing") {
+    // compaction is the segments' full evidence re-written through the
+    // shared layout writer: a union rep was a rep in its own segment
+    // (fewer than cap union ids below it ⇒ fewer than cap segment ids),
+    // so probing the cmp can only SHRINK the candidate pair set
     val (docs, _, _) = streamDocs
     val base = tmpDir("media_compact")
     var paths = Seq.empty[String]
@@ -158,9 +163,12 @@ class MediaStreamSpec extends SparkSpec {
       r
     }
     // sets table re-derived: every media with a posting has its set row
+    // (under the bounded layout postings are REPS — a subset of the
+    // evidence holders the sets table carries, so ⊆ not ==)
     val post = Multimodal.readFrameIndexPostings(spark, Seq(cmp))
     val sets = Multimodal.readFrameIndexSets(spark, Seq(cmp))
-    assert(post.select("media_id").distinct().count() == sets.count(),
+    assert(post.select("media_id").distinct()
+        .join(sets, Seq("media_id"), "left_anti").count() == 0,
       "compacted sets table out of sync with its postings")
     val viaSegs = probe(paths)
     val viaCmp = probe(Seq(cmp))
@@ -173,42 +181,50 @@ class MediaStreamSpec extends SparkSpec {
   }
 
   test("in-batch curation equals an independent driver-side twin on seeded random block corpora") {
-    // property-style pin of the WHOLE in-batch chain (exact-set
-    // collapse → df cap → pairwise minShared → min-id keeper): texts
-    // are built from 64-char blocks (the 32×2 frame geometry chunks
-    // payloads at 64-byte boundaries, so a doc's frame-hash set is
-    // exactly its sampled blocks' hashes — shared blocks collide by
-    // construction), the measured per-media hash sets come from ONE
-    // frameHashes pass, and the dedup decision is then re-derived in
-    // plain Scala collections and compared to the engine's survivors
-    // exactly. Three seeds; the generator mixes singleton docs, exact
-    // twins (shuffled ids, so the min-id keeper is exercised), and
-    // block-overlapping near-dups.
+    // property-style pin of the WHOLE in-batch chain under the r15
+    // BOUNDED rule (exact-set collapse → truth-capped evidence →
+    // per-hash reps → rep×evidence candidates → full-set-intersect
+    // verify ≥ minShared → min-id keeper): texts are built from 64-char
+    // blocks (the 32×2 frame geometry chunks payloads at 64-byte
+    // boundaries, so a doc's frame-hash set is exactly its sampled
+    // blocks' hashes — shared blocks collide by construction), the
+    // measured per-media hash sets come from ONE frameHashes pass, and
+    // the dedup decision is then re-derived in plain Scala collections
+    // and compared to the engine's survivors exactly. Three seeds; the
+    // generator mixes singleton docs, exact twins (shuffled ids, so the
+    // min-id keeper is exercised), popular blocks whose df crosses the
+    // rep cap (so rep-bounding is load-bearing), and block-overlapping
+    // near-dups.
     // blocks need BYTE VARIANCE: fhash48 is an average hash over the
     // 8×6-resized frame, so a near-constant 64-char block (e.g. one
     // repeated letter) degenerates to the same hash for every block and
     // the whole fixture collapses to one hot hash. Pseudo-random
-    // printable bytes per block give 12 distinct, well-spread hashes.
-    val blocks = (0 until 12).map { i =>
+    // printable bytes per block give distinct, well-spread hashes.
+    val blocks = (0 until 30).map { i =>
       val br = new scala.util.Random(1000 + i)
       (0 until 64).map(_ => (33 + br.nextInt(94)).toChar).mkString
     }
+    var hotTotal = 0
+    var repMissedTotal = 0
     for (seed <- Seq(7, 23, 61)) {
       val rnd = new scala.util.Random(seed)
-      val nDocs = 120  // post-collapse population must EXCEED the
-      // cap of 64 for the hot blocks to evict (~25% twin rate leaves ~90)
-      // every doc carries the same two "boilerplate" blocks at SAMPLED
-      // chunk positions (0 and 2 — everyN = 2 samples even chunks), so
-      // their post-collapse df (~90 distinct contents) CROSSES the cap
-      // of 64 and the eviction stage is load-bearing: without it every
-      // pair would share ≥ minShared hashes and the expected survivor
-      // set would collapse to almost nothing. hot.nonEmpty below guards
-      // this stage against going vacuous again (r14 review find: the
-      // first fixture's 12-block vocabulary topped out at df ≈ 33).
-      val texts = (0 until nDocs).map { _ =>
+      val nDocs = 120
+      // 5 of 6 docs open with the two POPULAR blocks at SAMPLED chunk
+      // positions (0 and 2 — everyN = 2 samples even chunks), so the
+      // popular hashes' post-collapse df (~75, 100 holders minus the
+      // twinned copies) CROSSES the rep cap of 64 and the rep-bounding
+      // stage is load-bearing: a high-id pair sharing only the popular
+      // blocks has NO shared hash whose lower endpoint is a rep, and
+      // the bounded rule's structural miss is exercised (repMissed
+      // below guards this against going vacuous, summed over the seeds
+      // — whether a given seed produces such a pair is fixture noise).
+      val texts = (0 until nDocs).map { i =>
         val n = 8 + rnd.nextInt(9)
-        blocks(0) + blocks(rnd.nextInt(blocks.size)) + blocks(1) +
-          (0 until n).map(_ => blocks(2 + rnd.nextInt(blocks.size - 2))).mkString
+        val tail = (0 until n)
+          .map(_ => blocks(2 + rnd.nextInt(blocks.size - 2))).mkString
+        if (i % 6 != 0)
+          blocks(0) + blocks(2 + rnd.nextInt(blocks.size - 2)) + blocks(1) + tail
+        else tail
       }
       // ~1 in 4 docs is made an exact copy of an earlier doc
       val withTwins = texts.zipWithIndex.map { case (t, i) =>
@@ -234,7 +250,8 @@ class MediaStreamSpec extends SparkSpec {
         .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
       spark.catalog.clearCache()
       val minShared = 2
-      // twin, in driver-side collections: collapse → cap → pairs
+      // twin, in driver-side collections: collapse → truth bound →
+      // reps → candidates → intersect verify
       val exactLosers = sets.toSeq.filter(_._2.size >= minShared)
         .groupBy(_._2).values.flatMap { grp =>
           val keep = grp.map(_._1).min; grp.map(_._1).filterNot(_ == keep)
@@ -242,22 +259,37 @@ class MediaStreamSpec extends SparkSpec {
       val pop = sets.keySet -- exactLosers
       val df = pop.toSeq.flatMap(id => sets(id)).groupBy(identity)
         .map { case (h, xs) => h -> xs.size }
-      val hot = df.filter(_._2 > Multimodal.FRAME_DF_CAP).keySet
-      val capped = pop.map(id => id -> (sets(id) -- hot)).toMap
+      val boiler = df.filter(_._2 > Multimodal.FRAME_TRUTH_DF_CAP).keySet
+      val ev = pop.map(id => id -> (sets(id) -- boiler)).toMap
+      val rep: Map[Long, Set[Long]] = pop.toSeq
+        .flatMap(id => ev(id).map(h => h -> id)).groupBy(_._1)
+        .map { case (h, hs) =>
+          h -> hs.map(_._2).sorted.take(Multimodal.FRAME_DF_CAP).toSet }
+      var repMissed = 0
       val batchLosers = (for {
         b <- pop.toSeq; a <- pop.toSeq
-        if a < b && (capped(a) & capped(b)).size >= minShared
-      } yield b).toSet
+        if a < b && (ev(a) & ev(b)).size >= minShared
+      } yield {
+        val candidate = (ev(a) & ev(b)).exists(h => rep(h).contains(a))
+        if (!candidate) repMissed += 1
+        if (candidate) Some(b) else None
+      }).flatten.toSet
       val expected = sets.keySet -- exactLosers -- batchLosers
       assert(got == expected,
         s"seed $seed: engine diverged from the driver-side twin: " +
           s"only-engine=${(got -- expected).toSeq.sorted.take(5)} " +
           s"only-twin=${(expected -- got).toSeq.sorted.take(5)}")
-      assert(exactLosers.nonEmpty && batchLosers.nonEmpty && hot.nonEmpty,
+      val hot = df.filter(_._2 > Multimodal.FRAME_DF_CAP).keySet
+      assert(exactLosers.nonEmpty && batchLosers.nonEmpty,
         s"seed $seed: fixture vacuous (exact=${exactLosers.size} " +
-          s"pairs=${batchLosers.size} hot=${hot.size} — every stage of " +
-          "the chain must be exercised)")
+          s"pairs=${batchLosers.size})")
+      hotTotal += hot.size
+      repMissedTotal += repMissed
     }
+    assert(hotTotal > 0 && repMissedTotal > 0,
+      s"fixtures vacuous across all seeds (hot=$hotTotal " +
+        s"repMissed=$repMissedTotal — the rep bound must be load-bearing " +
+        "somewhere or the bounded rule's miss branch is untested)")
   }
 
   test("a single-batch burst of >cap exact copies collapses to one survivor whose hashes enter the index") {
@@ -298,12 +330,14 @@ class MediaStreamSpec extends SparkSpec {
       "a later copy of the burst content must match the survivor's segment postings")
   }
 
-  test("compaction evicts a hash that crosses the df cap only across segments — the bounded merge policy, pinned") {
-    // two segments each hold the same content under the per-segment cap
-    // (40 + 30 media share every frame hash); their union crosses it.
-    // The compactor re-derives the cap over the union: the hash class
-    // is evicted, every posting list in the artifact stays ≤ cap, and
-    // eviction is the only direction (the subset pin in the test above).
+  test("compaction re-derives reps and the boilerplate bound globally — the bounded merge policy, pinned") {
+    // two segments each hold the same content (40 + 30 media share
+    // every frame hash); their union crosses the rep cap of 64. The
+    // compactor re-derives BOTH bounds over the union: every posting
+    // list is re-ranked to the union's 64 LOWEST ids (bounded forever —
+    // the LSM merge policy), while the sets table keeps ALL 70 holders'
+    // evidence (the bounded rule's point: popular content is trimmed to
+    // representatives, never evicted below the boilerplate bound).
     val base = tmpDir("media_evict")
     def seg(path: String, n: Int, idBase: Long): Unit =
       Multimodal.writeFrameIndex(spark,
@@ -318,11 +352,95 @@ class MediaStreamSpec extends SparkSpec {
       "each segment must carry the hot hashes under its own cap")
     val cmp = s"$base/cmp"
     Multimodal.compactFrameSegments(spark, Seq(s"$base/seg_a", s"$base/seg_b"), cmp)
-    val cmpPost = Multimodal.readFrameIndexPostings(spark, Seq(cmp))
-    assert(cmpPost.count() == 0,
-      s"a 70-media hash class must be evicted by the union re-cap, " +
-        s"got ${cmpPost.count()} postings")
+    val cmpPost = Multimodal.readFrameIndexPostings(spark, Seq(cmp)).cache()
+    val perHash = cmpPost.groupBy("fhash48").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(perHash == Set(Multimodal.FRAME_DF_CAP.toLong),
+      s"every union posting list must be re-ranked to exactly the cap " +
+        s"(70 holders → 64 reps), got counts $perHash")
+    // the reps are the union's LOWEST ids: all 40 of seg_a's plus the
+    // 24 lowest of seg_b's
+    val repIds = cmpPost.select("media_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val wantIds = (0 until 40).map(i => 910000000L + i).toSet ++
+      (0 until 24).map(i => 920000000L + i).toSet
+    assert(repIds == wantIds,
+      s"global re-rank must keep the union's lowest ids, got ${repIds.size}")
+    // full evidence survives in sets: all 70 holders, none evicted
+    // (df 70 is far under the boilerplate bound)
+    assert(Multimodal.readFrameIndexSets(spark, Seq(cmp)).count() == 70,
+      "the sets table must keep every holder's evidence under the truth bound")
+    // the TRUTH bound is the only full-eviction edge, pinned with the
+    // writer's test lever (a reachable bound): the same 70-holder
+    // evidence written under truthCap=32 evicts the hash class entirely
+    // — and the custom-cap artifact can never pass the production
+    // layout gate (its marker records the caps it was written with)
+    val ev70 = Multimodal.readFrameIndexSets(spark,
+        Seq(s"$base/seg_a", s"$base/seg_b"))
+      .select($"media_id", explode($"fhs").as("fhash48")).distinct()
+    val tiny = s"$base/tiny_truth"
+    Multimodal.writeFrameArtifacts(ev70, tiny, truthCap = 32)
+    assert(Multimodal.readFrameIndexPostings(spark, Seq(tiny)).count() == 0 &&
+        Multimodal.readFrameIndexSets(spark, Seq(tiny)).count() == 0,
+      "a hash class past the truth bound must be evicted from both tables")
+    intercept[IllegalArgumentException](
+      Multimodal.requireFrameIndexLayout(tiny))
     spark.catalog.clearCache()
+  }
+
+  test("popular content past the rep cap is deduped — the strict cap's blind spot, closed") {
+    // the r14/r15 telemetry's headline population, pinned end-to-end:
+    // >cap DISTINCT media (not exact copies, so collapse-first cannot
+    // fire) all sharing two popular frame hashes. Under the strict rule
+    // this round replaced, df > cap EVICTED those hashes — all 70
+    // survived AND the written segment carried none of them, so copies
+    // in every later batch evaded dedup permanently (m5 measured that
+    // under-dedup growing with index size). Under the bounded rule the
+    // popular hashes keep their 64 lowest ids as reps: every holder
+    // pairs with the cluster minimum (rank-1 rep of every hash it
+    // holds), the keeper survives alone, and a later-batch variant is
+    // caught against the keeper's segment postings.
+    val common1 = {
+      val r = new scala.util.Random(5001)
+      (0 until 64).map(_ => (33 + r.nextInt(94)).toChar).mkString
+    }
+    val common2 = {
+      val r = new scala.util.Random(5002)
+      (0 until 64).map(_ => (33 + r.nextInt(94)).toChar).mkString
+    }
+    def uniq(i: Int): String = {
+      val r = new scala.util.Random(6000 + i)
+      (0 until 64).map(_ => (33 + r.nextInt(94)).toChar).mkString
+    }
+    // chunk layout (everyN = 2 samples even ordinals): pos 0 = common1
+    // (sampled), pos 1 = unique filler, pos 2 = common2 (sampled),
+    // pos 3 = filler, pos 4 = unique (sampled) — every doc's evidence
+    // set = {common1, common2, own unique}, pairwise intersect ≥ 2,
+    // all sets distinct so exact collapse stays out of the way
+    val n = Multimodal.FRAME_DF_CAP + 6
+    def variant(id: Long, i: Int): StreamingOps.DocRow =
+      StreamingOps.DocRow(id, "web",
+        common1 + uniq(2 * i) + common2 + uniq(2 * i + 1) + uniq(1000 + i))
+    val batch1 = (0 until n).map(i => variant(930000000L + i, i))
+    val base = tmpDir("media_popular")
+    val seg1 = s"$base/seg_0"
+    val survivors1 = Multimodal.curateMediaIncremental(
+      batch1.toDF("doc_id", "source", "text"), Seq.empty, seg1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(survivors1 == Set(930000000L),
+      s"every holder of the popular pair must collapse onto the min-id " +
+        s"keeper, got ${survivors1.size} survivors")
+    // the keeper's popular hashes ARE in the segment (it is their
+    // rank-1 rep): a later-batch variant of the same content is caught
+    val survivors2 = Multimodal.curateMediaIncremental(
+      Seq(variant(940000000L, 9999)).toDF("doc_id", "source", "text"),
+      Seq(seg1), s"$base/seg_1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(survivors2.isEmpty,
+      "a later variant of >cap-popular content must match the keeper's " +
+        "segment postings — the permanent-evasion hole the bounded rule closes")
   }
 
   test("out-of-band compaction refuses while the checkpoint holds an uncommitted batch") {

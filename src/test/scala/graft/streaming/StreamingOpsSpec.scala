@@ -313,19 +313,28 @@ class StreamingOpsSpec extends SparkSpec {
     val got = spark.table("framededup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     query.stop()
-    // batch composition on the same index: distinct (media, hash) on
-    // both sides, pair join, shared-count >= 2
+    // batch composition on the same index under the r15 bounded rule:
+    // candidates = new distinct (media, hash) × the index's REP
+    // postings; emitted shared count = |carried raw set ∩ index
+    // evidence set| (the verify the stream recomputes per pair)
     import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions.{array_intersect, collect_set, size}
     val newFh = Multimodal.frameHashes(
       Multimodal.mediaFromDocuments(spark, docsDf.filter($"doc_id" % 2 === 0),
         width = 32, height = 2), everyN = 2)
       .select("media_id", "fhash48").distinct()
+    val newSets = newFh.groupBy("media_id").agg(collect_set("fhash48").as("nfhs"))
     val idx = spark.read.parquet(s"$idxPath/postings")
+    val idxSets = spark.read.parquet(s"$idxPath/sets")
+      .select($"media_id".as("index_id"), $"fhs".as("ifhs"))
     val expected = newFh.as("a")
       .join(idx.as("b"), $"a.fhash48" === $"b.fhash48")
-      .groupBy($"a.media_id", $"b.media_id")
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("shared"))
+      .select($"a.media_id".as("new_id"), $"b.media_id".as("index_id"))
+      .distinct()
+      .join(newSets.withColumnRenamed("media_id", "new_id"), Seq("new_id"))
+      .join(idxSets, Seq("index_id"))
+      .select($"new_id", $"index_id",
+        size(array_intersect($"nfhs", $"ifhs")).cast("long").as("shared"))
       .filter($"shared" >= 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected)
