@@ -354,17 +354,8 @@ object Multimodal {
   private[graft] def writeFrameArtifacts(fh0: DataFrame, path: String,
       repCap: Int = FRAME_DF_CAP, truthCap: Int = FRAME_TRUTH_DF_CAP): Unit = {
     val fh = fh0.cache()
-    val keep = fh.groupBy("fhash48")
-      .agg(count(lit(1)).as("dfm"))
-      .filter(col("dfm") <= truthCap)
-      .select("fhash48")
-    val ev = fh.join(keep, Seq("fhash48"))
-      .select("media_id", "fhash48").cache()
-    ev.withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("fhash48").orderBy("media_id")))
-      .filter(col("rk") <= repCap)
-      .select("media_id", "fhash48")
+    val ev = truthEvidence(fh, truthCap).cache()
+    electReps(ev, repCap)
       .write.mode("overwrite").parquet(s"$path/postings")
     ev.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
       .write.mode("overwrite").parquet(s"$path/sets")
@@ -374,6 +365,37 @@ object Multimodal {
       java.nio.file.Paths.get(path, FRAME_INDEX_LAYOUT_FILE),
       frameIndexLayoutMarkerFor(repCap, truthCap))
   }
+
+  /** the evidence bound, once: drop hashes carried by more than
+    * `truthCap` distinct media from a DISTINCT (media_id, fhash48)
+    * frame. Shared by the layout writer and the in-batch curation stage
+    * so the persisted and in-memory evidence rules cannot diverge.
+    */
+  private[graft] def truthEvidence(fh: DataFrame,
+      truthCap: Int = FRAME_TRUTH_DF_CAP): DataFrame =
+    fh.join(
+      fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
+        .filter(col("dfm") <= truthCap).select("fhash48"),
+      Seq("fhash48"))
+      .select("media_id", "fhash48")
+
+  /** THE representative-election rule, once: per hash the `repCap`
+    * lowest media ids of a truth-capped evidence frame (row_number so
+    * ranking is deterministic — (media_id, fhash48) is distinct). Must
+    * only run on [[truthEvidence]] output: the window's per-key row
+    * count is then bounded at the truth cap, so a corpus-scale
+    * black-frame hash can never concentrate millions of rows on one
+    * partition's sort. Shared by the layout writer and the in-batch
+    * curation stage so a future tie-break/ordering change cannot make
+    * the batch's in-memory reps disagree with the persisted layout's.
+    */
+  private[graft] def electReps(ev: DataFrame,
+      repCap: Int = FRAME_DF_CAP): DataFrame =
+    ev.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("fhash48").orderBy("media_id")))
+      .filter(col("rk") <= repCap)
+      .select("media_id", "fhash48")
 
   /** readers for [[writeFrameArtifacts]]' layout — multi-path (an index
     * is a set of immutable segments, unioned at read time, the same
@@ -490,17 +512,11 @@ object Multimodal {
     val fh = fh0.join(exactLosers, Seq("media_id"), "left_anti").cache()
     // batch-scope evidence under the boilerplate bound (post-collapse
     // df, so only hashes shared by > truth-cap distinct CONTENTS are
-    // non-evidence) + the batch's per-hash representatives. The
-    // rep-ranking window runs after the truth filter, so per-key rows
-    // are bounded at the truth cap.
-    val dfm = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
-      .filter(col("dfm") <= FRAME_TRUTH_DF_CAP).select("fhash48")
-    val ev = fh.join(dfm, Seq("fhash48")).cache()
-    val rep = ev.withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("fhash48").orderBy("media_id")))
-      .filter(col("rk") <= FRAME_DF_CAP)
-      .select("media_id", "fhash48")
+    // non-evidence) + the batch's per-hash representatives — both via
+    // the SAME helpers the layout writer uses, so the in-memory and
+    // persisted rules cannot diverge.
+    val ev = truthEvidence(fh).cache()
+    val rep = electReps(ev)
     val sets = ev.groupBy("media_id")
       .agg(collect_set("fhash48").as("fhs")).cache()
     // vs the index: batch evidence × index REPRESENTATIVE postings

@@ -208,16 +208,19 @@ class MediaStreamSpec extends SparkSpec {
     var repMissedTotal = 0
     for (seed <- Seq(7, 23, 61)) {
       val rnd = new scala.util.Random(seed)
-      val nDocs = 120
+      // sized FROM the cap (not a literal — a cap raise must keep the
+      // guard below satisfiable): 5/6 of 2·cap−8 docs are popular and
+      // ~25% become twins, leaving ~1.3·cap distinct popular contents
+      val nDocs = 2 * Multimodal.FRAME_DF_CAP - 8
       // 5 of 6 docs open with the two POPULAR blocks at SAMPLED chunk
       // positions (0 and 2 — everyN = 2 samples even chunks), so the
-      // popular hashes' post-collapse df (~75, 100 holders minus the
-      // twinned copies) CROSSES the rep cap of 64 and the rep-bounding
-      // stage is load-bearing: a high-id pair sharing only the popular
-      // blocks has NO shared hash whose lower endpoint is a rep, and
-      // the bounded rule's structural miss is exercised (repMissed
-      // below guards this against going vacuous, summed over the seeds
-      // — whether a given seed produces such a pair is fixture noise).
+      // popular hashes' post-collapse df (~1.3·cap) CROSSES the rep cap
+      // and the rep-bounding stage is load-bearing: a high-id pair
+      // sharing only the popular blocks has NO shared hash whose lower
+      // endpoint is a rep, and the bounded rule's structural miss is
+      // exercised (repMissed below guards this against going vacuous,
+      // summed over the seeds — whether a given seed produces such a
+      // pair is fixture noise).
       val texts = (0 until nDocs).map { i =>
         val n = 8 + rnd.nextInt(9)
         val tail = (0 until n)
@@ -339,13 +342,20 @@ class MediaStreamSpec extends SparkSpec {
     // evidence (the bounded rule's point: popular content is trimmed to
     // representatives, never evicted below the boilerplate bound).
     val base = tmpDir("media_evict")
+    // segment sizes derived FROM the cap so a cap change keeps the
+    // geometry (each under the cap alone, union over it): 40 + 30 at 64
+    val cap = Multimodal.FRAME_DF_CAP
+    val nA = cap * 5 / 8
+    val nB = cap / 2 - 2
+    assert(nA <= cap && nB <= cap && nA + nB > cap,
+      s"fixture geometry broken for cap $cap: nA=$nA nB=$nB")
     def seg(path: String, n: Int, idBase: Long): Unit =
       Multimodal.writeFrameIndex(spark,
         (0 until n).map(i => (idBase + i, "web", longText("hot")))
           .toDF("doc_id", "source", "text")
           .withColumn("n_chars", length($"text").cast("long")), path)
-    seg(s"$base/seg_a", 40, 910000000L)
-    seg(s"$base/seg_b", 30, 920000000L)
+    seg(s"$base/seg_a", nA, 910000000L)
+    seg(s"$base/seg_b", nB, 920000000L)
     val aPost = Multimodal.readFrameIndexPostings(spark, Seq(s"$base/seg_a"))
     val bPost = Multimodal.readFrameIndexPostings(spark, Seq(s"$base/seg_b"))
     assert(aPost.count() > 0 && bPost.count() > 0,
@@ -355,31 +365,32 @@ class MediaStreamSpec extends SparkSpec {
     val cmpPost = Multimodal.readFrameIndexPostings(spark, Seq(cmp)).cache()
     val perHash = cmpPost.groupBy("fhash48").count()
       .select("count").distinct().collect().map(_.getLong(0)).toSet
-    assert(perHash == Set(Multimodal.FRAME_DF_CAP.toLong),
+    assert(perHash == Set(cap.toLong),
       s"every union posting list must be re-ranked to exactly the cap " +
-        s"(70 holders → 64 reps), got counts $perHash")
-    // the reps are the union's LOWEST ids: all 40 of seg_a's plus the
-    // 24 lowest of seg_b's
+        s"(${nA + nB} holders → $cap reps), got counts $perHash")
+    // the reps are the union's LOWEST ids: all of seg_a's plus the
+    // (cap − nA) lowest of seg_b's
     val repIds = cmpPost.select("media_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    val wantIds = (0 until 40).map(i => 910000000L + i).toSet ++
-      (0 until 24).map(i => 920000000L + i).toSet
+    val wantIds = (0 until nA).map(i => 910000000L + i).toSet ++
+      (0 until (cap - nA)).map(i => 920000000L + i).toSet
     assert(repIds == wantIds,
       s"global re-rank must keep the union's lowest ids, got ${repIds.size}")
-    // full evidence survives in sets: all 70 holders, none evicted
-    // (df 70 is far under the boilerplate bound)
-    assert(Multimodal.readFrameIndexSets(spark, Seq(cmp)).count() == 70,
+    // full evidence survives in sets: every holder, none evicted
+    // (union df is far under the boilerplate bound)
+    assert(Multimodal.readFrameIndexSets(spark, Seq(cmp)).count() == nA + nB,
       "the sets table must keep every holder's evidence under the truth bound")
     // the TRUTH bound is the only full-eviction edge, pinned with the
-    // writer's test lever (a reachable bound): the same 70-holder
-    // evidence written under truthCap=32 evicts the hash class entirely
-    // — and the custom-cap artifact can never pass the production
-    // layout gate (its marker records the caps it was written with)
-    val ev70 = Multimodal.readFrameIndexSets(spark,
+    // writer's test lever (a reachable bound): the same union evidence
+    // written under truthCap = cap/2 < nA+nB evicts the hash class
+    // entirely — and the custom-cap artifact can never pass the
+    // production layout gate (its marker records the caps it was
+    // written with)
+    val evAll = Multimodal.readFrameIndexSets(spark,
         Seq(s"$base/seg_a", s"$base/seg_b"))
       .select($"media_id", explode($"fhs").as("fhash48")).distinct()
     val tiny = s"$base/tiny_truth"
-    Multimodal.writeFrameArtifacts(ev70, tiny, truthCap = 32)
+    Multimodal.writeFrameArtifacts(evAll, tiny, truthCap = cap / 2)
     assert(Multimodal.readFrameIndexPostings(spark, Seq(tiny)).count() == 0 &&
         Multimodal.readFrameIndexSets(spark, Seq(tiny)).count() == 0,
       "a hash class past the truth bound must be evicted from both tables")
