@@ -132,6 +132,22 @@ class MediaStreamSpec extends SparkSpec {
     assert(arts(gcBase).size <= 5,
       s"managed artifact count not bounded at trigger 2: ${arts(gcBase)}")
     assert(StreamingOps.gcWatermark(s"$gcBase/segments").nonEmpty)
+    // the layout INVARIANT, asserted on every artifact the managed run
+    // left behind (seed, surviving segments, compacted folds): no
+    // posting list exceeds the rep cap — the r10 fan-out bound the
+    // bounded rule promised to keep. A future writer regression that
+    // leaks unbounded lists into any artifact fails here, not as a
+    // probe slowdown at scale.
+    (Seq(seedBase) ++ arts(gcBase).map(n => s"$gcBase/segments/$n"))
+      .foreach { p =>
+        val worst = Multimodal.readFrameIndexPostings(spark, Seq(p))
+          .groupBy("fhash48").count()
+          .agg(org.apache.spark.sql.functions.max("count")).collect()(0)
+        if (!worst.isNullAt(0))
+          assert(worst.getLong(0) <= Multimodal.FRAME_DF_CAP,
+            s"artifact $p carries a posting list of ${worst.getLong(0)} " +
+              s"> cap ${Multimodal.FRAME_DF_CAP}")
+      }
     spark.catalog.clearCache()
   }
 
