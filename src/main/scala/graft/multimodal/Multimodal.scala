@@ -373,11 +373,84 @@ object Multimodal {
     */
   private[graft] def truthEvidence(fh: DataFrame,
       truthCap: Int = FRAME_TRUTH_DF_CAP): DataFrame =
+    truthEvidence(fh, frameDf(fh), truthCap)
+
+  /** per-hash document frequency of a DISTINCT (media_id, fhash48)
+    * frame — the one statistic both evidence bounds read.
+    */
+  private[graft] def frameDf(fh: DataFrame): DataFrame =
+    fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
+
+  /** [[truthEvidence]] over a PRECOMPUTED df table, for callers that
+    * already derived (and usually cached) [[frameDf]] — re-aggregating
+    * df per consumer would re-run the frame-hash subtree.
+    */
+  private[graft] def truthEvidence(fh: DataFrame, dfm: DataFrame,
+      truthCap: Int): DataFrame =
     fh.join(
-      fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
-        .filter(col("dfm") <= truthCap).select("fhash48"),
+      dfm.filter(col("dfm") <= truthCap).select("fhash48"),
       Seq("fhash48"))
       .select("media_id", "fhash48")
+
+  /** THE bounded-rule candidate stage, once (r16 — shared by the ingest
+    * loop's in-batch stage and the m6/m7 batch/telemetry queries so the
+    * candidate contract has one definition): representative × evidence
+    * pairs on a shared hash, (doc_a < doc_b, doc_a a representative of
+    * at least one shared hash), distinct. Per-hash fan-out is ≤ cap·df
+    * (never df²); a verified pair needs only ONE rep-shared candidate
+    * hash — shared evidence through non-representative hashes counts at
+    * the verify stage's full-set intersect, exactly the production
+    * loop's contract.
+    *
+    * SKEW SALT (r16 — the x4 per-key fan-out applied to the m6 spill
+    * the r15 profile left open: 11.3 GB mem / 946 MB disk at sf3,
+    * partition-raise-invariant because the volume is task-local on
+    * replica-hot hashes): the evidence side of a hash with df >
+    * `saltChunk` is split over nsalt = ceil(df / saltChunk) ≤ 256
+    * sub-keys (salt = pmod(media_id, nsalt)), and the ≤ cap
+    * representative rows are replicated once per salt — so a hot hash's
+    * cap·df match chunk spreads over nsalt reducers instead of one.
+    * Every (rep, holder) co-occurrence matches exactly once for ANY
+    * saltChunk (the evidence row carries one salt), so the output is
+    * saltChunk-invariant — pinned in FrameRecallSpec the way
+    * DedupSaltSpec pins x4. Normal keys get nsalt = 1: zero overhead.
+    */
+  private[graft] def repCandidatePairs(rep: DataFrame, ev: DataFrame,
+      dfm: DataFrame, saltChunk: Long = 1024L): DataFrame = {
+    val withSalt = dfm.select(col("fhash48"),
+      least(ceil(col("dfm") / lit(saltChunk.toDouble)), lit(256L))
+        .cast("int").as("nsalt"))
+    val evs = ev.join(withSalt, Seq("fhash48"))
+      .withColumn("salt", pmod(col("media_id"), col("nsalt").cast("long")).cast("int"))
+      .select("media_id", "fhash48", "salt")
+    val reps = rep.join(withSalt, Seq("fhash48"))
+      .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
+      .select("media_id", "fhash48", "salt")
+    reps.as("a").join(evs.as("b"),
+        col("a.fhash48") === col("b.fhash48") &&
+          col("a.salt") === col("b.salt") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** THE bounded-rule verify stage, once: a candidate pair survives iff
+    * its endpoints' FULL truth-capped evidence sets intersect in
+    * ≥ `minShared` hashes — shared evidence through non-representative
+    * hashes counts, which is exactly why one rep-shared candidate hash
+    * is enough at the candidate stage. `sets` is (media_id, fhs) —
+    * the persisted layout's own sets table or an in-batch
+    * groupBy(collect_set) over [[truthEvidence]] output.
+    */
+  private[graft] def verifySetPairs(cand: DataFrame, sets: DataFrame,
+      minShared: Int): DataFrame =
+    cand
+      .join(sets.select(col("media_id").as("doc_a"), col("fhs").as("__fha")),
+        Seq("doc_a"))
+      .join(sets.select(col("media_id").as("doc_b"), col("fhs").as("__fhb")),
+        Seq("doc_b"))
+      .filter(size(array_intersect(col("__fha"), col("__fhb"))) >= minShared)
+      .select("doc_a", "doc_b")
 
   /** THE representative-election rule, once: per hash the `repCap`
     * lowest media ids of a truth-capped evidence frame (row_number so
@@ -514,8 +587,10 @@ object Multimodal {
     // df, so only hashes shared by > truth-cap distinct CONTENTS are
     // non-evidence) + the batch's per-hash representatives — both via
     // the SAME helpers the layout writer uses, so the in-memory and
-    // persisted rules cannot diverge.
-    val ev = truthEvidence(fh).cache()
+    // persisted rules cannot diverge. df is derived once (cached: the
+    // evidence filter AND the candidate stage's salt width read it).
+    val dfm = frameDf(fh).cache()
+    val ev = truthEvidence(fh, dfm, FRAME_TRUTH_DF_CAP).cache()
     val rep = electReps(ev)
     val sets = ev.groupBy("media_id")
       .agg(collect_set("fhash48").as("fhs")).cache()
@@ -538,20 +613,15 @@ object Multimodal {
       .filter(size(array_intersect(col("fha"), col("fhb"))) >= minShared)
       .select(col("new_id").as("media_id")).distinct()
     // within the batch: rep×evidence candidates (≤ cap·df rows per
-    // hash, never df² — the m6 fan-out argument), verified by the same
-    // full-set intersect as the index path so the two stages share one
-    // evidence contract. Loser = the higher id of a verified pair.
-    val batchLosers = rep.as("a").join(ev.as("b"),
-        col("a.fhash48") === col("b.fhash48") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("keep_id"), col("b.media_id").as("loser"))
-      .dropDuplicates("keep_id", "loser")
-      .join(sets.select(col("media_id").as("keep_id"), col("fhs").as("fha")),
-        Seq("keep_id"))
-      .join(sets.select(col("media_id").as("loser"), col("fhs").as("fhb")),
-        Seq("loser"))
-      .filter(size(array_intersect(col("fha"), col("fhb"))) >= minShared)
-      .select(col("loser").as("media_id")).distinct()
+    // hash, never df² — the m6 fan-out argument; hot hashes salted,
+    // see [[repCandidatePairs]]), verified by the same full-set
+    // intersect as the index path so the two stages share one evidence
+    // contract. Loser = the higher id of a verified pair. Candidate and
+    // verify stages are the SHARED helpers the m6/m7 telemetry queries
+    // run, so m7's recall/keeper ladder prices exactly this rule.
+    val batchLosers =
+      verifySetPairs(repCandidatePairs(rep, ev, dfm), sets, minShared)
+        .select(col("doc_b").as("media_id")).distinct()
     // cached: the two-column drop set is consumed twice — by the segment
     // write below and by the caller's survivors write — and WITHOUT the
     // cache each consumer re-runs the full index probe (postings + sets

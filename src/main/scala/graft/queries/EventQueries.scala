@@ -113,21 +113,28 @@ object EventQueries {
         .filter(col("shared") >= 2)
         .select("doc_a", "doc_b")
     }
-    // m7's candidate side: m6's representative-bounded pairing,
-    // endpoint-restricted to the sample AFTER the corpus-scope rep
-    // selection (production reps are corpus-scope; gating them first
-    // would overstate the rule's recall)
+    // m7's candidate side: EXACTLY the production ingest rule (r16 —
+    // before this the telemetry required ≥ 2 rep-matched hashes per
+    // pair while the loop needs one rep-shared candidate hash plus a
+    // full set-intersect ≥ 2; the telemetry was a strict lower bound on
+    // production recall, and the residual decay it showed — pairs whose
+    // ≥2-hash evidence spans different rep sets — is precisely what the
+    // set-intersect verify recovers). Candidates and verify are the
+    // SHARED production helpers, endpoint-restricted to the sample
+    // AFTER the corpus-scope rep selection (production reps are
+    // corpus-scope; gating them first would overstate the rule's
+    // recall); the verify intersects the pair's FULL corpus-scope
+    // evidence sets — the sample gates media, never a sampled media's
+    // own hashes.
     def boundedPairs(): DataFrame = {
+      import graft.multimodal.Multimodal
       val sampIds = sampled.select("media_id").distinct()
       val (rep, ev) = repEvidence(fh, dfm)
-      rep.join(sampIds, Seq("media_id"), "left_semi").as("a")
-        .join(ev.join(sampIds, Seq("media_id"), "left_semi").as("b"),
-          col("a.fhash48") === col("b.fhash48") &&
-            col("a.media_id") < col("b.media_id"))
-        .groupBy(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-        .select("doc_a", "doc_b")
+      val cand = Multimodal.repCandidatePairs(
+        rep.join(sampIds, Seq("media_id"), "left_semi"),
+        ev.join(sampIds, Seq("media_id"), "left_semi"), dfm)
+      val sets = ev.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
+      Multimodal.verifySetPairs(cand, sets, minShared = 2)
     }
     val truth = pairsUnder(Multimodal.FRAME_TRUTH_DF_CAP)
     val capped =
@@ -238,6 +245,27 @@ object EventQueries {
        |      ROW_NUMBER() OVER (PARTITION BY fhash ORDER BY media_id) AS rk
        |    FROM ev) WHERE rk <= ${graft.multimodal.Multimodal.FRAME_DF_CAP})"""
       .stripMargin
+
+  /** [[graft.multimodal.Multimodal.repCandidatePairs]] +
+    * `verifySetPairs`' DuckDB twin — the production bounded rule from
+    * first principles, on top of [[repEvidenceCtesSql]]: `cand` =
+    * distinct rep×evidence pairs sharing ONE hash with the lower id a
+    * representative; `p` = the candidates whose FULL truth-capped
+    * evidence intersects in ≥ 2 hashes, computed relationally (the
+    * ev⋈ev count IS the set intersect — both endpoints' evidence rows
+    * on the same hash). Shared by the m6 oracle; m7's sampled `cappd`
+    * repeats the shape with sample-gated endpoints.
+    */
+  private val boundedVerifySql: String =
+    """cand AS (
+      |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+      |  FROM rep a JOIN ev b
+      |    ON a.fhash = b.fhash AND a.media_id < b.media_id),
+      |p AS (
+      |  SELECT c.ma, c.mb FROM cand c
+      |  JOIN ev ea ON ea.media_id = c.ma
+      |  JOIN ev eb ON eb.media_id = c.mb AND eb.fhash = ea.fhash
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   /** the sampled ground-truth CTE (pairs sharing ≥ 2 hashes under the
     * boilerplate bound, both endpoints in `samp`) — shared by m5/m7.
@@ -1113,16 +1141,23 @@ object EventQueries {
 
     Q("m6_frame_dedup_bounded",
       (s, dir) => {
-        // m3's dedup under the REPRESENTATIVE-BOUNDED evidence rule (see
-        // repEvidence — the r15 remedy for the cap's measured recall
-        // decay): reps = the cap lowest ids per hash pair against ALL
-        // holders, so per-hash work is cap·df (linear, Σ ≤ cap·|postings|)
-        // instead of df², popular-content clusters stay connected
-        // through their min-id members, and only true boilerplate past
-        // the 64×-cap bound is dropped entirely. Output shape is m3's
-        // (n_frames, n_partners, keep_id); n_partners is BOUNDED by
-        // construction (that is the point), keep_id matches the
-        // unbounded keeper wherever the cluster minimum shares a hash.
+        // m3's dedup under the REPRESENTATIVE-BOUNDED evidence rule —
+        // since r16 EXACTLY the production ingest loop's in-batch rule,
+        // via the shared helpers ([[graft.multimodal.Multimodal
+        // .repCandidatePairs]]/`verifySetPairs`): candidates = rep ×
+        // evidence pairs sharing ONE hash where the lower id is a
+        // representative (per-hash fan-out ≤ cap·df, never df²; hot
+        // hashes salted), verified by the FULL truth-capped
+        // set-intersect ≥ 2 — so shared evidence through
+        // non-representative hashes counts, closing the residual
+        // recall loss the r15 ≥2-rep-matched form left (a pair whose
+        // evidence spans hashes with different rep sets). Popular
+        // clusters stay connected through their min-id members; only
+        // true boilerplate past the 64×-cap bound is dropped entirely.
+        // Output shape is m3's (n_frames, n_partners, keep_id);
+        // n_partners stays bounded (candidates need a rep endpoint),
+        // keep_id matches the unbounded keeper wherever the cluster
+        // minimum shares a hash.
         import graft.multimodal.Multimodal
         val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir),
           width = 32, height = 2)
@@ -1133,13 +1168,10 @@ object EventQueries {
         val fh = fh0.select("media_id", "fhash48").distinct()
         val dfm = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
         val (rep, ev) = repEvidence(fh, dfm)
-        val pairs = rep.as("a").join(ev.as("b"),
-            col("a.fhash48") === col("b.fhash48") &&
-              col("a.media_id") < col("b.media_id"))
-          .groupBy(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 2)
-          .select("ma", "mb")
+        val sets = ev.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
+        val pairs = Multimodal.verifySetPairs(
+            Multimodal.repCandidatePairs(rep, ev, dfm), sets, minShared = 2)
+          .select(col("doc_a").as("ma"), col("doc_b").as("mb"))
         val agg = pairs.select(col("ma").as("media_id"), col("mb").as("nbr"))
           .union(pairs.select(col("mb").as("media_id"), col("ma").as("nbr")))
           .groupBy("media_id")
@@ -1158,11 +1190,7 @@ object EventQueries {
       Some(s"""WITH $frameHashCtesSql,
               |$frameSetDfCtesSql,
               |$repEvidenceCtesSql,
-              |p AS (
-              |  SELECT a.media_id AS ma, b.media_id AS mb
-              |  FROM rep a JOIN ev b
-              |    ON a.fhash = b.fhash AND a.media_id < b.media_id
-              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |$boundedVerifySql,
               |d2 AS (SELECT ma AS media_id, mb AS nbr FROM p
               |       UNION ALL SELECT mb, ma FROM p),
               |agg AS (
@@ -1181,9 +1209,12 @@ object EventQueries {
 
     Q("m7_bounded_recall_report",
       (s, dir) => frameRecallReport(s, dir, m5SamplePct, boundedRule = true),
-      // m5's report with m6's rule on the candidate side: same truth,
-      // same sample gate, same columns — so recall(m7) − recall(m5) IS
-      // the remedy's measured gain, cross-engine-verified. Reps stay
+      // m5's report with m6's rule — since r16 EXACTLY the production
+      // ingest rule (one rep-shared candidate hash + full truth-capped
+      // set-intersect ≥ 2) — on the candidate side: same truth, same
+      // sample gate, same columns, so recall(m7) − recall(m5) IS the
+      // bounded rule's measured gain and m7 prices the rule the loop
+      // actually runs, not a lower bound (r15 ADVICE). Reps stay
       // corpus-scope before the endpoint restriction (as in production);
       // a sampled pair whose reps fall outside the sample is counted as
       // missed, so the sampled number never overstates the rule.
@@ -1195,11 +1226,15 @@ object EventQueries {
               |  WHERE ${m5BucketGateSql(m5SamplePct)}),
               |sampids AS (SELECT DISTINCT media_id FROM samp),
               |$frameTruthCteSql,
-              |cappd AS (
-              |  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+              |scand AS (
+              |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
               |  FROM (SELECT r.* FROM rep r JOIN sampids USING (media_id)) a
               |  JOIN (SELECT e.* FROM ev e JOIN sampids USING (media_id)) b
-              |    ON a.fhash = b.fhash AND a.media_id < b.media_id
+              |    ON a.fhash = b.fhash AND a.media_id < b.media_id),
+              |cappd AS (
+              |  SELECT c.ma AS doc_a, c.mb AS doc_b FROM scand c
+              |  JOIN ev ea ON ea.media_id = c.ma
+              |  JOIN ev eb ON eb.media_id = c.mb AND eb.fhash = ea.fhash
               |  GROUP BY 1, 2 HAVING count(*) >= 2),
               |$frameReportTailSql""".stripMargin)),
   )

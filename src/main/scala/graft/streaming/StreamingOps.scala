@@ -274,6 +274,18 @@ object StreamingOps {
     * still pairs an arriving copy with its cluster's keeper ids instead
     * of being evicted (the strict cap's measured blind spot, m5). The
     * spec pins stream ≡ the batch composition on the same index.
+    *
+    * Verify-contract note (r15 ADVICE): this probe's shared count is
+    * ONE-SIDED — the RAW carried set intersected with the index's
+    * truth-capped evidence set — while [[graft.multimodal.Multimodal
+    * .curateMediaIncremental]]'s index path truth-caps the batch side
+    * too. That is the right definition for a stateless per-row probe:
+    * a single arriving row HAS no batch df (there is no batch corpus to
+    * measure boilerplate against), so the only meaningful evidence
+    * bound is the index's own, and the intersect is bounded regardless
+    * because the index side is truth-capped. The two contracts coincide
+    * exactly when the arriving batch carries no over-truth-cap hash —
+    * which a one-row probe never does.
     */
   def frameDedupStream(newDocs: DataFrame, indexPath: String,
       minShared: Int = 2): DataFrame = {

@@ -29,7 +29,8 @@ class FrameRecallSpec extends SparkSpec {
     * MessageDigest — nothing shared with the Spark plan past the hash
     * kernel itself.
     */
-  private def twin(dir: String, samplePct: Int): Report = {
+  private def twin(dir: String, samplePct: Int,
+      bounded: Boolean = false): Report = {
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select("doc_id", "text").collect()
@@ -62,8 +63,30 @@ class FrameRecallSpec extends SparkSpec {
       shared = sets(a).intersect(sets(b)).count(h => df(h) <= cap)
       if shared >= 2
     } yield (a, b)).toSet
+    // the production bounded rule, first-principles (r16 — one
+    // rep-shared candidate hash where the LOWER id is among the hash's
+    // cap lowest evidence holders, then full truth-capped set-intersect
+    // ≥ 2; reps are corpus-scope, endpoints sample-gated)
+    def boundedPairSet(): Set[(Long, Long)] = {
+      val evSets: Map[Long, Set[Long]] = sets.map { case (id, s) =>
+        id -> s.filter(h => df(h) <= Multimodal.FRAME_TRUTH_DF_CAP)
+      }
+      val reps: Map[Long, Set[Long]] = evSets.toSeq
+        .flatMap { case (id, s) => s.map(_ -> id) }
+        .groupBy(_._1).map { case (h, xs) =>
+          h -> xs.map(_._2).sorted.take(Multimodal.FRAME_DF_CAP).toSet
+        }
+      (for {
+        i <- ids.indices.iterator
+        j <- (i + 1 until ids.size).iterator
+        a = ids(i); b = ids(j)
+        shared = evSets(a).intersect(evSets(b))
+        if shared.exists(h => reps(h).contains(a)) && shared.size >= 2
+      } yield (a, b)).toSet
+    }
     val exact = pairSetUnder(Multimodal.FRAME_TRUTH_DF_CAP)
-    val capped = pairSetUnder(Multimodal.FRAME_DF_CAP)
+    val capped =
+      if (bounded) boundedPairSet() else pairSetUnder(Multimodal.FRAME_DF_CAP)
     def keeper(pairs: Set[(Long, Long)]): Map[Long, Long] = {
       val nbrs = (pairs.toSeq.map(p => p._1 -> p._2) ++
         pairs.toSeq.map(p => p._2 -> p._1)).groupBy(_._1)
@@ -110,6 +133,45 @@ class FrameRecallSpec extends SparkSpec {
       s"unsampled report diverged from the driver twin: $full")
     assert(full._6 < Multimodal.FRAME_TRUTH_DF_CAP,
       "fixture outgrew the truth bound — the truth≡uncapped reading no longer holds")
+  }
+
+  test("m7's bounded rule equals the driver-side production-rule twin, sampled and unsampled") {
+    // the r16 alignment pin: the telemetry's candidate+verify stages
+    // are the production helpers, and BOTH equal a first-principles
+    // driver-side twin of the loop's rule (one rep-shared candidate
+    // hash + full set-intersect ≥ 2)
+    val sampled = report("/root/testdata/sf0.01",
+      EventQueries.m5SamplePct, bounded = true)
+    assert(sampled == twin("/root/testdata/sf0.01",
+        EventQueries.m5SamplePct, bounded = true),
+      s"sampled bounded report diverged from the driver twin: $sampled")
+    val full = report("/root/testdata/sf0.001", 100, bounded = true)
+    assert(full == twin("/root/testdata/sf0.001", 100, bounded = true),
+      s"unsampled bounded report diverged from the driver twin: $full")
+  }
+
+  test("the candidate stage is saltChunk-invariant (the DedupSaltSpec pin for m6)") {
+    // saltChunk=1 maxes the per-hash fan-out (nsalt = min(df, 256));
+    // every (rep, holder) co-occurrence must still match exactly once,
+    // so the candidate pair set cannot move
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark,
+      Tables.documents(spark, "/root/testdata/sf0.01"), width = 32, height = 2)
+    val fh = Multimodal.frameHashes(media, everyN = Multimodal.FRAME_EVERY_N)
+      .select("media_id", "fhash48").distinct().cache()
+    val dfm = Multimodal.frameDf(fh).cache()
+    val ev = Multimodal.truthEvidence(fh, dfm, Multimodal.FRAME_TRUTH_DF_CAP)
+      .cache()
+    val rep = Multimodal.electReps(ev)
+    def pairs(saltChunk: Long): Set[(Long, Long)] =
+      Multimodal.repCandidatePairs(rep, ev, dfm, saltChunk).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(1024L)
+    assert(base.nonEmpty, "no candidates at sf0.01 — the pin is vacuous")
+    assert(pairs(1L) == base,
+      "candidate pairs moved under maximum salting — the salt scheme " +
+        "double- or under-matches some co-occurrence")
+    spark.catalog.clearCache()
   }
 
   test("a population one past the production cap zeroes recall while truth keeps every pair") {
