@@ -426,31 +426,106 @@ object Multimodal {
     val reps = rep.join(withSalt, Seq("fhash48"))
       .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
       .select("media_id", "fhash48", "salt")
-    reps.as("a").join(evs.as("b"),
+    // MEASURED width dispatch (r16 — the sf3 profile's actual finding):
+    // the join stage's cost is its OUTPUT fan-out (Σ min(df, cap)·df
+    // match rows feeding the pair partial-dedup), but AQE sizes the
+    // stage by its INPUT bytes — a few MB of (media_id, fhash48, salt)
+    // rows — and coalesces the salted partitions right back together
+    // (sf3: 4 tasks over ~10⁸ match rows, 2.2 GB spill per branch, and
+    // salting alone measurably moved NOTHING). The fan-out is exactly
+    // computable from the df table the caller already derived, so size
+    // the exchange from it: explicit repartition by (fhash48, salt) is
+    // user-specified partitioning AQE must honor, one task handles
+    // ~2M match rows, and the per-task dedup map stays in memory. The
+    // dfm aggregate is one action over a hash-count-sized cached frame
+    // (the assignedFrameBytes discipline: measure the statistic the
+    // planner structurally cannot see).
+    val spark = ev.sparkSession
+    val matchRows = {
+      val r = dfm.agg(coalesce(sum(
+        least(col("dfm"), lit(FRAME_DF_CAP.toLong)) * col("dfm")),
+        lit(0L))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val base = spark.sessionState.conf.numShufflePartitions
+    val width = math.min(4096L,
+      math.max(base.toLong, matchRows / 1000000L)).toInt
+    // the pair-dedup reduce side rides the SAME measured width: its
+    // input is the match fan-out too, and the session's default
+    // partition count (AQE can coalesce down from it, never up past it)
+    // is sized for scan-shaped stages, not a 10⁸-row dedup. The
+    // explicit repartition IS the dedup's exchange (HashPartitioning on
+    // the dedup keys satisfies the aggregate's distribution), so this
+    // widens the existing shuffle rather than adding one.
+    reps.as("a").join(evs.repartition(width, col("fhash48"), col("salt")).as("b"),
         col("a.fhash48") === col("b.fhash48") &&
           col("a.salt") === col("b.salt") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+      .repartition(width, col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** MEASURED in-memory byte estimate of a frame-evidence sets frame
+    * (media_id, fhs: array<long>) — [[graft.corpus.Corpus
+    * .setFrameBytes]]'s arithmetic for the long-array layout: 8 bytes
+    * per element + the UnsafeRow fixed slots and array headers
+    * (~96 B/row, rounded up).
+    */
+  private[graft] def frameSetBytes(sets: DataFrame): Long = {
+    val r = sets.agg(coalesce(
+      sum(size(col("fhs")).cast("long") * 8L + 96L), lit(0L)).as("b")).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** THE bounded-rule verify stage, once: a candidate pair survives iff
     * its endpoints' FULL truth-capped evidence sets intersect in
     * ≥ `minShared` hashes — shared evidence through non-representative
     * hashes counts, which is exactly why one rep-shared candidate hash
-    * is enough at the candidate stage. `sets` is (media_id, fhs) —
+    * is enough at the candidate stage. `sets0` is (media_id, fhs) —
     * the persisted layout's own sets table or an in-batch
     * groupBy(collect_set) over [[truthEvidence]] output.
+    *
+    * The sets side rides the [[graft.corpus.Corpus.dispatchVerifySets]]
+    * regime dispatch (r16 — the sf10 backfill profile showed the verify
+    * SMJ dragging both endpoints' evidence ARRAYS through its sorts,
+    * 9.3 GB spill on a 1.2 GB exchange, the exact shape the text
+    * path's dispatch closed at r14): measure the sets frame from its
+    * UnsafeRow layout, broadcast it while it fits the shared
+    * heap-derived budget (`graft.verify.broadcastBudget` — the ONE knob
+    * every dispatch answers to, so the zero-budget no-hint audit covers
+    * this family too); over budget, semi-join-prune to candidate
+    * endpoints and re-measure; nothing fits → the natural plan (the
+    * cluster-scale regime, memory-per-task the lever). The hint can
+    * change the PLAN, never the ANSWER — a pure filter over candidate
+    * pairs. Caches created here are media/candidate-sized and released
+    * by the callers' existing clearCache contracts.
     */
-  private[graft] def verifySetPairs(cand: DataFrame, sets: DataFrame,
-      minShared: Int): DataFrame =
+  private[graft] def verifySetPairs(cand0: DataFrame, sets0: DataFrame,
+      minShared: Int): DataFrame = {
+    val budget = graft.corpus.Corpus.verifyBroadcastBudget(sets0.sparkSession)
+    // cached: the measuring aggregate and the two verify joins would
+    // each re-run the sets build (a collect_set over the evidence
+    // frame) otherwise
+    val sets = sets0.cache()
+    val (cand, setsSide) =
+      if (frameSetBytes(sets) < budget) (cand0, broadcast(sets))
+      else {
+        val c = cand0.cache()
+        val ids = c.select(col("doc_a").as("media_id"))
+          .union(c.select(col("doc_b").as("media_id"))).distinct()
+        val pruned = sets.join(ids, Seq("media_id"), "left_semi").cache()
+        if (frameSetBytes(pruned) < budget) (c, broadcast(pruned))
+        else { pruned.unpersist(); (c, sets) }
+      }
     cand
-      .join(sets.select(col("media_id").as("doc_a"), col("fhs").as("__fha")),
+      .join(setsSide.select(col("media_id").as("doc_a"), col("fhs").as("__fha")),
         Seq("doc_a"))
-      .join(sets.select(col("media_id").as("doc_b"), col("fhs").as("__fhb")),
+      .join(setsSide.select(col("media_id").as("doc_b"), col("fhs").as("__fhb")),
         Seq("doc_b"))
       .filter(size(array_intersect(col("__fha"), col("__fhb"))) >= minShared)
       .select("doc_a", "doc_b")
+  }
 
   /** THE representative-election rule, once: per hash the `repCap`
     * lowest media ids of a truth-capped evidence frame (row_number so

@@ -1169,9 +1169,14 @@ object EventQueries {
         val dfm = fh.groupBy("fhash48").agg(count(lit(1)).as("dfm"))
         val (rep, ev) = repEvidence(fh, dfm)
         val sets = ev.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
+        // cached: the two union branches of the partner agg would each
+        // re-run the whole candidate+verify subtree (the sf3 profile
+        // showed the duplicated stage pair verbatim — exchange reuse
+        // does not unify them across the self-join aliases); released
+        // by the clearCache contract
         val pairs = Multimodal.verifySetPairs(
             Multimodal.repCandidatePairs(rep, ev, dfm), sets, minShared = 2)
-          .select(col("doc_a").as("ma"), col("doc_b").as("mb"))
+          .select(col("doc_a").as("ma"), col("doc_b").as("mb")).cache()
         val agg = pairs.select(col("ma").as("media_id"), col("mb").as("nbr"))
           .union(pairs.select(col("mb").as("media_id"), col("ma").as("nbr")))
           .groupBy("media_id")
