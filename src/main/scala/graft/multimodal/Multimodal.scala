@@ -456,13 +456,22 @@ object Multimodal {
     // is sized for scan-shaped stages, not a 10⁸-row dedup. The
     // explicit repartition IS the dedup's exchange (HashPartitioning on
     // the dedup keys satisfies the aggregate's distribution), so this
-    // widens the existing shuffle rather than adding one.
-    reps.as("a").join(evs.repartition(width, col("fhash48"), col("salt")).as("b"),
+    // widens the existing shuffle rather than adding one. BOTH explicit
+    // exchanges engage only when the measured volume actually exceeds
+    // the session default — an ingest-loop batch whose fan-out fits the
+    // default width keeps the natural small-batch plan (AQE broadcasts
+    // the candidate join outright there; forcing the shuffle cost the
+    // sf1 loop ~40% per batch for nothing).
+    val evSide =
+      if (width > base) evs.repartition(width, col("fhash48"), col("salt"))
+      else evs
+    val joined = reps.as("a").join(evSide.as("b"),
         col("a.fhash48") === col("b.fhash48") &&
           col("a.salt") === col("b.salt") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
-      .repartition(width, col("doc_a"), col("doc_b"))
+    (if (width > base) joined.repartition(width, col("doc_a"), col("doc_b"))
+     else joined)
       .dropDuplicates("doc_a", "doc_b")
   }
 
