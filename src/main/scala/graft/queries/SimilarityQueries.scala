@@ -142,36 +142,68 @@ object SimilarityQueries {
        |  FROM (SELECT centroid_id, list(c ORDER BY i) AS v FROM clf$k GROUP BY 1))""".stripMargin
   }.mkString(",\n")
 
-  /** LLOYD_ITERS unrolled Lloyd rounds seeded from the first 8 vectors —
+  /** LLOYD_ITERS unrolled Lloyd rounds seeded from the first k vectors —
     * the trained coarse quantizer x8 (IVF) and x18 (semantic dedup)
-    * share. Assignment ranks by 6dp-rounded cosine (ties by centroid
-    * id); re-centered means are rounded at 6 dp so the oracle CTE chain
-    * reproduces them exactly despite sum-order differences. Cached: 8
-    * rows, consumed by every downstream assignment — training must not
-    * re-run per consumer. Released by clearCache().
+    * share at the oracle-pinned k = 8, and the scaled-k family
+    * (x36/x37) at k = ⌈√n⌉. Assignment ranks by 6dp-rounded cosine
+    * (ties by centroid id); re-centered means are rounded at 6 dp so
+    * the oracle CTE chain reproduces them exactly despite sum-order
+    * differences — the contract is k-agnostic, so ONE oracle CTE chain
+    * serves every k (only the cent0 seed line changes). Cached: k rows,
+    * consumed by every downstream assignment — training must not re-run
+    * per consumer. Released by clearCache().
+    *
+    * Two step forms, one contract: at k ≤ [[INLINE_K]] the original
+    * broadcast-join + per-vector window (n·k rows through one exchange
+    * — fine at k = 8, and byte-for-byte the plan the pinned bench
+    * queries always ran); past it the assignment is [[assignNearest]]'s
+    * narrow NearestCentroid pass — NO n·k exchange, because at decade
+    * scale n·k vector-carrying rows is a ~50 GB shuffle per round that
+    * the narrow form simply never materializes. Re-centering is the
+    * same (centroid, dim) partial agg either way (n·d skinny rows,
+    * map-side combined). Each round collects the k×d centroid table to
+    * the driver (the dim-sized collect policy; ≤ √n rows by design).
     */
   private[graft] def trainedCentroids(e: DataFrame,
-      iters: Int = LLOYD_ITERS): DataFrame = {
-    val seed = e.filter(col("vec_id") < 8)
+      iters: Int = LLOYD_ITERS, k: Int = 8): DataFrame = {
+    val seed = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("v"))
-    def lloydStep(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cos").desc, col("centroid_id"))
-      e.select(col("vec_id"), col("v")).as("c")
-        .join(broadcast(cents.as("q")))
-        .withColumn("cos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
-        .select(col("c.vec_id").as("vec_id"), col("c.v").as("v"),
-          col("q.centroid_id").as("centroid_id"), col("cos"))
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned
         .select(col("centroid_id"), posexplode(col("v")))
         .toDF("centroid_id", "i", "x")
         .groupBy("centroid_id", "i").agg(roundAt(avg("x"), 6).as("c"))
         .groupBy("centroid_id")
         .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
           .as("v"))
+    def lloydStep(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("centroid_id"))
+      recenter(e.select(col("vec_id"), col("v")).as("c")
+        .join(broadcast(cents.as("q")))
+        .withColumn("cos", roundAt(expr("cosine_similarity(q.v, c.v)"), 6))
+        .select(col("c.vec_id").as("vec_id"), col("c.v").as("v"),
+          col("q.centroid_id").as("centroid_id"), col("cos"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1))
     }
-    (1 to iters).foldLeft(seed)((c, _) => lloydStep(c)).cache()
+    def lloydStepBulk(cents: DataFrame): DataFrame =
+      recenter(assignNearest(e, cents)
+        .select(col("centroid_id"), col("v")))
+    val step: DataFrame => DataFrame =
+      if (k <= INLINE_K) lloydStep else lloydStepBulk
+    (1 to iters).foldLeft(seed)((c, _) => step(c)).cache()
   }
+
+  /** the scaled cluster count for the scale-path ANN family: k = ⌈√n⌉
+    * (floored at the oracle pin's 8). This is the standard IVF sizing —
+    * FAISS's guideline is k between 4√n and 16√n — and it is what turns
+    * the family's Σ cluster_size² blocking bound from ≈ n²/k (quadratic
+    * at any FIXED k) into ≈ n^1.5: per ×10 corpus growth the pair mass
+    * grows ×10^1.5 ≈ 31.6 instead of ×100, while the per-row assignment
+    * cost k·d and the per-round training collect k·d both stay ≤ √n·d.
+    */
+  private[graft] def scaledK(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** per-(process, sf dir) PERSISTED trained quantizer — the posting-
     * index / LSH-index rationale applied to ANN training: on a
@@ -195,6 +227,26 @@ object SimilarityQueries {
       val path = graft.core.Scratch.dir(
         "ann_centroids_" + graft.core.Scratch.sanitize(dir))
       trainedCentroids(vecs(s, dir))
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+    s.read.parquet(p)
+  }
+
+  /** [[sharedCentroids]] at the SCALED cluster count (k = ⌈√n⌉) — the
+    * scale-path quantizer x36/x37 read. Same persisted-artifact
+    * rationale; keyed separately so the fixed-k=8 artifact the
+    * oracle-pinned family reads is never overwritten. The one count()
+    * action is training-time work (once per corpus version, like the
+    * Lloyd rounds themselves).
+    */
+  private def sharedCentroidsScaled(s: SparkSession, dir: String): DataFrame = {
+    val p = DedupQueries.builtOnce(centroidDirs, dir + "#sqrtk",
+        lockTag = "centroids_sqrtk") {
+      val path = graft.core.Scratch.dir(
+        "ann_centroids_sqrtk_" + graft.core.Scratch.sanitize(dir))
+      val e = vecs(s, dir)
+      trainedCentroids(e, LLOYD_ITERS, scaledK(e.count()))
         .write.mode("overwrite").parquet(path)
       path
     }
@@ -393,32 +445,52 @@ object SimilarityQueries {
       .count()
   }
 
+  /** inlining bound for [[assignNearest]]: up to this many centroids
+    * the assignment inlines one struct per centroid (k literal subtrees
+    * — fine at the quantizer's k = 8, and the PQ assignment's r9 note
+    * pins where that collapses: ~3000 expression nodes at M·K = 128);
+    * past it the SAME contract runs through the single-node
+    * [[graft.functions.NearestCentroid]] kernel (one compiled k·d loop
+    * per row). Both forms are narrow — no shuffle at any k — and
+    * bit-identical (AnnScaledSpec pins inline ≡ bulk on the same
+    * centroid table).
+    */
+  private[graft] val INLINE_K = 16
+
   /** corpus → nearest trained centroid (rank 1 by rounded cosine desc,
-    * centroid id asc) — one narrow pass against the 8-row broadcast.
+    * centroid id asc) — one narrow pass against the driver-collected
+    * centroid table.
     */
   private[graft] def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
-    // the centroid table is quantizer-sized (8 rows) by construction — a
-    // dim-sized collect under the repo collect policy. Inlining it as
-    // literals turns the previous n×8 broadcast join + cand_id-window
-    // SHUFFLE (every row carrying its full vector through the exchange)
-    // into ONE narrow projection: per row, an 8-element array of
-    // (rounded cosine, −centroid_id) structs reduced by array_max —
-    // lexicographic struct max = highest ccos then lowest centroid id,
-    // bit-identical to the window's (ccos DESC, centroid_id ASC) rank-1
-    // row the DuckDB twin still computes relationally.
+    // the centroid table is quantizer-sized (k ≤ √n rows) by
+    // construction — a dim-sized collect under the repo collect policy.
+    // Inlining it as literals turns the previous n×k broadcast join +
+    // cand_id-window SHUFFLE (every row carrying its full vector
+    // through the exchange) into ONE narrow projection: per row, a
+    // k-element array of (rounded cosine, −centroid_id) structs reduced
+    // by array_max — lexicographic struct max = highest ccos then
+    // lowest centroid id, bit-identical to the window's (ccos DESC,
+    // centroid_id ASC) rank-1 row the DuckDB twin still computes
+    // relationally. Past INLINE_K the same reduction runs inside the
+    // NearestCentroid kernel instead of k literal subtrees.
     val cents = centroids.select(col("centroid_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val scored = cents.map { case (cid, cv) =>
-      struct(
-        roundAt(graft.functions.CosineSimilarity(typedLit(cv), col("v")), 6)
-          .as("ccos"),
-        lit(-cid).as("negid"))
-    }
-    e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
-      .withColumn("best", array_max(array(scored.toSeq: _*)))
-      .select(col("cand_id"), col("v"), col("norm"),
-        (-col("best.negid")).as("centroid_id"))
+    val out = e.select(col("vec_id").as("cand_id"), col("v"), col("norm"))
+    if (cents.length <= INLINE_K) {
+      val scored = cents.map { case (cid, cv) =>
+        struct(
+          roundAt(graft.functions.CosineSimilarity(typedLit(cv), col("v")), 6)
+            .as("ccos"),
+          lit(-cid).as("negid"))
+      }
+      out
+        .withColumn("best", array_max(array(scored.toSeq: _*)))
+        .select(col("cand_id"), col("v"), col("norm"),
+          (-col("best.negid")).as("centroid_id"))
+    } else
+      out.withColumn("centroid_id", graft.functions.NearestCentroid(
+        cents.map { case (cid, cv) => (cid, cv.toArray) }, col("v")))
   }
 
   /** MEASURED in-memory byte estimate of an assigned-vector frame
@@ -594,6 +666,96 @@ object SimilarityQueries {
        |    ${roundAtSql("list_reduce([c.sub[j] * q.cent[j] for j in range(1, 9)], (x, y) -> x + y)", 6)} AS ipd
        |  FROM subs c JOIN cb1 q ON c.s = q.s WHERE c.vec_id < 10),
        |qn AS (SELECT vec_id AS query_id, norm AS qnorm FROM n WHERE vec_id < 10)""".stripMargin
+
+  /** the SemDeDup pair-drop tail over a cached assigned frame — shared
+    * by x18 (oracle-pinned fixed k = 8) and x36 (scaled k = ⌈√n⌉), so
+    * the two differ ONLY in the quantizer: within-cluster pairs at
+    * rounded cosine ≥ 0.35, drop the higher id, report each drop's
+    * smallest keeper. The self-join rides [[dispatchAssigned]]'s
+    * measured regime in both.
+    */
+  private def semanticDedupTail(assigned: DataFrame): DataFrame =
+    assigned.as("a").join(dispatchAssigned(assigned).as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.cand_id") < col("b.cand_id"))
+      .withColumn("cosine", roundAt(expr("cosine_similarity(a.v, b.v)"), 6))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a.centroid_id").as("centroid_id"),
+        col("a.cand_id").as("keep_cand"), col("b.cand_id").as("drop_id"),
+        col("cosine"))
+      .groupBy("centroid_id", "drop_id")
+      .agg(min("keep_cand").as("keep_id"), count(lit(1)).as("n_dups"),
+        max("cosine").as("max_cosine"))
+      .orderBy("drop_id")
+
+  /** [[semanticDedupTail]]'s oracle twin over `assigned` — shared by
+    * the x18 and x36 oracles (the scaled one swaps only the cent0 seed).
+    */
+  private def semanticDedupTailSql: String =
+    s"""pairs AS (
+       |  SELECT a.centroid_id AS centroid_id, a.cand_id AS keep_cand,
+       |    b.cand_id AS drop_id,
+       |    ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.cand_id < b.cand_id)
+       |SELECT centroid_id, drop_id, min(keep_cand) AS keep_id,
+       |  count(*) AS n_dups, max(cosine) AS max_cosine
+       |FROM pairs WHERE cosine >= 0.35
+       |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin
+
+  /** the semantic cluster-detection tail (cluster-blocked cosine graph →
+    * generic distributed CC → per-cluster sizes) — shared by x26 and
+    * x37 the same way.
+    */
+  private def semanticClustersTail(assigned: DataFrame): DataFrame = {
+    val pairs = assigned.as("a").join(dispatchAssigned(assigned).as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.cand_id") < col("b.cand_id"))
+      .filter(roundAt(expr("cosine_similarity(a.v, b.v)"), 6) >= 0.35)
+      .select(col("a.cand_id").as("doc_a"), col("b.cand_id").as("doc_b"))
+    val cc = graft.corpus.Corpus.connectedComponents(
+      assigned.select(col("cand_id")), pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("cand_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semanticClustersTail]]'s oracle twin (recursive-CTE closure) —
+    * shared by the x26 and x37 oracles.
+    */
+  private def semanticClustersTailSql: String =
+    s"""pairs AS (
+       |  SELECT a.cand_id AS doc_a, b.cand_id AS doc_b
+       |  FROM assigned a JOIN assigned b
+       |    ON a.centroid_id = b.centroid_id AND a.cand_id < b.cand_id
+       |  WHERE ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} >= 0.35),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |cl AS (
+       |  SELECT a.cand_id AS vec_id,
+       |    least(a.cand_id, coalesce(min(r.dst), a.cand_id)) AS cluster_id
+       |  FROM assigned a LEFT JOIN reach r ON a.cand_id = r.src
+       |  GROUP BY a.cand_id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT vec_id, cl.cluster_id, cluster_size
+       |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
+       |ORDER BY vec_id""".stripMargin
+
+  /** the scaled quantizer's oracle seed: k = greatest(8, ⌈√n⌉) computed
+    * IN the oracle from the same corpus, so the two engines can never
+    * disagree on k; the Lloyd CTE chain itself is k-agnostic.
+    */
+  private def scaledCent0Sql: String =
+    """kk AS (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+      |       FROM n),
+      |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n
+      |          WHERE vec_id < (SELECT k FROM kk))""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -1030,33 +1192,13 @@ object SimilarityQueries {
         // cached: the self-join's two branches would otherwise each
         // re-run training + assignment. Released by clearCache().
         val assigned = assignNearest(e, sharedCentroids(s, dir)).cache()
-        assigned.as("a").join(dispatchAssigned(assigned).as("b"),
-            col("a.centroid_id") === col("b.centroid_id") &&
-              col("a.cand_id") < col("b.cand_id"))
-          .withColumn("cosine", roundAt(expr("cosine_similarity(a.v, b.v)"), 6))
-          .filter(col("cosine") >= 0.35)
-          .select(col("a.centroid_id").as("centroid_id"),
-            col("a.cand_id").as("keep_cand"), col("b.cand_id").as("drop_id"),
-            col("cosine"))
-          .groupBy("centroid_id", "drop_id")
-          .agg(min("keep_cand").as("keep_id"), count(lit(1)).as("n_dups"),
-            max("cosine").as("max_cosine"))
-          .orderBy("drop_id")
+        semanticDedupTail(assigned)
       },
       Some(s"""WITH n AS ($vecsSql),
               |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
               |$lloydCtesSql,
               |$assignedCteSql,
-              |pairs AS (
-              |  SELECT a.centroid_id AS centroid_id, a.cand_id AS keep_cand,
-              |    b.cand_id AS drop_id,
-              |    ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} AS cosine
-              |  FROM assigned a JOIN assigned b
-              |    ON a.centroid_id = b.centroid_id AND a.cand_id < b.cand_id)
-              |SELECT centroid_id, drop_id, min(keep_cand) AS keep_id,
-              |  count(*) AS n_dups, max(cosine) AS max_cosine
-              |FROM pairs WHERE cosine >= 0.35
-              |GROUP BY 1, 2 ORDER BY drop_id""".stripMargin)),
+              |$semanticDedupTailSql""".stripMargin)),
 
     Q("x26_semantic_clusters",
       (s, dir) => {
@@ -1073,43 +1215,13 @@ object SimilarityQueries {
         // identical pair set.
         val e = vecs(s, dir)
         val assigned = assignNearest(e, sharedCentroids(s, dir)).cache()
-        val pairs = assigned.as("a").join(dispatchAssigned(assigned).as("b"),
-            col("a.centroid_id") === col("b.centroid_id") &&
-              col("a.cand_id") < col("b.cand_id"))
-          .filter(roundAt(expr("cosine_similarity(a.v, b.v)"), 6) >= 0.35)
-          .select(col("a.cand_id").as("doc_a"), col("b.cand_id").as("doc_b"))
-        val cc = graft.corpus.Corpus.connectedComponents(
-          assigned.select(col("cand_id")), pairs)
-        val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-        cc.join(sizes, "cluster_id")
-          .select(col("cand_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
-          .orderBy("vec_id")
+        semanticClustersTail(assigned)
       },
       Some(s"""WITH RECURSIVE n AS ($vecsSql),
               |cent0 AS (SELECT vec_id AS centroid_id, v, norm FROM n WHERE vec_id < 8),
               |$lloydCtesSql,
               |$assignedCteSql,
-              |pairs AS (
-              |  SELECT a.cand_id AS doc_a, b.cand_id AS doc_b
-              |  FROM assigned a JOIN assigned b
-              |    ON a.centroid_id = b.centroid_id AND a.cand_id < b.cand_id
-              |  WHERE ${roundAtSql("list_reduce([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)], (x, y) -> x + y) / (a.norm * b.norm)", 6)} >= 0.35),
-              |sym AS (
-              |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-              |reach(src, dst) AS (
-              |  SELECT src, dst FROM sym
-              |  UNION
-              |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-              |cl AS (
-              |  SELECT a.cand_id AS vec_id,
-              |    least(a.cand_id, coalesce(min(r.dst), a.cand_id)) AS cluster_id
-              |  FROM assigned a LEFT JOIN reach r ON a.cand_id = r.src
-              |  GROUP BY a.cand_id),
-              |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
-              |SELECT vec_id, cl.cluster_id, cluster_size
-              |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
-              |ORDER BY vec_id""".stripMargin)),
+              |$semanticClustersTailSql""".stripMargin)),
 
     Q("x25_knn_graph",
       (s, dir) => {
@@ -1258,6 +1370,52 @@ object SimilarityQueries {
             "aggregate(transform(p, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))))
       },
       Some(projErrOracleSql("v[1:16]"))),
+
+    Q("x36_semantic_dedup_scaled",
+      (s, dir) => {
+        // x18's SemDeDup at the SCALED quantizer — the r15 verdict's
+        // top finding made an operator: with k hard-fixed at 8 the
+        // Σ cluster_size² pair bound is ≈ n²/8 (quadratic in corpus
+        // rows — visible as x26's ×7.6 shuffle-W step per ×3.33 data at
+        // sf10), so the scale path trains k = ⌈√n⌉ centroids
+        // ([[scaledK]]) and the bound drops to ≈ n^1.5. Everything else
+        // is x18's own tail (same threshold, same keeper rule, same
+        // measured self-join dispatch); the assignment runs the narrow
+        // [[graft.functions.NearestCentroid]] kernel — one compiled k·d
+        // loop per row, NO n·k exchange at any k — and the oracle
+        // re-derives k AND the full k-wide Lloyd chain from the corpus,
+        // so the scaled discipline is cross-engine-pinned at every
+        // correctness run, not just asserted. x18 keeps the fixed-k
+        // form: SemDeDup recall depends on the quantizer, so the two
+        // are distinct operators (fixed k = the pinned baseline, scaled
+        // k = what a 100 TB corpus actually deploys), and AnnScaleProbe
+        // puts the pair-mass decade rows for both on the record.
+        val e = vecs(s, dir)
+        val assigned = assignNearest(e, sharedCentroidsScaled(s, dir)).cache()
+        semanticDedupTail(assigned)
+      },
+      Some(s"""WITH n AS ($vecsSql),
+              |$scaledCent0Sql,
+              |$lloydCtesSql,
+              |$assignedCteSql,
+              |$semanticDedupTailSql""".stripMargin)),
+
+    Q("x37_semantic_clusters_scaled",
+      (s, dir) => {
+        // x26's cluster detection at the scaled quantizer — same CC
+        // machinery over the ⌈√n⌉-blocked cosine graph. The edge set is
+        // the scale win: within-cluster pair mass rides Σ cluster_size²
+        // ≈ n^1.5 instead of n²/8, which is exactly the term x26's
+        // decade table showed going super-linear.
+        val e = vecs(s, dir)
+        val assigned = assignNearest(e, sharedCentroidsScaled(s, dir)).cache()
+        semanticClustersTail(assigned)
+      },
+      Some(s"""WITH RECURSIVE n AS ($vecsSql),
+              |$scaledCent0Sql,
+              |$lloydCtesSql,
+              |$assignedCteSql,
+              |$semanticClustersTailSql""".stripMargin)),
   )
 
   /** corpus with a reduced-dimension twin `p` (+ `pnorm`) of each

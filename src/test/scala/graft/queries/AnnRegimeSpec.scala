@@ -15,7 +15,8 @@ class AnnRegimeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val family =
-    Seq("x18_semantic_dedup", "x25_knn_graph", "x26_semantic_clusters")
+    Seq("x18_semantic_dedup", "x25_knn_graph", "x26_semantic_clusters",
+      "x36_semantic_dedup_scaled", "x37_semantic_clusters_scaled")
 
   private def withBudget[T](budget: Long)(body: => T): T = {
     spark.conf.set("graft.verify.broadcastBudget", budget.toString)
@@ -65,7 +66,8 @@ class AnnRegimeSpec extends SparkSpec {
       // returned frame's plan is a LogicalRDD that no longer contains
       // the join — the dispatch still governs it through the same
       // shared code path (output equality pinned above)
-      Seq("x18_semantic_dedup", "x25_knn_graph").foreach { q =>
+      Seq("x18_semantic_dedup", "x25_knn_graph",
+          "x36_semantic_dedup_scaled").foreach { q =>
         assert(analyzed(q).contains("ResolvedHint"),
           s"$q: measured dispatch must hint when everything fits the budget")
       }

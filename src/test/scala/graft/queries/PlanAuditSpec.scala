@@ -119,6 +119,8 @@ class PlanAuditSpec extends SparkSpec {
         "x22_cluster_size_profile", "t9_boilerplate_ngrams",
         "t14_substring_dedup", "x18_semantic_dedup", "x25_knn_graph",
         "x26_semantic_clusters",
+        "x36_semantic_dedup_scaled", "x37_semantic_clusters_scaled",
+        "m6_frame_dedup_bounded",
         "x29_dedup_clusters_update").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString
       assert(!lp.contains("ResolvedHint"),
