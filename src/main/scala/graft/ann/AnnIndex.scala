@@ -16,7 +16,8 @@ import graft.queries.SimilarityQueries
   * source before searching). The on-disk layout is the on-cluster
   * layout:
   *
-  *  - `centroids/`   8 coarse centroids (broadcast-sized)
+  *  - `centroids/`   k coarse centroids (default 8, scaled deployments
+  *                   pass k = ⌈√n⌉ — broadcast-sized either way: ≤ √n·d)
   *  - `codebooks/`   M=8 × K=16 PQ codebooks (broadcast-sized)
   *  - `postings/`    (cand_id, s, cid) PQ codes Hive-partitioned by
   *                   centroid_id — a query probing nprobe lists READS
@@ -37,8 +38,19 @@ object AnnIndex {
     * serving index under `path`. One pass trains, assigns, encodes;
     * the caches it leaves behind follow the library's
     * `spark.catalog.clearCache()` contract.
+    *
+    * `k` is the coarse list count. The default 8 is the oracle-pinned
+    * baseline (AnnIndexSpec pins it against x19); a production corpus
+    * passes `k = SimilarityQueries.scaledK(n)` — with k FIXED the
+    * per-list population is n/k, so every serving cost (probed rows
+    * per query, the largest single list a task reads) grows linearly
+    * with the corpus, while k = ⌈√n⌉ bounds both at ~√n (the x36/x38
+    * scale argument; searches pair it with
+    * `nprobe = SimilarityQueries.scaledNprobe(k)`). Past k = 16 the
+    * assignment runs the narrow NearestCentroid kernel — no n·k
+    * exchange at any k.
     */
-  def write(embeddings: DataFrame, path: String): Unit = {
+  def write(embeddings: DataFrame, path: String, k: Int = 8): Unit = {
     // the whole index is built under a staging sibling and swapped in
     // with directory renames, so a serving reader never opens an index
     // whose four artifacts are mid-write or from two different builds
@@ -49,7 +61,7 @@ object AnnIndex {
     val staged = s"$path.stage"
     graft.core.Scratch.deleteTree(java.nio.file.Paths.get(staged))
     val e = SimilarityQueries.toVecs(embeddings).cache()
-    val centroids = SimilarityQueries.trainedCentroids(e)
+    val centroids = SimilarityQueries.trainedCentroids(e, k = k)
     val assigned = SimilarityQueries.assignNearest(e, centroids)
       .select(col("cand_id"), col("centroid_id"))
     val subs = SimilarityQueries.pqSubsOf(e)
@@ -171,7 +183,10 @@ object AnnIndex {
     * vectors, broadcast throughout. Probes `nprobe` lists, ADC-scores
     * their codes, exact-refines the top REFINE_R, returns the top `k`
     * per query as (query_id, cand_id, cosine, rank). Reads ONLY the
-    * index files; every per-query artifact is bounded.
+    * index files; every per-query artifact is bounded. `nprobe = 2` is
+    * the fixed-k=8 knee; against a scaled-k index pass
+    * `SimilarityQueries.scaledNprobe(k)` (= ⌈√k⌉ — per-query probed
+    * volume then rides n^0.75 instead of a constant corpus fraction).
     */
   def searchIvfPq(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 3, nprobe: Int = 2): DataFrame = {

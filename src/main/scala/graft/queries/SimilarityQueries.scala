@@ -205,6 +205,18 @@ object SimilarityQueries {
   private[graft] def scaledK(n: Long): Int =
     math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** the probe width paired with [[scaledK]]: nprobe = ⌈√k⌉ (floored at
+    * the fixed-k pin's 2). With k lists of ~n/k vectors each, a query's
+    * ADC scan volume is nprobe·n/k ≈ √k·n/k = n/√k ≈ n^0.75 — SUBLINEAR
+    * in corpus rows, where the fixed (k=8, nprobe=2) point scans a
+    * constant quarter of the corpus forever. The √k rule also keeps the
+    * probed LIST COUNT growing with the index (more, smaller lists need
+    * more probes for the same recall — the standard IVF recall/nprobe
+    * trade FAISS tunes per deployment; √k is the scale-neutral default).
+    */
+  private[graft] def scaledNprobe(k: Int): Int =
+    math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+
   /** per-(process, sf dir) PERSISTED trained quantizer — the posting-
     * index / LSH-index rationale applied to ANN training: on a
     * production corpus the quantizer is trained once per corpus
@@ -294,9 +306,12 @@ object SimilarityQueries {
     * ADC-scanned corpus fraction, the cost axis of the nprobe knob.
     */
   private def ivfPqCandidates(s: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfPqCandidates(s, dir, nprobe, sharedCentroids(s, dir))
+
+  private def ivfPqCandidates(s: SparkSession, dir: String,
+      nprobe: Int, centroids: DataFrame): DataFrame = {
     val e = vecs(s, dir)
-    val centroids = sharedCentroids(s, dir)
     val assigned = assignNearest(e, centroids).select("cand_id", "centroid_id")
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("qcos").desc, col("centroid_id"))
@@ -323,7 +338,16 @@ object SimilarityQueries {
     * production levers FAISS exposes for the same structure.
     */
   private[queries] def ivfPqSearch(s: SparkSession, dir: String,
-      nprobe: Int, refineR: Int): DataFrame = {
+      nprobe: Int, refineR: Int): DataFrame =
+    ivfPqSearch(s, dir, nprobe, refineR, sharedCentroids(s, dir))
+
+  /** [[ivfPqSearch]] against an arbitrary trained coarse quantizer —
+    * the scaled-k serving path (x38) passes [[sharedCentroidsScaled]];
+    * the PQ stage is k-independent (codebooks quantize subvectors, not
+    * lists), so ONLY the probe/candidate stage changes with k.
+    */
+  private[queries] def ivfPqSearch(s: SparkSession, dir: String,
+      nprobe: Int, refineR: Int, centroids: DataFrame): DataFrame = {
     val e = vecs(s, dir)
     val subs = pqSubs(s, dir)
     val cb = pqCodebook(subs)
@@ -343,7 +367,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("norm").as("qnorm"))
     val adcW = Window.partitionBy("query_id")
       .orderBy(col("acos").desc, col("cand_id"))
-    val shortlist = ivfPqCandidates(s, dir, nprobe)
+    val shortlist = ivfPqCandidates(s, dir, nprobe, centroids)
       .join(codes, Seq("cand_id"))
       .join(broadcast(dt), Seq("query_id", "s", "cid"))
       .join(broadcast(cn2), Seq("s", "cid"))
@@ -373,10 +397,20 @@ object SimilarityQueries {
   }
 
   /** |ADC-scored candidate pairs| at a given nprobe — the cost the
-    * recall sweep reports next to each recall cell.
+    * recall sweep reports next to each recall cell. private[graft]: the
+    * AnnScaleProbe decade tool prints the same number as the serving
+    * cost axis of the fixed-k vs scaled-k comparison.
     */
-  private[queries] def ivfPqScanned(s: SparkSession, dir: String,
+  private[graft] def ivfPqScanned(s: SparkSession, dir: String,
       nprobe: Int): Long = ivfPqCandidates(s, dir, nprobe).count()
+
+  /** [[ivfPqScanned]] for the scaled serving point (k = ⌈√n⌉, nprobe =
+    * ⌈√k⌉) — x38's ADC scan volume, ≈ n/√k ≈ n^0.75 by construction.
+    */
+  private[graft] def ivfPqScannedScaled(s: SparkSession, dir: String): Long = {
+    val cents = sharedCentroidsScaled(s, dir)
+    ivfPqCandidates(s, dir, scaledNprobe(cents.count().toInt), cents).count()
+  }
 
   /** x7's multi-probe LSH search at an arbitrary (hyperplane count,
     * probe Hamming radius) — AnnRecallSpec sweeps this grid to put
@@ -557,6 +591,60 @@ object SimilarityQueries {
        |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS prnk
        |    FROM n c CROSS JOIN cent$LLOYD_ITERS q WHERE c.vec_id < 10)
        |  WHERE prnk <= 2)""".stripMargin
+
+  /** [[probesCteSql]] at the SCALED probe width: nprobe = ⌈√k⌉ computed
+    * IN the oracle from the `kk` CTE [[scaledCent0Sql]] opens (the same
+    * in-oracle-derivation discipline as k itself — the engines cannot
+    * disagree on either constant). Shared by the x38 oracle.
+    */
+  private def probesScaledCteSql: String =
+    s"""npk AS (SELECT greatest(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS np FROM kk),
+       |probes AS (
+       |  SELECT query_id, v, norm, centroid_id FROM (
+       |    SELECT c.vec_id AS query_id, c.v AS v, c.norm AS norm, q.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${roundAtSql(cosSql, 6)} DESC, q.centroid_id) AS prnk
+       |    FROM n c CROSS JOIN cent$LLOYD_ITERS q WHERE c.vec_id < 10)
+       |  WHERE prnk <= (SELECT np FROM npk))""".stripMargin
+
+  /** oracle twin of [[ivfPqSearch]]'s probe→ADC→refine tail from the
+    * `assigned` + `probes` CTEs down — quantizer-agnostic (the PQ
+    * codebooks quantize subvectors, never lists), so the x19 (fixed
+    * k=8, nprobe=2) and x38 (k=⌈√n⌉, nprobe=⌈√k⌉) oracles share it
+    * verbatim: only their cent0/probes CTEs differ.
+    */
+  private def ivfPqTailSql: String =
+    s"""fin AS ($pqFinalAssignSql),
+       |$pqAdcCtesSql,
+       |cands AS (
+       |  SELECT p.query_id, a.cand_id
+       |  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+       |  WHERE p.query_id <> a.cand_id),
+       |agg AS (
+       |  SELECT c.query_id, c.cand_id, sum(dt.ipd) AS ip, sum(cn2.cn2) AS c2
+       |  FROM cands c
+       |  JOIN codes ON codes.cand_id = c.cand_id
+       |  JOIN dt ON dt.query_id = c.query_id AND dt.s = codes.s AND dt.cid = codes.cid
+       |  JOIN cn2 ON cn2.s = codes.s AND cn2.cid = codes.cid
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT agg.query_id, agg.cand_id,
+       |    ${roundAtSql("agg.ip / (qn.qnorm * sqrt(agg.c2))", 6)} AS acos
+       |  FROM agg JOIN qn ON qn.query_id = agg.query_id),
+       |short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY acos DESC, cand_id) AS adc_rank FROM scored)
+       |  WHERE adc_rank <= $REFINE_R),
+       |ref AS (
+       |  SELECT sl.query_id, sl.cand_id,
+       |    ${roundAtSql(cosSql, 6)} AS cosine
+       |  FROM short sl JOIN n q ON q.vec_id = sl.query_id
+       |  JOIN n c ON c.vec_id = sl.cand_id)
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, cand_id) AS rank FROM ref)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   // ---- product quantization (x14 reconstruction, x15 ADC search) ---------
 
@@ -1299,37 +1387,7 @@ object SimilarityQueries {
               |$lloydCtesSql,
               |$assignedCteSql,
               |$probesCteSql,
-              |fin AS ($pqFinalAssignSql),
-              |$pqAdcCtesSql,
-              |cands AS (
-              |  SELECT p.query_id, a.cand_id
-              |  FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
-              |  WHERE p.query_id <> a.cand_id),
-              |agg AS (
-              |  SELECT c.query_id, c.cand_id, sum(dt.ipd) AS ip, sum(cn2.cn2) AS c2
-              |  FROM cands c
-              |  JOIN codes ON codes.cand_id = c.cand_id
-              |  JOIN dt ON dt.query_id = c.query_id AND dt.s = codes.s AND dt.cid = codes.cid
-              |  JOIN cn2 ON cn2.s = codes.s AND cn2.cid = codes.cid
-              |  GROUP BY 1, 2),
-              |scored AS (
-              |  SELECT agg.query_id, agg.cand_id,
-              |    ${roundAtSql("agg.ip / (qn.qnorm * sqrt(agg.c2))", 6)} AS acos
-              |  FROM agg JOIN qn ON qn.query_id = agg.query_id),
-              |short AS (
-              |  SELECT query_id, cand_id FROM (
-              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY acos DESC, cand_id) AS adc_rank FROM scored)
-              |  WHERE adc_rank <= $REFINE_R),
-              |ref AS (
-              |  SELECT sl.query_id, sl.cand_id,
-              |    ${roundAtSql(cosSql, 6)} AS cosine
-              |  FROM short sl JOIN n q ON q.vec_id = sl.query_id
-              |  JOIN n c ON c.vec_id = sl.cand_id)
-              |SELECT query_id, cand_id, cosine, rank FROM (
-              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY cosine DESC, cand_id) AS rank FROM ref)
-              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+              |$ivfPqTailSql""".stripMargin)),
 
 
     Q("x23_random_projection",
@@ -1416,6 +1474,37 @@ object SimilarityQueries {
               |$lloydCtesSql,
               |$assignedCteSql,
               |$semanticClustersTailSql""".stripMargin)),
+
+    Q("x38_ann_ivf_pq_scaled",
+      (s, dir) => {
+        // x19's IVF-PQ SERVING path at the scaled quantizer — the last
+        // ANN-family consumer of the fixed k=8 artifact (r15 verdict
+        // item 1 named the serving path alongside x18/x25/x26). Two
+        // constants move together: k = ⌈√n⌉ lists ([[scaledK]]) and
+        // nprobe = ⌈√k⌉ probed lists ([[scaledNprobe]]), so a query's
+        // ADC scan volume is nprobe·n/k ≈ n/√k ≈ n^0.75 — sublinear in
+        // corpus rows, where x19's fixed (8, 2) point ADC-scans a
+        // constant quarter of the corpus at every scale. The PQ stage
+        // is UNCHANGED (codebooks quantize subvectors, not lists), the
+        // refine width stays at the measured REFINE_R knee, and the
+        // oracle derives k AND nprobe in-SQL from the corpus
+        // ([[scaledCent0Sql]]/[[probesScaledCteSql]]) before re-running
+        // the full Lloyd→probe→ADC→refine chain relationally. x19 keeps
+        // the fixed form: recall depends on the quantizer, so the two
+        // serving points are distinct operators, and AnnRecallSpec puts
+        // both recall/cost cells on the record. [[graft.ann.AnnIndex]]
+        // persists the same scaled quantizer via its `k` parameter;
+        // AnnIndexSpec pins index-served results == this query.
+        val cents = sharedCentroidsScaled(s, dir)
+        ivfPqSearch(s, dir, scaledNprobe(cents.count().toInt),
+          REFINE_R, cents)
+      },
+      Some(s"""WITH $pqCtesSql,
+              |$scaledCent0Sql,
+              |$lloydCtesSql,
+              |$assignedCteSql,
+              |$probesScaledCteSql,
+              |$ivfPqTailSql""".stripMargin)),
   )
 
   /** corpus with a reduced-dimension twin `p` (+ `pnorm`) of each

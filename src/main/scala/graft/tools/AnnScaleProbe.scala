@@ -44,6 +44,22 @@ object AnnScaleProbe {
     }
     mass(8, "fixed8")
     mass(SimilarityQueries.scaledK(n), "scaled_sqrt")
+    // SERVING cost at each quantizer: |ADC-scored candidates| for the
+    // 10-query probe set — x19's (k=8, nprobe=2) scans a constant ~1/4
+    // of the corpus at every decade; x38's (⌈√n⌉, ⌈√k⌉) rides n^0.75.
+    def scanned(label: String, f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = f
+      val sec = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+      println(s"""{"annscale_serving":{"dir":"$dir","rule":"$label",""" +
+        s""""n":$n,"adc_candidates":$c,""" +
+        s""""frac":${math.round(c * 1e4 / (10.0 * (n - 1))) / 1e4},""" +
+        s""""sec":$sec}}""")
+      spark.catalog.clearCache()
+      e.cache(); e.count()
+    }
+    scanned("fixed8_np2", SimilarityQueries.ivfPqScanned(spark, dir, 2))
+    scanned("scaled_sqrt", SimilarityQueries.ivfPqScannedScaled(spark, dir))
     // --edges: the QUALIFYING (cosine ≥ 0.35) pair count under each
     // quantizer — Σ n_dups of the registered dedup queries' own output,
     // i.e. exactly the edge set x26/x37's CC shuffles per round. This

@@ -53,6 +53,53 @@ class AnnIndexSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("scaled-k index from disk equals x38 after the source is deleted") {
+    import graft.queries.SimilarityQueries
+    val base = tmpDir("ann_index_scaled")
+    val srcPath = s"$base/emb_copy"
+    spark.read.parquet(s"$dir/embeddings.parquet").write.parquet(srcPath)
+    val src = spark.read.parquet(srcPath)
+    val k = SimilarityQueries.scaledK(src.count())
+    assert(k > 8, s"sf0.01 must exercise a genuinely scaled k, got $k")
+    AnnIndex.write(src, s"$base/index", k = k)
+    spark.catalog.clearCache()
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(srcPath))
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.delete)
+    finally walk.close()
+
+    // the trained list count really is k (broadcast-sized ≤ √n rows)
+    assert(spark.read.parquet(s"$base/index/centroids").count() == k)
+    val queries = spark.read.parquet(s"$base/index/vectors")
+      .filter(col("cand_id") < 10)
+      .select(col("cand_id").as("query_id"), col("v"), col("norm"))
+    val got = AnnIndex.searchIvfPq(spark, s"$base/index", queries,
+        nprobe = SimilarityQueries.scaledNprobe(k))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val expected = SparkEntry.queries("x38_ann_ivf_pq_scaled")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the posting layout carries one directory per NON-EMPTY list — the
+    // partition pruning a scaled probe leans on even harder (it reads
+    // ⌈√k⌉ of these, not a constant quarter of them)
+    val segs = {
+      val ls = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$base/index/postings"))
+      try ls.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.startsWith("centroid_id="))
+      finally ls.close()
+    }
+    val nonEmpty = spark.read.parquet(s"$base/index/postings")
+      .select("centroid_id").distinct().count()
+    assert(segs.size == nonEmpty && segs.size >= 2,
+      s"scaled index layout: ${segs.size} dirs vs $nonEmpty non-empty lists")
+    spark.catalog.clearCache()
+  }
+
   test("append extends the index without retraining: new vectors become searchable, old results survive") {
     val base = tmpDir("ann_index_append")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -35,16 +35,28 @@ class AnnRecallSpec extends SparkSpec {
     val ivf = topk("x8_ann_ivf", 3)
     val pq = topk("x15_ann_pq_adc", 3)
     val ivfpq = topk("x19_ann_ivf_pq", 3)
+    val ivfpqScaled = topk("x38_ann_ivf_pq_scaled", 3)
+    // the scaled serving point's cost axis next to the fixed one: ADC
+    // candidates per query, as a corpus fraction — the number that is
+    // constant (~1/4) for (k=8, nprobe=2) at EVERY corpus size and
+    // ~1/√k for (⌈√n⌉, ⌈√k⌉), shrinking as the corpus grows
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val fracFixed = SimilarityQueries.ivfPqScanned(spark, dir, 2)
+      .toDouble / (10.0 * (n - 1))
+    val fracScaled = SimilarityQueries.ivfPqScannedScaled(spark, dir)
+      .toDouble / (10.0 * (n - 1))
     spark.catalog.clearCache()
     val rLsh = recallAt3(lsh, exact)
     val rIvf = recallAt3(ivf, exact)
     val rPq = recallAt3(pq, exact)
     val rIvfPq = recallAt3(ivfpq, exact)
+    val rScaled = recallAt3(ivfpqScaled, exact)
     info(f"recall@3 x7 (multi-probe LSH, 4 planes, Hamming-1 probes): $rLsh%.3f")
     info(f"recall@3 x8 (IVF, K=8 Lloyd-trained, nprobe=2):           $rIvf%.3f")
     info(f"recall@3 x15 (PQ-ADC over 4-byte codes):                  $rPq%.3f")
-    info(f"recall@3 x19 (IVF-PQ: ADC shortlist + exact refine):      $rIvfPq%.3f")
-    println(f"ANN RECALL@3: lsh=$rLsh%.3f ivf=$rIvf%.3f pq=$rPq%.3f ivfpq=$rIvfPq%.3f")
+    info(f"recall@3 x19 (IVF-PQ: ADC shortlist + exact refine):      $rIvfPq%.3f (ADC-scans ${fracFixed * 100}%.1f%%)")
+    info(f"recall@3 x38 (IVF-PQ, k=⌈√n⌉, nprobe=⌈√k⌉):               $rScaled%.3f (ADC-scans ${fracScaled * 100}%.1f%%)")
+    println(f"ANN RECALL@3: lsh=$rLsh%.3f ivf=$rIvf%.3f pq=$rPq%.3f ivfpq=$rIvfPq%.3f ivfpq_scaled=$rScaled%.3f@${fracScaled * 100}%.0f%% (fixed@${fracFixed * 100}%.0f%%)")
     // floors: the structures must beat random bucketing by a wide margin
     // (16 buckets ⇒ random recall ~1/16; 8 lists × nprobe 2 ⇒ ~1/4).
     // Measured on this corpus: single-probe LSH 0.167 → multi-probe
@@ -59,6 +71,12 @@ class AnnRecallSpec extends SparkSpec {
     // for anything ADC ranks into the shortlist): 0.267 ADC-only →
     // refined into the x8 class.
     assert(rIvfPq >= 0.6, f"IVF-PQ refined recall collapsed: $rIvfPq%.3f")
+    // the scaled point must hold the same trained-quantizer class while
+    // probing ⌈√k⌉ of its ⌈√n⌉ lists — at this sf that is a comparable
+    // corpus fraction to fixed (so recall should be comparable too);
+    // the separation the constants buy shows at the DECADES, where the
+    // scaled fraction keeps falling (AnnScaleProbe's serving rows)
+    assert(rScaled >= 0.6, f"scaled IVF-PQ recall collapsed: $rScaled%.3f")
   }
 
   test("LSH recall@3 vs (hyperplanes, probe radius): x7's config is a measured point on the record") {

@@ -105,4 +105,16 @@ class AnnScaledSpec extends SparkSpec {
     assert(SimilarityQueries.scaledK(20000) == 142)
     assert(SimilarityQueries.scaledK(200000) == 448)
   }
+
+  test("scaledNprobe arithmetic") {
+    // the floor: ⌈√8⌉ = 3 at scaledK's own floor (np=2 would need
+    // k ≤ 4, which scaledK can't produce — the max(2, ·) is a guard,
+    // not a reachable operating point)
+    assert(SimilarityQueries.scaledNprobe(8) == 3)
+    assert(SimilarityQueries.scaledNprobe(4) == 2)
+    assert(SimilarityQueries.scaledNprobe(23) == 5)   // sf0.01's point
+    assert(SimilarityQueries.scaledNprobe(45) == 7)   // sf0.1's point
+    assert(SimilarityQueries.scaledNprobe(142) == 12) // sf1
+    assert(SimilarityQueries.scaledNprobe(448) == 22) // sf10
+  }
 }
