@@ -20,8 +20,10 @@ import graft.functions.{JaccardSimilarity, MinHashFamily}
   * Scale posture: every step is either a narrow per-row map (normalize,
   * bucket/split, shingling/signatures) or a key-partitioned
   * shuffle/window (LSH band join, cluster propagation, shard prefix
-  * sums). No broadcast hints on corpus-derived tables — the planner/AQE
-  * size-gates join strategies.
+  * sums). Broadcast hints only through the MEASURED dispatches
+  * ([[dispatchVerifySets]], [[dispatchNodeFrame]]) — a static threshold
+  * never sees an accurate size for a derived/cached/checkpointed frame,
+  * and an unmeasured hint is how joins die at a decade boundary.
   */
 object Corpus {
 
@@ -192,9 +194,23 @@ object Corpus {
     val edges = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
     val sym = edges.union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
+    // |V| rides an Observation on the seed checkpoint (no extra job): it
+    // feeds the per-round node-frame dispatch below. Every frame joined
+    // against the cached edge table in the loop is ≤ |V| rows of two
+    // fixed-width columns, so [[dispatchNodeFrame]]'s closed-form bytes
+    // decide the regime once per call.
+    val obs0 = Observation()
     var labels = nodes.select(col(idCol).as("doc_id"))
       .withColumn("label", col("doc_id"))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
+    val nNodes = obs0.get("n") match {
+      case null => 0L
+      case n: java.lang.Number => n.longValue()
+    }
+    def bcN(df: DataFrame): DataFrame = dispatchNodeFrame(df, nNodes, 2)
+    val explainRounds = sym.sparkSession.conf
+      .getOption("graft.debug.graphExplain").contains("true")
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -205,19 +221,27 @@ object Corpus {
       // CC call pays round 1, and shallow duplicate graphs (pairs /
       // triangles — the common corpus case) converge in 2–3 rounds, so
       // this is a material slice of the whole iteration.
+      // node-frame dispatch (r16): the label lookup side, the
+      // neighbor-min frame and the pointer-jump frame are all ≤ |V| rows
+      // of two longs — under budget they broadcast, so the CACHED edge
+      // table never re-exchanges (the un-hinted loop paid one O(E)
+      // shuffle of `sym` per round: labels come out of a checkpoint,
+      // whose default-sized stats make the static threshold blind, and
+      // AQE's runtime rescue still writes the edge map stage first).
       val neighborMin =
         if (rounds == 1)
           sym.groupBy(col("src").as("doc_id")).agg(min("dst").as("nmin"))
         else sym
-          .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+          .join(bcN(labels.select(col("doc_id").as("dst"), col("label"))),
+            Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min("label").as("nmin"))
       // pointer jump: my label's own current label (labels is keyed by
       // doc_id and labels are doc ids, so this is a self-join on label)
       val hop = labels.select(col("doc_id").as("label"), col("label").as("lj"))
       val obs = Observation()
-      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
-      val next = (if (rounds == 1) joined.withColumn("lj", col("label"))
-                  else joined.join(hop, Seq("label"), "left"))
+      val joined = labels.join(bcN(neighborMin), Seq("doc_id"), "left")
+      val next0 = (if (rounds == 1) joined.withColumn("lj", col("label"))
+                  else joined.join(bcN(hop), Seq("label"), "left"))
         .select(col("doc_id"),
           least(col("label"),
             coalesce(col("nmin"), col("label")),
@@ -226,7 +250,14 @@ object Corpus {
             coalesce(col("lj"), col("label"))) < col("label"))
             .cast("long").as("chg"))
         .observe(obs, sum(col("chg")).as("changed"))
-        .localCheckpoint()
+      if (explainRounds)
+        // dev-only plan capture: the loop's OUTPUT is checkpoint-backed,
+        // so PlanAudit over the returned frame can never show the
+        // per-round join strategy — this prints it where plans/r16
+        // evidence is cut
+        System.err.println(s"[cc round $rounds]\n" + next0.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+      val next = next0.localCheckpoint()
       changed = obs.get("changed") match {
         case null => 0L
         case n: java.lang.Number => n.longValue()
@@ -258,11 +289,14 @@ object Corpus {
     *
     * Scale posture: per round ONE join of the (src, dst, outdeg) edge
     * table against the node-sized rank table and one map-side-combinable
-    * sum by dst — the canonical iterative join-agg. No broadcast hints
-    * (AQE size-gates the rank side); `localCheckpoint` truncates the
-    * per-round lineage exactly as in [[connectedComponentsWithStats]].
-    * The only driver-side value is |V| — a scalar in the formula, not a
-    * data collect.
+    * sum by dst — the canonical iterative join-agg. The rank/degree/
+    * inflow sides ride [[dispatchNodeFrame]]'s measured regime (r16):
+    * checkpointed rank frames carry default-sized stats, so without the
+    * closed-form dispatch the loop re-shuffled the cached O(E) edge
+    * table every round; `localCheckpoint` truncates the per-round
+    * lineage exactly as in [[connectedComponentsWithStats]]. The only
+    * driver-side value is |V| — a scalar in the formula, not a data
+    * collect (and the same count feeds the dispatch for free).
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame =
@@ -280,6 +314,23 @@ object Corpus {
     * (fixed-horizon unrolling is for the oracle twin; production runs
     * until the graph says it's done). Returns (ranks, rounds taken);
     * `maxRounds` bounds pathological graphs.
+    *
+    * Fixed-horizon mode (eps < 0 — the [[pageRank]] entry): no
+    * convergence metric is read, so the per-round action, Observation
+    * and checkpoint are pure overhead and the loop builds ONE LAZY plan
+    * instead (r16). The rank update joins the STATIC id frame against
+    * the round's inflow — never the previous rank frame directly — so
+    * round k's subtree appears exactly once inside round k+1 (linear
+    * plan growth, no exponential re-execution, no lineage to truncate
+    * at a 3-round horizon). The caller's single terminal action then
+    * runs every round in one job: 3 checkpoint write+read barriers and
+    * 3 per-round driver round-trips gone. `prev` is only read by the
+    * convergence metric, and ids == ranks ids every round, so the two
+    * formulations are column-for-column identical (GraphRegimeSpec +
+    * the x27 oracle pin it). In this mode the eDeg cache is NOT
+    * unpersisted before returning — nothing has materialized yet; it
+    * follows the caller's clearCache contract like every other
+    * query-scoped cache.
     */
   def pageRankConverged(nodes: DataFrame, edges: DataFrame,
       eps: Double = 1e-8, damping: Double = 0.85,
@@ -287,17 +338,25 @@ object Corpus {
     import graft.functions.MoneyFunctions.roundAt
     val idCol = nodes.columns.head
     val Seq(sCol, dCol) = edges.columns.take(2).toSeq
-    val deg = edges.groupBy(col(sCol).as("src")).agg(count(lit(1)).as("deg"))
-    val eDeg = edges.select(col(sCol).as("src"), col(dCol).as("dst"))
-      .join(deg, "src").cache()
     val ids = nodes.select(col(idCol).as("id"))
     val n = ids.count()
     // n = 0 would silently turn 1/n and (1-d)/n into Infinity and emit
     // NaN ranks instead of failing where the problem is
     require(n > 0, "pageRank needs a non-empty node set")
+    // node-frame dispatch (r16): degree, rank and inflow frames are all
+    // ≤ |V| rows of two fixed-width columns — |V| is already counted for
+    // the formula, so the regime decision is free, and under budget the
+    // cached edge table stays un-exchanged through every round
+    def bcN(df: DataFrame): DataFrame = dispatchNodeFrame(df, n, 2)
+    val deg = edges.groupBy(col(sCol).as("src")).agg(count(lit(1)).as("deg"))
+    val eDeg = edges.select(col(sCol).as("src"), col(dCol).as("dst"))
+      .join(bcN(deg), "src").cache()
+    val explainRounds = edges.sparkSession.conf
+      .getOption("graft.debug.graphExplain").contains("true")
     val base = (1.0 - damping) / n
+    val lazyFixed = eps < 0
     var ranks = ids.withColumn("rank", roundAt(lit(1.0 / n), 10))
-      .localCheckpoint()
+    if (!lazyFixed) ranks = ranks.localCheckpoint()
     var rounds = 0
     var moved = Double.MaxValue
     // the uniform start rank as a scala Double, bit-identical to the
@@ -310,23 +369,42 @@ object Corpus {
       // round-1 fusion — every run pays round 1)
       val inflow = (if (rounds == 1)
           eDeg.withColumn("rank", lit(r0))
-        else eDeg.join(ranks.withColumnRenamed("id", "src"), "src"))
+        else eDeg.join(bcN(ranks.withColumnRenamed("id", "src")), "src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("inflow"))
-      val obs = Observation()
-      val next = ranks.join(inflow, Seq("id"), "left")
-        .select(col("id"), col("rank").as("prev"),
-          roundAt(lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 10)
-            .as("rank"))
-        .observe(obs, max(abs(col("rank") - col("prev"))).as("moved"))
-        .localCheckpoint()
-      moved = obs.get("moved") match {
-        case null => 0.0
-        case x: java.lang.Number => x.doubleValue()
+      val update = roundAt(
+        lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 10)
+      if (lazyFixed) {
+        // lazy fixed-horizon round: join the STATIC id frame (not the
+        // previous rank frame — see the scaladoc's linear-growth
+        // argument), no action, no checkpoint, no Observation
+        ranks = ids.join(bcN(inflow), Seq("id"), "left")
+          .select(col("id"), update.as("rank"))
+        if (explainRounds)
+          System.err.println(s"[pagerank round $rounds]\n" + ranks.queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+      } else {
+        val obs = Observation()
+        val next0 = ranks.join(bcN(inflow), Seq("id"), "left")
+          .select(col("id"), col("rank").as("prev"), update.as("rank"))
+          .observe(obs, max(abs(col("rank") - col("prev"))).as("moved"))
+        if (explainRounds)
+          // dev-only plan capture — the returned frame is checkpoint-backed,
+          // so this is the only place the per-round join strategy is visible
+          System.err.println(s"[pagerank round $rounds]\n" + next0.queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+        val next = next0.localCheckpoint()
+        moved = obs.get("moved") match {
+          case null => 0.0
+          case x: java.lang.Number => x.doubleValue()
+        }
+        ranks = next.select("id", "rank")
       }
-      ranks = next.select("id", "rank")
     }
-    eDeg.unpersist()
+    // converged mode materialized every round, so the cache is spent;
+    // lazy mode hasn't run yet — the cache serves the caller's action
+    // and follows its clearCache contract
+    if (!lazyFixed) eDeg.unpersist()
     (ranks.select(col("id").as(idCol), col("rank")), rounds)
   }
 
@@ -624,6 +702,31 @@ object Corpus {
       spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("graft.verify.broadcastBudget").map(_.toLong)
       .getOrElse(math.max(Runtime.getRuntime.maxMemory() / 8, 64L << 20))
+
+  /** Measured regime dispatch for the NODE-SIZED frames inside the
+    * iterative graph loops ([[connectedComponentsWithStats]]'s label /
+    * neighbor-min / pointer-jump frames, [[pageRankConverged]]'s rank /
+    * degree / inflow frames). Every one of those frames has ≤ `rows`
+    * rows of `cols` fixed-width (long/double) columns, so its UnsafeRow
+    * footprint is exactly rows × (8-byte null bitset + 8·cols) — a
+    * closed form, no measuring scan needed (the row count is already on
+    * hand: PageRank counts |V| for its formula, CC observes it on the
+    * seed checkpoint). Under [[verifyBroadcastBudget]] the frame is
+    * hinted broadcast and the per-round edge⨝node join keeps the CACHED
+    * edge table un-exchanged (the per-round edge shuffle is the loop's
+    * dominant movement — O(E) bytes × O(log diameter) rounds); over
+    * budget the natural plan stands (AQE shuffle join — the
+    * cluster-scale regime where per-executor memory is the lever).
+    * Strict <, so the zero-budget spec knob admits nothing
+    * (PlanAuditSpec's no-hint audit reads it literally). The hint may
+    * change the PLAN, never the ANSWER — GraphRegimeSpec pins both
+    * loops' outputs equal across regimes.
+    */
+  private[graft] def dispatchNodeFrame(df: DataFrame, rows: Long,
+      cols: Int): DataFrame =
+    if (rows * (8L + 8L * cols) < verifyBroadcastBudget(df.sparkSession))
+      broadcast(df)
+    else df
 
   /** MEASURED in-memory byte estimate of a shingle-set frame (any frame
     * carrying `sh: array<string>`): one column-pruned aggregate —

@@ -429,18 +429,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(vec_id"), p)
   }
 
-  test("x27's per-round plan is an equi-join + partial agg, hint-free, no cartesian") {
-    // the FINAL round's plan stands for every round (identical shape;
-    // earlier rounds are materialized localCheckpoint blocks): the
-    // edge⨝rank join must be a key equi-join the planner is free to
-    // re-strategize (edges grow O(graph) — a hard-coded hint would pin
-    // a 100 TB broadcast), and the inflow sum must keep its partial
-    // (map-side) phase.
+  test("x27's per-round plan is an equi-join + partial agg, measured hints only, no cartesian") {
+    // r16: the fixed-horizon loop is one lazy plan (no checkpoints), so
+    // ALL three rounds' joins are visible here. The rank/degree/inflow
+    // sides hint only through Corpus.dispatchNodeFrame's measured
+    // closed-form bytes — under a ZERO budget no hint may survive (a
+    // hint surviving zero budget is by construction hard-coded: the
+    // disease this audit exists to catch — edges grow O(graph) and a
+    // pinned broadcast would die at the 100 TB decade), and under the
+    // default budget the sf0.001 node frames fit, so the dispatch MUST
+    // fire. No cartesian in either regime.
+    spark.conf.set("graft.verify.broadcastBudget", "0")
+    val (lp0, p0) = try {
+      val q = SparkEntry.queries("x27_pagerank")(spark, dir)
+      (q.queryExecution.analyzed.toString,
+        q.queryExecution.explainString(FormattedMode))
+    } finally {
+      spark.conf.unset("graft.verify.broadcastBudget")
+      spark.catalog.clearCache()
+    }
+    assert(!lp0.contains("ResolvedHint"),
+      s"x27 hard-codes a join-strategy hint (survives zero budget):\n$lp0")
+    assert(!p0.toLowerCase.contains("cartesian"), p0)
     val q = SparkEntry.queries("x27_pagerank")(spark, dir)
-    val lp = q.queryExecution.analyzed.toString
-    assert(!lp.contains("ResolvedHint"), lp)
-    val p = q.queryExecution.explainString(FormattedMode)
-    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert(q.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "x27's measured dispatch must hint when the node frames fit the budget")
+    assert(!q.queryExecution.explainString(FormattedMode)
+      .toLowerCase.contains("cartesian"))
   }
 
   test("j11's interval lookup is a user-keyed equi-join with containment residual, no cartesian") {
