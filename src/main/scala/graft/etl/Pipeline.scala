@@ -110,13 +110,23 @@ object Pipeline {
 
     val fact = Transform.toFactTransactions(
       sales, expenses, payroll, inventory, fx, settings.baseCurrency)
-    val kpi = Transform.kpiMonthly(fact, dimAccounts)
 
     val outFact = s"$curatedDir/fact_transactions.parquet"
     val outDim = s"$curatedDir/dim_accounts.parquet"
     val outKpi = s"$curatedDir/kpi_monthly.parquet"
     EtlIO.writeParquet(fact, outFact)
     EtlIO.writeParquet(dimAccounts, outDim)
+    // KPI derives from the JUST-WRITTEN fact artifact (r16): `fact` is
+    // consumed twice (its own sink + the KPI aggregation), and un-cached
+    // that re-ran the whole five-source coerce→window→union→fx
+    // transform per consumer. Reading the materialized artifact back is
+    // the production shape — the close's fact table IS the durable
+    // output downstream reads — and costs one columnar scan instead of
+    // a second transform (or a fact-sized cache pinning executor
+    // memory; parquet round-trips the decimal/date/string columns
+    // exactly, so kpi_monthly is byte-identical — GoldenParitySpec).
+    val kpi = Transform.kpiMonthly(
+      spark.read.parquet(outFact), dimAccounts)
     EtlIO.writeParquet(kpi, outKpi)
 
     validated.foreach(_._4.unpersist())
