@@ -136,6 +136,13 @@ object EventQueries {
       val sets = ev.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
       Multimodal.verifySetPairs(cand, sets, minShared = 2)
     }
+    // NOT cached (r16, measured): both pair frames are consumed twice
+    // (count aggregate + keeper stats), but each consumer's subtree ends
+    // at the same pair-agg shuffle, so ReusedExchange already dedupes
+    // the work within the one report plan — a cache only added write
+    // overhead (m5 A/B regressed; contrast x12/x35, whose shared
+    // subtrees sit behind broadcast-only chains with no reusable
+    // exchange).
     val truth = pairsUnder(Multimodal.FRAME_TRUTH_DF_CAP)
     val capped =
       if (boundedRule) boundedPairs() else pairsUnder(Multimodal.FRAME_DF_CAP)
