@@ -403,7 +403,21 @@ object Bench {
          else "") +
         (if (allHotEntries.nonEmpty)
           s""""all_hot_entries":${nameArr(allHotEntries)},""" else "")
-    val common = s"""$incomplete$extraJson$subsetJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"approx_production_shape":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
+    // train/serve split (r17, r16 verdict item 7 — additions-only): the
+    // per-(process, sf dir) artifacts (posting index, LSH segments,
+    // codebooks, BPE merges) train in whichever pass calls FIRST and
+    // serve warm afterwards, so min-of-passes entries report steady-state
+    // serving. These fields record the absorbed training seconds per
+    // artifact family so the per-query numbers can never silently mix
+    // cold-train and warm-serve reps.
+    val trainSnap = graft.core.TrainLog.snapshot
+    val trainJson = if (trainSnap.isEmpty) "" else
+      s""""artifact_train_sec":${trainSnap.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},"""
+    val trainTotalJson =
+      if (trainSnap.isEmpty) ""
+      else s""""train_sec_total":${fmt(graft.core.TrainLog.totalSec)},"""
+    val common = s"""$incomplete$extraJson$subsetJson$trainTotalJson"unit":"sec","reps":$reps,"headline_reps":${math.max(reps, 3)},"interleaved":true,"approx_production_shape":true,"loadavg":$loadJson,"noise":${fmt(noise)},"errors":$errJson,"sf":$sfNum"""
     val phasesJson = phaseMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // The battery's own self-load profile (r12 verdict item 7): the
@@ -422,7 +436,7 @@ object Bench {
         s""""p50":${fmt(loadPct(0.5))},"p90":${fmt(loadPct(0.9))},""" +
         s""""max":${fmt(entryLoads.last)}},"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"quiet_total":${fmt(quietTotal)},$selfLoadJson$common,"phases":$phasesJson,"queries":${qmap(results, _._1)},"queries_quiet":${qmap(results, _._3)},"spread":${qmap(results, _._2)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"quiet_total":${fmt(quietTotal)},$selfLoadJson$trainJson$common,"phases":$phasesJson,"queries":${qmap(results, _._1)},"queries_quiet":${qmap(results, _._3)},"spread":${qmap(results, _._2)}}"""
     val short0 = results.filter(r => headline.contains(r._1))
     val short =
       s"""{"metric":"total","value":${fmt(total)},"quiet_total":${fmt(quietTotal)},$common,"phases":$phasesJson,"queries":${qmap(short0, _._1)},"queries_full":"BENCH_LOCAL.json"}"""

@@ -50,6 +50,17 @@ object Sessions {
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" warning: AUDITED r17 — every
+    // unpartitioned window in this repo is report- or dimension-sized by
+    // construction (Validator's per-partition offset table, StarSchema /
+    // j5 / w1 bounded dims, t-family alphabet²-sized aggregates, per-day
+    // report tails), so the flood of known-benign repeats was drowning
+    // the one signal that would matter (an unpartitioned window over a
+    // corpus-sized frame). Silenced at the logger; new windows are
+    // guarded by review + PlanAudit instead of log noise.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

@@ -295,7 +295,7 @@ object DedupQueries {
     */
   private[queries] def containmentCandidatesFrom(postings0: DataFrame,
       t: Double, maxLenRatio: Option[Double] = None,
-      posFilter: Boolean = true): DataFrame = {
+      posFilter: Boolean = true, matchRows: Option[Long] = None): DataFrame = {
     val tEff = t - 1e-6
     // one physical posting build feeds both sides (x4's cache pattern):
     // the replicated full index is cached; the probe side is its
@@ -309,6 +309,31 @@ object DedupQueries {
     val a = b.filter(
       col("rn") <= (floor(col("n") * lit(1.0 - tEff)) + 1).cast("int") &&
       col("salt") === pmod(col("doc_id"), col("nsalt")))
+    // MEASURED width dispatch (r17 — m6's r16 exchange-sizing discipline
+    // applied to the one stage that still spilled at sf10: the prefix-
+    // candidate join's SMJ sorts + the pair distinct, r15 StageProfile).
+    // The stage's cost is its OUTPUT fan-out (Σ_probe df match rows
+    // feeding the residual predicates and the pair distinct), but AQE
+    // sizes it by its INPUT bytes — MBs of posting rows — so at scale a
+    // handful of tasks absorb a 10⁸-row working set (the r15 global
+    // partition raise moved x20 only 13%: AQE coalesced the raise right
+    // back). Callers on the write-once shared artifact pass the memoized
+    // Σ_probe df ([[sharedProbeMatchRows]]); when the measured fan-out
+    // exceeds what the session default width gives ~1M match rows per
+    // task, BOTH candidate exchanges are repartitioned explicitly —
+    // user-specified partitioning AQE must honor; the pair repartition
+    // IS the distinct's exchange (HashPartitioning on the dedup keys
+    // satisfies the aggregate's distribution), so this widens existing
+    // shuffles rather than adding one. Below that, the natural plan
+    // stands untouched (this battery's SFs; callers passing None — e.g.
+    // x32's per-run sampled index — keep the natural plan always).
+    val baseWidth = postings0.sparkSession.sessionState.conf.numShufflePartitions
+    val width = matchRows.map(m => math.min(4096L,
+      math.max(baseWidth.toLong, m / 1000000L)).toInt).getOrElse(baseWidth)
+    val aSized =
+      if (width > baseWidth)
+        a.repartition(width, col("lang"), col("shingle"), col("salt"))
+      else a
     // probe from EITHER side's prefix, normalize to doc_a < doc_b, dedup
     // candidates. The AllPairs size-ordering refinement — probe only from
     // the (n, doc_id)-smaller side, valid because containment at t
@@ -358,12 +383,15 @@ object DedupQueries {
     val probeSide =
       if (postings0.sparkSession.conf
           .getOption("graft.candidate.shuffleHash").contains("true"))
-        a.hint("SHUFFLE_HASH")
-      else a
-    probeSide.as("a").join(b.as("b"),
+        aSized.hint("SHUFFLE_HASH")
+      else aSized
+    val pairs0 = probeSide.as("a").join(b.as("b"),
       if (posFilter) cond && posBound >= posReq else cond)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    (if (width > baseWidth)
+       pairs0.repartition(width, col("doc_a"), col("doc_b"))
+     else pairs0)
       .distinct()
   }
 
@@ -858,6 +886,36 @@ object DedupQueries {
     sharedSetBytesCache.computeIfAbsent(dir, _ => java.lang.Long.valueOf(
       graft.corpus.Corpus.setFrameBytes(sharedShingledDocs(s, dir)))).longValue
 
+  /** the shared artifact's measured candidate-join MATCH VOLUME at
+    * threshold t — Σ over probe-prefix postings of their (lang, shingle)
+    * df, which is EXACTLY the row count the prefix join emits before its
+    * residual predicates (each probe row meets the df index postings of
+    * its key once: the build side replicates every posting to all salts
+    * and the probe row carries one). This is the statistic that sizes
+    * the candidate exchanges (m6's r16 lesson, applied here per the r16
+    * verdict: the join stage's cost is its OUTPUT fan-out, but AQE sizes
+    * the stage by its INPUT bytes — a few MB of posting rows — and
+    * coalesces the salted partitions right back together; the r15
+    * global-partition-raise A/B moved x20's residual spill only 13%
+    * because AQE re-coalesced what the raise spread). Once per
+    * (process, sf dir, t): the artifact is write-once, so the volume
+    * can't change under a fixed threshold — same memo discipline as
+    * [[sharedSetFrameBytes]].
+    */
+  private val sharedProbeVolumes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[queries] def sharedProbeMatchRows(s: SparkSession, dir: String,
+      t: Double): Long =
+    sharedProbeVolumes.computeIfAbsent(dir + "@" + t, _ => {
+      val tEff = t - 1e-6
+      val r = sharedIndexedPostings(s, dir)
+        .filter(col("df") >= 2 &&
+          col("rn") <= (floor(col("n") * lit(1.0 - tEff)) + 1).cast("int"))
+        .agg(coalesce(sum("df"), lit(0L))).first()
+      java.lang.Long.valueOf(if (r.isNullAt(0)) 0L else r.getLong(0))
+    }).longValue
+
   /** one materialized cluster table per (session, sf dir) for x17: the
     * keeper POLICY is a window over an existing cluster table, and in
     * production that table is materialized once (x11) and consumed by
@@ -967,7 +1025,12 @@ object DedupQueries {
       val again = map.get(key)
       if (again != null) again
       else {
+        // the build second is the artifact's TRAINING cost, absorbed by
+        // whichever query calls first — recorded per family so the bench
+        // can emit the train/serve split (graft.core.TrainLog, r17)
+        val t0 = System.nanoTime()
         val v = build
+        graft.core.TrainLog.record(lockTag, (System.nanoTime() - t0) / 1e9)
         map.put(key, v)
         v
       }
@@ -1536,7 +1599,8 @@ object DedupQueries {
         val docs = sharedShingledDocs(s, dir).cache()
         jaccardVerify(
           containmentCandidatesFrom(sharedIndexedPostings(s, dir), t,
-            maxLenRatio = Some(1.0 / (t - 1e-6))),
+            maxLenRatio = Some(1.0 / (t - 1e-6)),
+            matchRows = Some(sharedProbeMatchRows(s, dir, t))),
           docs, t, Some(sharedSetFrameBytes(s, dir)))
           .orderBy("doc_a", "doc_b")
       },
@@ -1566,7 +1630,8 @@ object DedupQueries {
         // note); only the 0.4-prefix cut + verify are this query's own.
         val docs = sharedShingledDocs(s, dir).cache()
         containmentVerify(
-          containmentCandidatesFrom(sharedIndexedPostings(s, dir), 0.4),
+          containmentCandidatesFrom(sharedIndexedPostings(s, dir), 0.4,
+            matchRows = Some(sharedProbeMatchRows(s, dir, 0.4))),
           docs.select(col("doc_id"), col("sh"), col("n")), 0.4,
           Some(sharedSetFrameBytes(s, dir)))
           .orderBy("doc_a", "doc_b")

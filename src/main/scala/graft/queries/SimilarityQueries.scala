@@ -709,6 +709,11 @@ object SimilarityQueries {
     * cb0 → asg0 → cb1 chain in SQL, so the artifact path is re-proved
     * cross-engine on each run. AnnRecallSpec and AnnIndex keep calling
     * [[pqCodebook]] directly where they train over non-corpus frames.
+    * ASSUMPTION (r16 ADVICE): the artifact is keyed by DIR but trained
+    * with whichever SparkSession called first — valid under the
+    * single-session harness (Verify/Bench/CLI/tests all run one session
+    * per process); a multi-session JVM with per-session conf that
+    * changes the training inputs would need a (session, dir) key.
     */
   private val pqCbDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

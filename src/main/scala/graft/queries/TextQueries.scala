@@ -1001,7 +1001,9 @@ object TextQueries {
     * stop marker is an EMPTY frame, so it contributes no rows and the
     * collected list is exactly the applied merges). t18 keeps in-query
     * training — it IS the training operator; its oracle re-derives the
-    * chain in SQL each run.
+    * chain in SQL each run. Keyed by DIR, trained by the first calling
+    * session — the single-session-per-process assumption documented at
+    * SimilarityQueries.sharedPqCodebook applies here too (r16 ADVICE).
     */
   private val bpeDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -48,10 +48,11 @@ class GraphRegimeSpec extends SparkSpec {
       Corpus.dispatchNodeFrame(f, rows, 2)
         .queryExecution.analyzed.toString.contains("ResolvedHint")
     }
-    // 2-col rows are 8 + 2·8 = 24 bytes: 10 rows hint strictly under 241,
-    // not at 240 (strict <, so the zero-budget knob admits nothing)
-    assert(hinted(10L, 241L), "10×24 B must hint under a 241 B budget")
-    assert(!hinted(10L, 240L), "strict <: 240 B of rows at a 240 B budget")
+    // 2-col rows are 8 + 2·8 = 24 bytes, charged the documented 3× hash-
+    // relation multiplier (r17): 10 rows cost 720 — hint strictly under
+    // 721, not at 720 (strict <, so the zero-budget knob admits nothing)
+    assert(hinted(10L, 721L), "10×24×3 B must hint under a 721 B budget")
+    assert(!hinted(10L, 720L), "strict <: 720 B charged at a 720 B budget")
     assert(!hinted(0L, 0L), "an empty frame must not satisfy budget 0")
   }
 
