@@ -25,6 +25,18 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing floor (r17, measured): the default 1 MB floor
+      // coalesces KB-sized-but-COMPUTE-heavy exchanges to one task — at
+      // sf0.1 the x2 verify stages (1.3 MB of candidate rows carrying
+      // seconds of array-intersect work) ran 1-task, serializing 31 of
+      // 32 cores; the same input-bytes-vs-work mismatch m6's measured
+      // exchange sizing closed (a stage's bytes are not its cost). 64 KB
+      // only binds when a stage's total bytes are below cores × 1 MB —
+      // at cluster scale such stages are report tails either way, while
+      // parallelismFirst (default true) still targets the session
+      // parallelism and advisoryPartitionSizeInBytes governs all real
+      // volumes, so large-scale behavior is unchanged.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Reference parity: pandas coerces bad casts to NaN and divides by
       // zero to inf/NaN instead of raising (SURVEY §7.4) — ANSI off gives
