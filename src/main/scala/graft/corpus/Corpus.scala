@@ -360,16 +360,21 @@ object Corpus {
     * Fixed-horizon mode (eps < 0 — the [[pageRank]] entry): no
     * convergence metric is read, so the per-round action, Observation
     * and checkpoint are pure overhead and the loop builds ONE LAZY plan
-    * instead (r16). The rank update joins the STATIC id frame against
-    * the round's inflow — never the previous rank frame directly — so
-    * round k's subtree appears exactly once inside round k+1 (linear
+    * instead (r16). The recursion runs on the INFLOW frame (r17):
+    * round k+1 LEFT-joins the edge table with round k's inflow and
+    * applies the rank update inline (absent sources take the base rank
+    * via the update's coalesce — what the per-round ids join used to
+    * provide), and the |V|-row ids join runs once after the loop. Each
+    * round's subtree appears exactly once inside round k+1 (linear
     * plan growth, no exponential re-execution, no lineage to truncate
-    * at a 3-round horizon). The caller's single terminal action then
-    * runs every round in one job: 3 checkpoint write+read barriers and
-    * 3 per-round driver round-trips gone. `prev` is only read by the
-    * convergence metric, and ids == ranks ids every round, so the two
-    * formulations are column-for-column identical (GraphRegimeSpec +
-    * the x27 oracle pin it). In this mode the eDeg cache is NOT
+    * at a 3-round horizon), and each round costs ONE broadcast-exchange
+    * build on the critical path instead of two. The caller's single
+    * terminal action then runs every round in one job: 3 checkpoint
+    * write+read barriers and 3 per-round driver round-trips gone.
+    * `prev` is only read by the convergence metric, and every edge src
+    * is a node id (the round-1 fusion already relies on this), so the
+    * two formulations are column-for-column identical (GraphRegimeSpec
+    * + the x27 oracle pin it). In this mode the eDeg cache is NOT
     * unpersisted before returning — nothing has materialized yet; it
     * follows the caller's clearCache contract like every other
     * query-scoped cache.
@@ -404,26 +409,45 @@ object Corpus {
     // the uniform start rank as a scala Double, bit-identical to the
     // roundAt column above (same floor(x*1e10+0.5)/1e10 arithmetic)
     val r0 = math.floor(1.0 / n * 1e10 + 0.5) / 1e10
+    // the rank-update formula over a (possibly null) inflow column —
+    // constant across rounds, shared by both modes
+    val update = roundAt(
+      lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 10)
+    // lazy mode (r17) recurses on the INFLOW frame, not the rank frame:
+    // the |V|-row ids join runs ONCE after the loop, so each round costs
+    // one broadcast build (its inflow aggregate) instead of two
+    // (inflow + the ids⨝inflow rank frame) — K fewer sequential
+    // broadcast-exchange jobs on the lazy plan's critical path
+    var lastInflow: DataFrame = null
     while (moved > eps && rounds < maxRounds) {
       rounds += 1
       // round 1 runs on the uniform rank, so the edge⨝rank join is a
       // constant lookup: aggregate the edge table directly (same CC
       // round-1 fusion — every run pays round 1)
-      val inflow = (if (rounds == 1)
-          eDeg.withColumn("rank", lit(r0))
-        else eDeg.join(bcN(ranks.withColumnRenamed("id", "src")), "src"))
+      val withRank =
+        if (rounds == 1) eDeg.withColumn("rank", lit(r0))
+        else if (lazyFixed)
+          // lazy round k ≥ 2: attach rank = update(inflow_{k−1}) on the
+          // edge table via a LEFT join with the previous inflow — sources
+          // absent from it take the base rank through update's coalesce,
+          // exactly what the ids⨝inflow rank frame used to provide. Every
+          // eDeg src IS a node id (edges are built over the node set; the
+          // round-1 fusion above already relies on this), so the
+          // inner-join-with-ranks filter this replaces was a no-op.
+          eDeg.join(bcN(lastInflow.withColumnRenamed("id", "src")),
+              Seq("src"), "left")
+            .withColumn("rank", update)
+        else eDeg.join(bcN(ranks.withColumnRenamed("id", "src")), "src")
+      val inflow = withRank
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("inflow"))
-      val update = roundAt(
-        lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)), 10)
       if (lazyFixed) {
-        // lazy fixed-horizon round: join the STATIC id frame (not the
-        // previous rank frame — see the scaladoc's linear-growth
-        // argument), no action, no checkpoint, no Observation
-        ranks = ids.join(bcN(inflow), Seq("id"), "left")
-          .select(col("id"), update.as("rank"))
+        // lazy fixed-horizon round: no action, no checkpoint, no
+        // Observation — the round's subtree appears exactly once inside
+        // round k+1 (linear plan growth)
+        lastInflow = inflow
         if (explainRounds)
-          System.err.println(s"[pagerank round $rounds]\n" + ranks.queryExecution
+          System.err.println(s"[pagerank round $rounds]\n" + inflow.queryExecution
             .explainString(org.apache.spark.sql.execution.FormattedMode))
       } else {
         val obs = Observation()
@@ -443,6 +467,12 @@ object Corpus {
         ranks = next.select("id", "rank")
       }
     }
+    if (lazyFixed && lastInflow != null)
+      // the single deferred ids join: node ids with no inflow at the
+      // final round surface with the base rank, exactly as the per-round
+      // ids join produced them (rounds = 0 keeps the uniform start frame)
+      ranks = ids.join(bcN(lastInflow), Seq("id"), "left")
+        .select(col("id"), update.as("rank"))
     // converged mode materialized every round, so the cache is spent;
     // lazy mode hasn't run yet — the cache serves the caller's action
     // and follows its clearCache contract

@@ -36,6 +36,14 @@ object Pipeline {
 
     val mode = FailOn.normalize(failOn)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(curatedDir))
+    // phase labels (guide §1.5): job descriptions are thread-local and
+    // cost nothing; they exist so listener-based attribution (Probe) can
+    // split the close's ~100 AQE-future jobs by pipeline phase
+    val sc = spark.sparkContext
+    def phase[T](name: String)(body: => T): T = {
+      sc.setJobDescription(s"close: $name")
+      try body finally sc.setJobDescription(null)
+    }
 
     // reference COA → dim_accounts (pipeline.py:69–75)
     val coa = EtlIO.readCsv(spark, s"$referenceDir/chart_of_accounts.csv", Schemas.chartOfAccounts)
@@ -65,10 +73,14 @@ object Pipeline {
     }
     val typedByName = validated.map(v => v._1 -> v._2).toMap
 
-    // RI checks on sales/expenses (pipeline.py:126–127)
+    // RI checks on sales/expenses (pipeline.py:126–127) — over the
+    // CACHED coerced frames, whose coerce-time __idx ranks by the same
+    // natural keys the RI order used (r17): no second global-index
+    // derivation (range sample + exchange + window) per table
+    val coercedByName = validated.map(v => v._1 -> v._4).toMap
     val riChecks = Seq(
-      Validator.accountInCoa(typedByName("sales"), "sales", dimAccounts, Seq("entity", "invoice_id")),
-      Validator.accountInCoa(typedByName("expenses"), "expenses", dimAccounts, Seq("entity", "bill_id")))
+      Validator.accountInCoaIndexed(coercedByName("sales"), "sales", dimAccounts),
+      Validator.accountInCoaIndexed(coercedByName("expenses"), "expenses", dimAccounts))
 
     val allExceptions = (validated.map(_._3) ++ riChecks).reduce(_.unionByName(_))
     // exception frames are audit-sized by CONTRACT (human-readable output,
@@ -91,9 +103,10 @@ object Pipeline {
     val exPath = s"$curatedDir/dq_exceptions.csv"
     val sumPath = s"$curatedDir/dq_summary.csv"
     val summary = Dq.summaryTable(spark, withSeverity, mode)
-    EtlIO.writeSingleCsv(withSeverity, exPath)
-    EtlIO.writeSingleCsv(summary, sumPath)
-    if (Dq.overallStatus(withSeverity, mode) == "FAIL" && mode != FailOn.Never)
+    phase("dq-exceptions")(EtlIO.writeSingleCsv(withSeverity, exPath))
+    phase("dq-summary")(EtlIO.writeSingleCsv(summary, sumPath))
+    if (phase("dq-gate")(Dq.overallStatus(withSeverity, mode)) == "FAIL" &&
+        mode != FailOn.Never)
       throw DqGateFailedException(exPath, sumPath)
 
     // month window filter (pipeline.py:164–170)
@@ -114,8 +127,8 @@ object Pipeline {
     val outFact = s"$curatedDir/fact_transactions.parquet"
     val outDim = s"$curatedDir/dim_accounts.parquet"
     val outKpi = s"$curatedDir/kpi_monthly.parquet"
-    EtlIO.writeParquet(fact, outFact)
-    EtlIO.writeParquet(dimAccounts, outDim)
+    phase("fact-write")(EtlIO.writeParquet(fact, outFact))
+    phase("dim-write")(EtlIO.writeParquet(dimAccounts, outDim))
     // KPI derives from the JUST-WRITTEN fact artifact (r16): `fact` is
     // consumed twice (its own sink + the KPI aggregation), and un-cached
     // that re-ran the whole five-source coerce→window→union→fx
@@ -127,7 +140,7 @@ object Pipeline {
     // exactly, so kpi_monthly is byte-identical — GoldenParitySpec).
     val kpi = Transform.kpiMonthly(
       spark.read.parquet(outFact), dimAccounts)
-    EtlIO.writeParquet(kpi, outKpi)
+    phase("kpi-write")(EtlIO.writeParquet(kpi, outKpi))
 
     validated.foreach(_._4.unpersist())
     withSeverity.unpersist()

@@ -153,6 +153,20 @@ object Validator {
     */
   def accountInCoa(df: DataFrame, dataset: String, coaCodes: DataFrame, orderKeys: Seq[String]): DataFrame = {
     val indexed = withGlobalIndex(df, orderKeys.map(col), "__idx")
+    accountInCoaIndexed(indexed, dataset, coaCodes)
+  }
+
+  /** [[accountInCoa]] over a frame that ALREADY carries the coerce-time
+    * `__idx` (r17): the pipeline's RI checks used to re-derive a global
+    * index — a second range-sample pass, range exchange and window sort
+    * over the two biggest tables — when [[coerce]] had already ranked
+    * the same rows by the SAME natural keys ([[indexOrder]] puts
+    * `orderKeys` first; the remaining columns only break ties, which the
+    * orderKeys-only rank left arbitrary). Reusing it drops both chains
+    * from the close's critical path at identical output.
+    */
+  def accountInCoaIndexed(indexed: DataFrame, dataset: String,
+      coaCodes: DataFrame): DataFrame = {
     indexed
       .join(broadcast(coaCodes.select(col("account_code").cast("string").as("account_code"))),
         Seq("account_code"), "left_anti")

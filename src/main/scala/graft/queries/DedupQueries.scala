@@ -1160,10 +1160,21 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+    // single-pass report (r17): the old shape ran THREE terminal
+    // aggregates — n_exact on the main plan plus n_cand / n_hit as
+    // broadcast-subquery jobs — so the exact subtree executed twice
+    // (count + semi-join probe) and the cand subtree twice (count +
+    // semi-join build), ~1.8 s per duplicated subtree at sf0.1. A FULL
+    // OUTER join of the two (distinct-keyed) pair sets carries all
+    // three counts in one pass over each subtree: every exact row
+    // appears exactly once (cand is key-distinct, so the join can't
+    // fan out), n_hit = rows present on both sides = the semi-join
+    // count, and the lossless-ness of the counts is pinned by the
+    // unchanged DuckDB oracle.
+    exact.withColumn("e", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "full")
+      .agg(count(col("e")).as("n_exact"), count(col("c")).as("n_cand"),
+        count(when(col("e").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
       .withColumn("recall",
         when(col("n_exact") === 0, lit(1.0))
           .otherwise(col("n_hit").cast("double") / col("n_exact")))

@@ -1050,6 +1050,28 @@ object RelationalQueries {
         // sf0.1 is 225M levenshtein calls — the spec carries the
         // losslessness proof instead).
         val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+        // dist-0 / dist-1 SPLIT (r17): equal names are distance 0 by
+        // EQUALITY — they need no variant machinery at all, yet in the
+        // unsplit shape every equal-name pair matched on ~13 distinct
+        // shared variants, multiplying the candidate join's fan-out and
+        // the pair distinct's per-task state by that factor on exactly
+        // the duplicate-heavy keys (measured at the 10× scale fixture:
+        // the candidate stage held 4.6 GB memory + 372 MB disk spill
+        // from 47 MB of input — m6's output-fan-out-vs-input-bytes
+        // mismatch, cured here by not generating the fan-out). Branch
+        // (a) emits equal-name pairs from one name-equality self-join;
+        // branch (b) keeps the FastSS variant join for different names
+        // only (dist exactly 1), whose survivors are sparse by nature.
+        // Union ≡ the unsplit output: same name ⟺ dist 0 (branch a,
+        // never b — the join requires name inequality); different names
+        // at dist 1 share a delete-1 variant (FastSS losslessness,
+        // FuzzyJoinSpec) and land in b with banded dist = 1; dist ≥ 2
+        // passes neither filter.
+        val exactPairs = c.as("a").join(c.as("b"),
+            col("a.c_name") === col("b.c_name") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .select(col("a.c_custkey").as("key_a"),
+            col("b.c_custkey").as("key_b"), lit(0L).as("dist"))
         // (key, variant) DISTINCT before the join: deleting different
         // chars of a repeated run yields the SAME variant (each zero-run
         // name repeats ~6 of its 19 variants), and duplicate variant
@@ -1063,19 +1085,22 @@ object RelationalQueries {
           .distinct()
         val cand = variants.as("a").join(variants.as("b"),
             col("a.variant") === col("b.variant") &&
-              col("a.c_custkey") < col("b.c_custkey"))
+              col("a.c_custkey") < col("b.c_custkey") &&
+              col("a.c_name") =!= col("b.c_name"))
           .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
             col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
           .distinct()
-        cand
+        val nearPairs = cand
           // threshold overload = BANDED DP (k=1 diagonal band, ~3 cells
           // per row vs the full n×m matrix; returns -1 above the
           // threshold). Full-DP verify measured 3× slower on the same
           // candidates — at 100 TB the verify stage dominates, so the
-          // band IS the scale lever.
+          // band IS the scale lever. Different names ⇒ dist ≥ 1, so the
+          // surviving band value is exactly 1.
           .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
-          .filter(col("dist") >= 0 && col("dist") <= 1)
+          .filter(col("dist") === 1)
           .select("key_a", "key_b", "dist")
+        exactPairs.unionByName(nearPairs)
           .orderBy("key_a", "key_b")
       },
       Some("""WITH v AS (

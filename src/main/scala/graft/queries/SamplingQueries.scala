@@ -156,15 +156,27 @@ object SamplingQueries {
             md5(col("text")).as("digest")).cache()
         val evalSig = Corpus.bandSignatures(sh.filter(col("split") =!= "train"))
         val trainSig = Corpus.bandSignatures(sh.filter(col("split") === "train"))
-        val cand = evalSig.as("a").join(trainSig.as("b"),
+        val cand0 = evalSig.as("a").join(trainSig.as("b"),
             col("a.band_id") === col("b.band_id") &&
               col("a.band_key") === col("b.band_key"))
           .select(col("a.doc_id").as("eval_id"), col("b.doc_id").as("train_id"))
           .dropDuplicates("eval_id", "train_id")
+        // verify-side regime dispatch (r17): the two shingle-set lookups
+        // used to ride Spark's static estimate, which at decade 3 flips
+        // them to SortMergeJoin and drags the sh ARRAYS through sorts —
+        // the exact r13 failure dispatchVerifySets closed for x2/x4/x20
+        // (547 s / 314 GB spill vs 87 s / 0 at sf3). One measured byte
+        // statistic picks broadcast / candidate-pruned / natural; both
+        // verify joins share one exchange; output identical in every
+        // regime (the oracle + VerifyRegimeSpec discipline). Caches fall
+        // under the caller's clearCache contract.
+        val sets = sh.select(col("doc_id"), col("sh"), col("digest"))
+        val (cand, side, _) = Corpus.dispatchVerifySets(cand0,
+          Seq("eval_id", "train_id"), sets, Corpus.setFrameBytes(sets))
         cand
-          .join(sh.select(col("doc_id").as("eval_id"), col("sh").as("sha"),
+          .join(side.select(col("doc_id").as("eval_id"), col("sh").as("sha"),
             col("digest").as("da")), Seq("eval_id"))
-          .join(sh.select(col("doc_id").as("train_id"), col("sh").as("shb"),
+          .join(side.select(col("doc_id").as("train_id"), col("sh").as("shb"),
             col("digest").as("db")), Seq("train_id"))
           .withColumn("jaccard",
             roundAt(graft.functions.JaccardSimilarity(col("sha"), col("shb")), 6))

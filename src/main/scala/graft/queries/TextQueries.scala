@@ -514,9 +514,18 @@ object TextQueries {
         // corpus; x4's salt fan-out applies as-is if a boilerplate run
         // ever makes a window's df hot.
         val W = 32
-        val wins = Tables.documents(s, dir)
+        // cached per-doc hash ARRAYS (r17): the df aggregate and the
+        // posting probe are different subtrees (partial-agg exchange vs
+        // broadcast-join probe), so ReusedExchange cannot dedupe them and
+        // the O(n)-per-row rolling hash + explode ran twice over every
+        // document. Caching the compact array form (longs, pre-explode)
+        // hashes each text once; MEMORY_AND_DISK degrades gracefully at
+        // scale and the frame dies with the caller's clearCache contract.
+        val hashed = Tables.documents(s, dir)
           .select(col("doc_id"),
-            explode(array_distinct(expr(s"rolling_hash_windows(text, $W)"))).as("h"))
+            array_distinct(expr(s"rolling_hash_windows(text, $W)")).as("hs"))
+          .cache()
+        val wins = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
         val shared = wins.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > 1)
         val posting = wins.join(shared.select("h"), Seq("h"))

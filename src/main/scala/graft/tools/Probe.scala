@@ -20,8 +20,13 @@ object Probe {
     val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, J]
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val desc = e.stageInfos.sortBy(_.stageId).lastOption.map(_.name.takeWhile(_ != '\n'))
-          .getOrElse("?")
+        // prefer the thread-local job description (Pipeline's phase
+        // labels, guide §1.5) — AQE-future jobs inherit it, so phases
+        // attribute cleanly; fall back to the last stage's callsite
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse(e.stageInfos.sortBy(_.stageId).lastOption
+            .map(_.name.takeWhile(_ != '\n')).getOrElse("?"))
         jobs.synchronized {
           jobs(e.jobId) = J(e.jobId, desc, e.time, stages = e.stageInfos.size,
             tasks = e.stageInfos.map(_.numTasks).sum)

@@ -89,6 +89,27 @@ class DqEngineSpec extends SparkSpec {
     assert(Dq.addSeverity(ex).head().getAs[String]("severity") == "ERROR")
   }
 
+  test("accountInCoaIndexed over the coerced frame equals accountInCoa (r17 RI index reuse)") {
+    // the pipeline shape: RI rides the coerce-time __idx (natural keys
+    // lead indexOrder, so the ranks coincide) instead of re-deriving a
+    // global index — this pins the outputs identical, duplicate natural
+    // keys included (both bad rows share a key; both must report)
+    val df = salesRaw(Seq(
+      ("2025-12-01", "TLM", "INV-1", "40000001", "USD", "1", "ok"),
+      ("2025-12-02", "TLM", "INV-2", "99999999", "USD", "1", "bad"),
+      ("2025-12-03", "ARK", "INV-9", "55555555", "USD", "2", "bad2")))
+    val coa = Seq("40000001").toDF("account_code")
+    val viaOwnIndex = Validator
+      .accountInCoa(df, "sales", coa, Seq("entity", "invoice_id"))
+      .orderBy("index").collect().toSeq
+    val viaCoerceIndex = Validator
+      .accountInCoaIndexed(Validator.coerce(df, Dq.salesSchema(settings)),
+        "sales", coa)
+      .orderBy("index").collect().toSeq
+    assert(viaCoerceIndex == viaOwnIndex)
+    assert(viaCoerceIndex.length == 2)
+  }
+
   test("summary has the five-dataset backbone with zero-fill and gate status") {
     val ex = Dq.addSeverity(
       Seq(("sales", 0L, "amount", "greater_than(0.0)", "-1", "Column", null: Integer))
