@@ -100,6 +100,28 @@ object Pipeline {
       .cache()
 
     // gate: write audit trail, then fail if needed (pipeline.py:129–162)
+    // materialize the five per-table coerced caches CONCURRENTLY (guide
+    // §2.6 overlap-independent-jobs): the exceptions write materializes
+    // them through one big union plan whose stages AQE discovers
+    // incrementally — measured at scale 1000, the five independent table
+    // chains (csv scan → coerce → range sample → range exchange → index
+    // window) ran only ~2 jobs wide, serializing ~6 waves over 5.8 s.
+    // Five driver threads give the scheduler five concurrent root jobs to
+    // back-fill with (FIFO default), cutting the materialization toward
+    // max-of-chains. Each future only forces a deterministic cache the
+    // plan needs anyway — no output, no ordering or gate-semantics change
+    // (a read failure surfaces here instead of at the write, same
+    // exception either way).
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val warm = validated.map { case (name, _, _, coerced) => Future {
+        sc.setJobDescription(s"close: coerce-$name")
+        try coerced.count() finally sc.setJobDescription(null)
+      } }
+      warm.foreach(Await.result(_, Duration.Inf))
+    }
     val exPath = s"$curatedDir/dq_exceptions.csv"
     val sumPath = s"$curatedDir/dq_summary.csv"
     val summary = Dq.summaryTable(spark, withSeverity, mode)

@@ -57,9 +57,10 @@ object Probe {
     println("\nby description (n, total ms, tasks):")
     byDesc.foreach { case (d, n, ms, tk) =>
       println(f"  $ms%6d ms  n=$n%-3d tasks=$tk%-5d $d") }
-    println("\nslowest 25 jobs:")
+    println("\nslowest 25 jobs (start = offset from first job, for overlap reading):")
+    val base0 = js.map(_.t0).min
     js.sortBy(-_.ms).take(25).foreach(j =>
-      println(f"  job ${j.id}%3d ${j.ms}%6d ms stages=${j.stages} tasks=${j.tasks}%4d  ${j.desc.take(100)}"))
+      println(f"  job ${j.id}%3d start=${j.t0 - base0}%6d ms ${j.ms}%6d ms stages=${j.stages} tasks=${j.tasks}%4d  ${j.desc.take(100)}"))
     spark.stop()
   }
 }
