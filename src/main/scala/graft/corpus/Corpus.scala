@@ -510,9 +510,16 @@ object Corpus {
     // cross-edge probe against the index and the in-batch self-pairs) —
     // each previously re-shingled the same documents independently
     val shNew = withShingles(newDocs).select("doc_id", "sh").cache()
+    // cached (r17): crossEdges has TWO materializing consumers in
+    // different ACTIONS — the CC seed checkpoint (through touched/nodes)
+    // and the CC edge-table cache build — and exchange reuse never
+    // crosses an action boundary, so the whole batch×index probe join
+    // ran twice. Two-long rows, released by the caller's clearCache
+    // contract.
     val crossEdges = dedupAgainstIndexFrom(shNew, indexPaths, threshold)
       .join(oldLab.withColumnRenamed("doc_id", "index_id"), "index_id")
       .select(col("new_id").as("a"), col("cluster_id").as("b"))
+      .cache()
     val batchEdges = nearDupPairsFrom(shNew, threshold)._1
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val touched = crossEdges.select(col("b").as("id")).distinct()
