@@ -1213,7 +1213,14 @@ object Corpus {
           JaccardSimilarity(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id").as("doc_id")).distinct()
-    val dropIds = idxMatches.union(batchLosers).distinct()
+    // cached (r17): dropIds has THREE materializing consumers in
+    // different ACTIONS — the two segment writes below and the caller's
+    // terminal action on the returned curated frame — and exchange reuse
+    // never crosses an action boundary, so the whole candidate+verify
+    // chain (band joins, jaccard verifies, distincts) ran three times
+    // per ingest. One-long rows (loser doc_ids only), released by the
+    // caller's clearCache contract like sh/sig above.
+    val dropIds = idxMatches.union(batchLosers).distinct().cache()
     val survivors = base.join(dropIds, Seq("doc_id"), "left_anti")
     val survivorIds = survivors.select("doc_id")
     graft.etl.EtlIO.writePartitionedParquet(
