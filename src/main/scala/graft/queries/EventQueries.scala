@@ -136,16 +136,21 @@ object EventQueries {
       val sets = ev.groupBy("media_id").agg(collect_set("fhash48").as("fhs"))
       Multimodal.verifySetPairs(cand, sets, minShared = 2)
     }
-    // NOT cached (r16, measured): both pair frames are consumed twice
-    // (count aggregate + keeper stats), but each consumer's subtree ends
-    // at the same pair-agg shuffle, so ReusedExchange already dedupes
-    // the work within the one report plan — a cache only added write
-    // overhead (m5 A/B regressed; contrast x12/x35, whose shared
-    // subtrees sit behind broadcast-only chains with no reusable
-    // exchange).
+    // truth NOT cached (r16, measured): both of its consumers (count
+    // aggregate + keeper stats) end at the same pair-agg shuffle, so
+    // ReusedExchange already dedupes the work within the one report
+    // plan — a cache only added write overhead (m5 A/B regressed).
+    // The BOUNDED capped frame IS cached (r17): verifySetPairs' tail is
+    // a broadcast-join + set-intersect chain ABOVE its dedup exchange
+    // (the x12/x35 shape the r16 note contrasts — no reusable exchange
+    // at the frame boundary), so its two consumers re-ran the verify
+    // intersects and the measuring passes; m6 caches the same frame for
+    // the same reason. Tiny (two longs/row); released by the caller's
+    // clearCache contract.
     val truth = pairsUnder(Multimodal.FRAME_TRUTH_DF_CAP)
     val capped =
-      if (boundedRule) boundedPairs() else pairsUnder(Multimodal.FRAME_DF_CAP)
+      if (boundedRule) boundedPairs().cache()
+      else pairsUnder(Multimodal.FRAME_DF_CAP)
     val dfStats = dfm.agg(
       coalesce(sum(when(col("dfm") > Multimodal.FRAME_DF_CAP &&
           col("dfm") <= Multimodal.FRAME_TRUTH_DF_CAP, 1L)
