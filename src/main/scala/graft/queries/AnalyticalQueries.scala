@@ -802,6 +802,14 @@ object AnalyticalQueries {
         val items = Tables.lineitem(s, dir)
           .select("l_orderkey", "l_partkey").distinct().cache()
         val nOrders = items.select(countDistinct("l_orderkey").as("n_orders"))
+        // itemCnt NOT cached (r17, measured): it feeds two broadcast
+        // builds (the c1/c2 joins) that each re-run the aggregate over
+        // the items cache — but those builds run as CONCURRENT AQE
+        // futures, so the duplicated work costs ~max not sum, and a
+        // cache A/B-regressed the wall (min-of-6 subset bench 1.65 →
+        // 1.96 s: the cache write serializes what the futures overlap).
+        // Contrast curateIncremental/m7, whose duplicated subtrees sit
+        // in different ACTIONS and cannot overlap.
         val itemCnt = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
         items.as("a").join(items.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
