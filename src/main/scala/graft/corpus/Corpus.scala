@@ -395,6 +395,13 @@ object Corpus {
     // the formula, so the regime decision is free, and under budget the
     // cached edge table stays un-exchanged through every round
     def bcN(df: DataFrame): DataFrame = dispatchNodeFrame(df, n, 2)
+    // deg as groupBy + broadcast-join, NOT a window (r17, measured): a
+    // count().over(partitionBy(src)) window folds the degree into the
+    // eDeg build stage and drops the deg broadcast-build job, but it
+    // A/B-regressed (x27 min-of-6: 2.69 → 3.36 s) — the window's
+    // src-keyed exchange + sort of the O(E) frame costs more than the
+    // broadcast build, which AQE overlaps with the other futures anyway
+    // (the a22 lesson: concurrent-future work is ~free on a wide box).
     val deg = edges.groupBy(col(sCol).as("src")).agg(count(lit(1)).as("deg"))
     val eDeg = edges.select(col(sCol).as("src"), col(dCol).as("dst"))
       .join(bcN(deg), "src").cache()
